@@ -1,0 +1,126 @@
+"""Count/sum metric aggregation — the count/sum connectors on Ray Data.
+
+Reference semantics (connector/countconnector/counter.go:39-149,
+config.go:20-64; connector/sumconnector/sum.go:21-100):
+
+  * per metric definition: OTTL ``conditions`` OR-ed (empty = match
+    all), dimension attributes with optional ``default_value``;
+  * a record missing a dimension with no default is SKIPPED
+    (counter.go:64-67) — in our columnar model "missing" means null
+    or empty string;
+  * count increments per attr-set; sum parses a numeric
+    source_attribute.
+
+The reference counts per consumed batch and emits deltas; the merged
+total over a finite run equals one global grouped aggregate
+(SURVEY.md §3.3). Scale design: each batch is PRE-AGGREGATED inside
+map_batches with Arrow's hash group-by (one partial row per key per
+batch — the same partial-then-merge shape as counter.go:110-126),
+then the tiny partial stream is merged with a Ray ``groupby`` — the
+all-to-all shuffle moves only #distinct-keys x #blocks rows, never
+the input.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from ..expr import compile_predicate
+
+
+@dataclass
+class MetricDef:
+    """One count/sum definition (countconnector config.go:20-64)."""
+
+    name: str
+    agg: str = "count"  # "count" | "sum"
+    source: str | None = None  # summed column for agg="sum"
+    conditions: list[Any] = field(default_factory=list)  # OR-ed predicates
+    dims: list[tuple[str, Any]] = field(default_factory=list)  # (col, default|None)
+    value_name: str | None = None  # output column; default <name>
+
+    def out_col(self) -> str:
+        return self.value_name or self.name
+
+
+def _dims_prepare(batch: pa.Table, def_: MetricDef) -> pa.Table:
+    """Apply conditions, dimension defaults and missing-dim skip."""
+    if def_.conditions:
+        mask = None
+        for c in def_.conditions:
+            m = compile_predicate(c)(batch)
+            mask = m if mask is None else pc.or_(mask, m)
+        batch = batch.filter(mask)
+    keep = None
+    for dim, default in def_.dims:
+        col = batch[dim]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        missing = pc.is_null(col)
+        if pa.types.is_string(col.type):
+            missing = pc.or_(missing, pc.equal(col, ""))
+            missing = pc.fill_null(missing, True)
+        if default is not None:
+            col = pc.if_else(missing, pa.scalar(default, col.type), col)
+            batch = batch.set_column(batch.column_names.index(dim), dim, col)
+        else:
+            ok = pc.invert(missing)
+            keep = ok if keep is None else pc.and_(keep, ok)
+    if keep is not None:
+        batch = batch.filter(keep)
+    if def_.agg == "sum":
+        # a null source value also skips the record (sum.go:21-100
+        # parses the attr; absent -> skip)
+        src = batch[def_.source]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        batch = batch.filter(pc.is_valid(src))
+    return batch
+
+
+def _partial(batch: pa.Table, def_: MetricDef) -> pa.Table:
+    """Per-batch combiner: one row per key (Arrow hash group-by)."""
+    batch = _dims_prepare(batch, def_)
+    dims = [d for d, _ in def_.dims]
+    out = def_.out_col()
+    if batch.num_rows == 0:
+        typ = pa.int64() if def_.agg == "count" else batch.schema.field(def_.source).type
+        empty = {d: pa.array([], batch.schema.field(d).type) for d in dims}
+        empty[out] = pa.array([], typ)
+        return pa.table(empty)
+    if def_.agg == "count":
+        g = batch.select(dims).group_by(dims).aggregate([([], "count_all")])
+        g = g.rename_columns(dims + [out])
+    else:
+        g = batch.select(dims + [def_.source]).group_by(dims).aggregate([(def_.source, "sum")])
+        g = g.rename_columns(dims + [out])
+    return g
+
+
+def run_metric_def(ds: ray.data.Dataset, def_: MetricDef) -> ray.data.Dataset:
+    """filter -> per-batch partial -> small groupby merge."""
+    dims = [d for d, _ in def_.dims]
+    out = def_.out_col()
+    partials = ds.map_batches(lambda b, d=def_: _partial(b, d), batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby(dims).aggregate(Sum(out, alias_name=out))
+    return merged
+
+
+def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour") -> ray.data.Dataset:
+    """hour = TruncateTime(ts, 'hour') (func_truncate_time.go /
+    floor_temporal) — the window key for per-(role, tool, hour)
+    aggregates; finite-input window semantics per SURVEY.md §2.5."""
+
+    def f(b: pa.Table) -> pa.Table:
+        col = b[ts_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return b.append_column(out, pc.floor_temporal(col, unit="hour"))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,237 @@
+"""Parse stages — vectorized stanza parser equivalents.
+
+The composite parse step is the semantic core (SURVEY.md §2.2): a
+parser reads ``parse_from``, writes extracted fields, and runs
+embedded time/severity sub-parsers in one pass (reference:
+pkg/stanza/operator/helper/parser.go:178-247). Per-row parse errors
+follow ``on_error`` (helper/transformer.go:214-224):
+
+  * ``send`` / ``send_quiet``: keep the row unmodified (extracted
+    columns null for that row);
+  * ``drop`` / ``drop_quiet``: remove the row from the stream.
+
+Instead of raising per row, every kernel computes a validity mask per
+batch — `pyarrow.compute.extract_regex` returns a null struct for
+non-matching rows, which IS the error mask, so on_error semantics are
+one `filter`/`if_else` away and the whole stage stays zero-copy Arrow.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.severity import SeverityMapper, http_status_severity
+from ..schema import TEXT_REGEX, TEXT_TIME_FORMAT
+from . import register
+
+ON_ERROR_VALUES = ("send", "send_quiet", "drop", "drop_quiet")
+
+
+def _extract_columns(
+    batch: pa.Table,
+    pattern: str,
+    parse_from: str,
+    types: dict[str, pa.DataType],
+    prefix: str = "",
+) -> tuple[pa.Table, pa.Array]:
+    """Run the named-group regex; return (batch+new columns, ok_mask).
+
+    Non-matching / null rows get null extracted values. RE2 named
+    groups via pc.extract_regex == the reference regex parser's
+    capture semantics (parser/regex/parser.go:50-67) vectorized.
+    """
+    src = batch[parse_from]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    result = pc.extract_regex(src, pattern=pattern)
+    ok = result.is_valid()
+    out = batch
+    for field in result.type:
+        col = pc.struct_field(result, field.name)
+        want = types.get(field.name)
+        if want is not None and want != pa.string():
+            # cast failures also count as parse errors for the row
+            col = pc.cast(col, want, safe=False)
+        out = out.append_column(prefix + field.name, col)
+    return out, ok
+
+
+@register("regex_parser")
+class RegexParser:
+    """stanza regex_parser (reference: pkg/stanza/operator/parser/regex/
+    parser.go:29-67, config.go:38-92) as one vectorized map_batches.
+
+    ``types`` optionally casts named groups (e.g. status->int64); the
+    reference leaves strings, we expose typed columns because Arrow is
+    typed. The value-LRU cache (parser/regex/cache.go) is unnecessary:
+    columnar RE2 amortizes compilation across the batch.
+    """
+
+    def __init__(
+        self,
+        regex: str = TEXT_REGEX,
+        parse_from: str = "text",
+        on_error: str = "send",
+        types: dict[str, Any] | None = None,
+        prefix: str = "",
+    ):
+        if on_error not in ON_ERROR_VALUES:
+            raise ValueError(f"on_error must be one of {ON_ERROR_VALUES}")
+        self.regex = regex
+        self.parse_from = parse_from
+        self.on_error = on_error
+        self.types = {k: pa.type_for_alias(v) if isinstance(v, str) else v for k, v in (types or {}).items()}
+        self.prefix = prefix
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        out, ok = _extract_columns(batch, self.regex, self.parse_from, self.types, self.prefix)
+        if self.on_error.startswith("drop"):
+            return out.filter(ok)
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("transcript_parser")
+class TranscriptParser:
+    """The fused composite parse for transcript text — regex + embedded
+    time + severity sub-parsers in ONE map_batches pass, mirroring the
+    one-pass ParseWith flow (helper/parser.go:178-247):
+
+    input columns + -> level, time (string), actor, tool_tag,
+    status:int64, dur:float64, payload, event_ts:timestamp[us]
+    (strptime of the embedded time, helper/time.go 'strptime'),
+    severity_number:int8 / severity_text (level token via the default
+    severity table, severity_builder.go:64-88), and
+    http_severity_number/_text from the status code ranges
+    (severity_builder.go:199-206 '4xx'-style expansion).
+    """
+
+    def __init__(self, on_error: str = "send", parse_from: str = "text"):
+        if on_error not in ON_ERROR_VALUES:
+            raise ValueError(f"on_error must be one of {ON_ERROR_VALUES}")
+        self.on_error = on_error
+        self.parse_from = parse_from
+        self.sev = SeverityMapper()
+        self.http = http_status_severity()
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        out, ok = _extract_columns(
+            batch,
+            TEXT_REGEX,
+            self.parse_from,
+            {"status": pa.int64(), "dur": pa.float64()},
+        )
+        time_col = out["time"]
+        if isinstance(time_col, pa.ChunkedArray):
+            time_col = time_col.combine_chunks()
+        event_ts = pc.strptime(time_col, format=TEXT_TIME_FORMAT, unit="us", error_is_null=True)
+        out = out.append_column("event_ts", event_ts)
+
+        sev_num = self.sev.map_tokens(out["level"])
+        # null level (unparsed row) -> null severity, not Default
+        sev_num = pc.if_else(ok, sev_num, pa.nulls(len(ok), pa.int8()))
+        sev_text = SeverityMapper.number_to_text(sev_num)
+        out = out.append_column("severity_number", sev_num)
+        out = out.append_column("severity_text", sev_text)
+
+        http_num = self.http.map_ints(out["status"])
+        http_num = pc.if_else(ok, http_num, pa.nulls(len(ok), pa.int8()))
+        http_text = SeverityMapper.number_to_text(http_num)
+        out = out.append_column("http_severity_number", http_num)
+        out = out.append_column("http_severity_text", http_text)
+
+        if self.on_error.startswith("drop"):
+            return out.filter(ok)
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("json_parser")
+class JsonParser:
+    """stanza json_parser (parser/jsonparser/parser.go:34-60): parse a
+    JSON-string column into typed columns for the requested fields.
+
+    Vectorized via pandas' C json path would still be per-row; we use
+    a tight Python loop over the batch with the stdlib parser ONLY on
+    the requested keys (fields are projected out of the dict
+    immediately). For hot paths at scale, prefer fixed-schema regex
+    extraction; this exists for parity with props-style JSON blobs.
+    """
+
+    def __init__(
+        self,
+        parse_from: str,
+        fields: dict[str, Any],
+        on_error: str = "send",
+        prefix: str = "",
+    ):
+        import json
+
+        self._loads = json.loads
+        self.parse_from = parse_from
+        self.fields = {k: pa.type_for_alias(v) if isinstance(v, str) else v for k, v in fields.items()}
+        self.on_error = on_error
+        self.prefix = prefix
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from].to_pylist()
+        cols: dict[str, list] = {k: [] for k in self.fields}
+        ok = []
+        loads = self._loads
+        for s in src:
+            try:
+                d = loads(s)
+                for k in cols:
+                    cols[k].append(d.get(k))
+                ok.append(True)
+            except (TypeError, ValueError):
+                for k in cols:
+                    cols[k].append(None)
+                ok.append(False)
+        out = batch
+        for k, typ in self.fields.items():
+            out = out.append_column(self.prefix + k, pa.array(cols[k], type=typ))
+        if self.on_error.startswith("drop"):
+            return out.filter(pa.array(ok))
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("severity_parser")
+class SeverityParserStage:
+    """Standalone severity_parser (parser/severity/parser.go:1-26):
+    maps a token or integer column to severity_number/_text."""
+
+    def __init__(
+        self,
+        parse_from: str,
+        range_map: dict[str, str] | None = None,
+        out_prefix: str = "severity",
+    ):
+        self.parse_from = parse_from
+        self.mapper = SeverityMapper(range_map=range_map)
+        self.use_ranges = range_map is not None
+        self.out_prefix = out_prefix
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.parse_from]
+        if self.use_ranges:
+            num = self.mapper.map_ints(col)
+        else:
+            num = self.mapper.map_tokens(col)
+        return batch.append_column(
+            f"{self.out_prefix}_number", num
+        ).append_column(f"{self.out_prefix}_text", SeverityMapper.number_to_text(num))
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)

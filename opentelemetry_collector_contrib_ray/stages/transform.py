@@ -1,0 +1,225 @@
+"""OTTL-lite transform stage — a statement list fused into ONE map_batches.
+
+Reimplements the transformprocessor execution model (reference:
+processor/transformprocessor/internal/logs/processor.go:53-67 — run
+statements in order over every record; pkg/ottl/parser.go:411-425
+StatementSequence) as a compiled sequence of vectorized column ops.
+``where`` conditions become Arrow boolean masks; a statement mutates
+only masked rows via ``pc.if_else`` (the vectorized equivalent of the
+per-record condition gate). ``error_mode='ignore'`` masks rows whose
+conversion failed out of the mutation instead of failing the stream
+(pkg/ottl/config.go ErrorMode semantics).
+
+Implemented editors/functions (the subset the north-star slice needs,
+names mirror pkg/ottl/ottlfuncs/func_*.go):
+  set, delete_keys, keep_keys, rename, copy, concat,
+  replace_pattern, extract_patterns, truncate_time, format_time,
+  upper, lower, substring, truncate_all, coalesce, hash, cast
+plus stanza equivalents add/remove/retain/move/copy
+(pkg/stanza/operator/transformer/{add,remove,retain,move,copy}).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..expr import Col, compile_predicate
+from ..functions.hashing import md5_number_lower_arrow
+from . import register
+
+
+def _val(tbl: pa.Table, v: Any):
+    if isinstance(v, Col):
+        c = tbl[v.name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    return v
+
+
+def _set_col(tbl: pa.Table, name: str, values) -> pa.Table:
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array([values] * tbl.num_rows)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if name in tbl.column_names:
+        i = tbl.column_names.index(name)
+        return tbl.set_column(i, name, values)
+    return tbl.append_column(name, values)
+
+
+def _masked(tbl: pa.Table, name: str, new_vals, mask) -> pa.Table:
+    """Apply new values only where mask is true (OTTL `where`)."""
+    if mask is None:
+        return _set_col(tbl, name, new_vals)
+    if not isinstance(new_vals, (pa.Array, pa.ChunkedArray)):
+        new_vals = pa.array([new_vals] * tbl.num_rows)
+    if name in tbl.column_names:
+        old = tbl[name]
+        if isinstance(old, pa.ChunkedArray):
+            old = old.combine_chunks()
+        old = pc.cast(old, new_vals.type) if old.type != new_vals.type else old
+    else:
+        old = pa.nulls(tbl.num_rows, new_vals.type)
+    return _set_col(tbl, name, pc.if_else(mask, new_vals, old))
+
+
+class Statement:
+    """One compiled OTTL-like statement: editor(args) where condition."""
+
+    def __init__(self, editor: str, args: dict[str, Any], where: Any = None):
+        self.editor = editor
+        self.args = args
+        self.mask_fn = compile_predicate(where) if where is not None else None
+        self._fn = getattr(self, "_op_" + editor, None)
+        if self._fn is None:
+            raise ValueError(f"unknown editor {editor!r}")
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        mask = self.mask_fn(tbl) if self.mask_fn is not None else None
+        return self._fn(tbl, mask, **self.args)
+
+    # --- editors (mutating, func_set.go / func_delete_key.go / ...) ---
+
+    def _op_set(self, tbl, mask, target: str, value: Any):
+        return _masked(tbl, target, _val(tbl, value), mask)
+
+    def _op_delete_keys(self, tbl, mask, keys: list[str]):
+        return tbl.drop_columns([k for k in keys if k in tbl.column_names])
+
+    def _op_keep_keys(self, tbl, mask, keys: list[str]):
+        return tbl.select([k for k in keys if k in tbl.column_names])
+
+    def _op_rename(self, tbl, mask, src: str, dst: str):
+        # stanza move (transformer/move/transformer.go:31-37)
+        names = [dst if n == src else n for n in tbl.column_names]
+        return tbl.rename_columns(names)
+
+    def _op_copy(self, tbl, mask, src: str, dst: str):
+        return _set_col(tbl, dst, tbl[src])
+
+    def _op_concat(self, tbl, mask, target: str, parts: list[Any], sep: str = ""):
+        arrs = []
+        for p in parts:
+            v = _val(tbl, p)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([str(v)] * tbl.num_rows)
+            arrs.append(pc.cast(v, pa.string()))
+        out = pc.binary_join_element_wise(*arrs, sep)
+        return _masked(tbl, target, out, mask)
+
+    def _op_replace_pattern(self, tbl, mask, target: str, pattern: str, replacement: str, src: str | None = None):
+        src_col = _val(tbl, Col(src or target))
+        out = pc.replace_substring_regex(src_col, pattern=pattern, replacement=replacement)
+        return _masked(tbl, target, out, mask)
+
+    def _op_extract_patterns(self, tbl, mask, src: str, pattern: str, prefix: str = ""):
+        res = pc.extract_regex(_val(tbl, Col(src)), pattern=pattern)
+        for f in res.type:
+            tbl = _masked(tbl, prefix + f.name, pc.struct_field(res, f.name), mask)
+        return tbl
+
+    def _op_truncate_time(self, tbl, mask, target: str, unit: str, src: str | None = None):
+        out = pc.floor_temporal(_val(tbl, Col(src or target)), unit=unit)
+        return _masked(tbl, target, out, mask)
+
+    def _op_format_time(self, tbl, mask, target: str, src: str, format: str):
+        out = pc.strftime(_val(tbl, Col(src)), format=format)
+        return _masked(tbl, target, out, mask)
+
+    def _op_upper(self, tbl, mask, target: str, src: str | None = None):
+        return _masked(tbl, target, pc.utf8_upper(_val(tbl, Col(src or target))), mask)
+
+    def _op_lower(self, tbl, mask, target: str, src: str | None = None):
+        return _masked(tbl, target, pc.utf8_lower(_val(tbl, Col(src or target))), mask)
+
+    def _op_substring(self, tbl, mask, target: str, src: str, start: int, length: int):
+        out = pc.utf8_slice_codeunits(_val(tbl, Col(src)), start=start, stop=start + length)
+        return _masked(tbl, target, out, mask)
+
+    def _op_truncate_all(self, tbl, mask, keys: list[str], limit: int):
+        # func_truncate_all.go: cap string lengths
+        for k in keys:
+            if k in tbl.column_names and pa.types.is_string(tbl.schema.field(k).type):
+                tbl = _masked(tbl, k, pc.utf8_slice_codeunits(_val(tbl, Col(k)), start=0, stop=limit), mask)
+        return tbl
+
+    def _op_coalesce(self, tbl, mask, target: str, sources: list[Any], default: Any = None):
+        acc = None
+        for s in sources:
+            v = _val(tbl, s)
+            if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+                v = pa.array([v] * tbl.num_rows)
+            acc = v if acc is None else pc.coalesce(acc, v)
+        if default is not None:
+            acc = pc.fill_null(acc, default)
+        return _masked(tbl, target, acc, mask)
+
+    def _op_hash(self, tbl, mask, target: str, src: str):
+        # MD5-derived u64 (functions/hashing.py) — DuckDB-reproducible
+        return _masked(tbl, target, md5_number_lower_arrow(_val(tbl, Col(src))), mask)
+
+    def _op_cast(self, tbl, mask, target: str, to: str, src: str | None = None):
+        out = pc.cast(_val(tbl, Col(src or target)), pa.type_for_alias(to), safe=False)
+        return _masked(tbl, target, out, mask)
+
+
+@register("transform")
+class TransformStage:
+    """A fused statement sequence; one map_batches for the whole list."""
+
+    def __init__(self, statements: list[dict[str, Any] | Statement], error_mode: str = "ignore"):
+        self.statements = [
+            s if isinstance(s, Statement) else Statement(s["editor"], s.get("args", {}), s.get("where"))
+            for s in statements
+        ]
+        self.error_mode = error_mode
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        for st in self.statements:
+            try:
+                batch = st(batch)
+            except pa.ArrowInvalid:
+                if self.error_mode == "propagate":
+                    raise
+                # ignore: leave the batch unchanged for this statement
+        return batch
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("filter")
+class FilterStage:
+    """stanza filter / filterprocessor.
+
+    ``mode='drop'`` removes matching rows (stanza filter,
+    transformer/filter/config.go:38-68; filterprocessor logs.go:89-98
+    'drop matching'); ``mode='keep'`` keeps matching rows.
+    ``drop_ratio`` (stanza filter) drops only that fraction of the
+    matching rows, selected deterministically by hashing ``ratio_key``
+    — seeded-hash-mod, not RNG, so reruns are stable.
+    """
+
+    def __init__(self, condition: Any, mode: str = "drop", drop_ratio: float = 1.0, ratio_key: str | None = None):
+        self.pred = compile_predicate(condition)
+        if mode not in ("drop", "keep"):
+            raise ValueError("mode must be drop|keep")
+        self.mode = mode
+        self.drop_ratio = drop_ratio
+        self.ratio_key = ratio_key
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        m = self.pred(batch)
+        if self.mode == "drop":
+            m = pc.invert(m)  # keep-mask
+            if self.drop_ratio < 1.0 and self.ratio_key is not None:
+                h = md5_number_lower_arrow(pc.cast(batch[self.ratio_key], pa.string()))
+                spared = pc.greater_equal(pc.mod(h, 10_000), int(self.drop_ratio * 10_000))
+                m = pc.or_(m, spared)
+        return batch.filter(m)
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
