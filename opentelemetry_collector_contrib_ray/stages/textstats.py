@@ -1,0 +1,155 @@
+"""Text analysis stages for training-data pipelines.
+
+Beyond the reference's operator set: language-ID, quality scoring,
+token counting and document fingerprinting over a ``documents`` table
+— the stages a 100 TB training-data pipeline needs. All are
+stateless vectorized map_batches (actor pool for the stages that
+precompile token tables), integer-valued outputs where the DuckDB
+oracle must hash-match (floats only in rows-only checks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import fnv1a64_bytes
+from . import register
+
+# BPE-ish tokenization: word pieces or single non-space punctuation
+TOKEN_REGEX = r"\w+|[^\w\s]"
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# Tiny per-language marker sets for the n-gram/stopword language
+# heuristic. Deterministic, no model files (none in this container).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": (),  # CJK detected by codepoint range, not markers
+}
+
+
+@register("text_quality")
+class TextQuality:
+    """Integer quality counters per document: n_chars, n_words,
+    n_stopwords, n_punct. All Arrow kernels; exact parity with the
+    SQL oracle (length / regexp_extract_all counts)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def fn(self, b: pa.Table) -> pa.Table:
+        t = b[self.text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n_chars = pc.utf8_length(t)
+        # counts via non-overlapping regex matches == DuckDB
+        # len(regexp_extract_all(...)) for exact oracle parity
+        n_words = pc.count_substring_regex(t, pattern=r"\S+")
+        n_punct = pc.count_substring_regex(t, pattern=r"[^\w\s]")
+        stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+        n_stop = pc.count_substring_regex(pc.utf8_lower(t), pattern=stop_pat)
+        out = b.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+        out = out.append_column("n_words", pc.cast(n_words, pa.int64()))
+        out = out.append_column("n_punct", pc.cast(n_punct, pa.int64()))
+        out = out.append_column("n_stopwords", pc.cast(n_stop, pa.int64()))
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("token_count")
+class TokenCount:
+    """Whitespace + BPE-ish regex token counts per document."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def fn(self, b: pa.Table) -> pa.Table:
+        t = b[self.text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        n_ws = pc.count_substring_regex(t, pattern=r"\S+")
+        n_bpe = pc.count_substring_regex(t, pattern=TOKEN_REGEX)
+        out = b.append_column("n_ws_tokens", pc.cast(n_ws, pa.int64()))
+        out = out.append_column("n_bpe_tokens", pc.cast(n_bpe, pa.int64()))
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("lang_id")
+class LangId:
+    """Marker-word + codepoint-range language heuristic (actor pool:
+    the marker regexes are compiled once per actor in __init__)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.markers = {
+            lang: re.compile(r"\b(" + "|".join(map(re.escape, ws)) + r")\b") if ws else None
+            for lang, ws in LANG_MARKERS.items()
+        }
+        self.cjk = re.compile(r"[一-鿿]")
+
+    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+        low = b[self.text_col].str.lower()
+        scores = {}
+        for lang, pat in self.markers.items():
+            if pat is None:
+                scores[lang] = low.str.count(self.cjk) * 3
+            else:
+                scores[lang] = low.str.count(pat)
+        sdf = pd.DataFrame(scores)
+        total = sdf.sum(axis=1)
+        best = sdf.idxmax(axis=1).where(total > 0, "und")
+        conf = (sdf.max(axis=1) / total.clip(lower=1)).where(total > 0, 0.0)
+        b = b.assign(pred_lang=best, lang_confidence=conf)
+        return b
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(
+            LangId, fn_constructor_kwargs={"text_col": self.text_col},
+            batch_format="pandas", concurrency=(1, 4),
+        )
+
+
+@register("fingerprint")
+class Fingerprint:
+    """Rolling/content hash per document: 64-bit FNV-1a of the full
+    text plus a shingle-min rolling fingerprint (cheap near-dup
+    pre-key). Mirrors the role of logdedup's body+attrs hash
+    (processor/logdedupprocessor/processor.go:242-295)."""
+
+    def __init__(self, text_col: str = "text", shingle: int = 8):
+        self.text_col = text_col
+        self.shingle = shingle
+
+    def fn(self, b: pa.Table) -> pa.Table:
+        texts = b[self.text_col].to_pylist()
+        full = np.empty(len(texts), dtype=np.uint64)
+        rolling = np.empty(len(texts), dtype=np.uint64)
+        k = self.shingle
+        for i, s in enumerate(texts):
+            data = (s or "").encode()
+            full[i] = fnv1a64_bytes(data)
+            if len(data) <= k:
+                rolling[i] = full[i]
+            else:
+                mv = memoryview(data)
+                rolling[i] = min(fnv1a64_bytes(bytes(mv[j:j + k])) for j in range(0, len(data) - k + 1, k))
+        out = b.append_column("content_hash", pa.array(full, pa.uint64()))
+        out = out.append_column("rolling_min_hash", pa.array(rolling, pa.uint64()))
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)

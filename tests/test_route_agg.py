@@ -1,0 +1,113 @@
+"""Routing + count/sum connector conformance vs a row-at-a-time oracle.
+
+Models the reference's sink-equality tests
+(connector/routingconnector/logs_test.go:230-307: exact per-sink row
+sets) and countconnector golden tests."""
+
+import collections
+from datetime import datetime, timedelta
+
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+    METRIC_DEFS,
+    ROUTE_CONFIGS,
+    build_routed,
+)
+from opentelemetry_collector_contrib_ray.sources.transcripts import generate_transcripts
+from opentelemetry_collector_contrib_ray.stages.aggregate import add_hour_column, run_metric_def
+from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+from opentelemetry_collector_contrib_ray.stages.route import Router
+from tests.test_parse import oracle_parse_row
+
+
+def oracle_route(rows):
+    """Row-at-a-time first-match-wins move / pass-through copy
+    (routingconnector/logs.go:64-173 semantics)."""
+    out = []
+    for r in rows:
+        p = oracle_parse_row(r["text"]) or {}
+        sev = "ERROR" if p.get("severity_number") == 17 else p.get("level")
+        routed = None
+        copies = []
+        # route 0: move
+        if (sev == "ERROR") or (p.get("status") is not None and p["status"] >= 500):
+            routed = "errors"
+        else:
+            # route 1: copy
+            if r["role"] == "tool" and r["tool"] != "":
+                copies.append("tools")
+            # route 2: move
+            if p.get("dur") is not None and p["dur"] > 100.0:
+                routed = "slow"
+        if routed is None:
+            routed = "default"
+        out.append((r["conv_id"], r["turn_idx"], routed))
+        for c in copies:
+            out.append((r["conv_id"], r["turn_idx"], c))
+    return out
+
+
+@pytest.fixture(scope="module")
+def table():
+    return generate_transcripts(6000)
+
+
+@pytest.fixture(scope="module")
+def routed_tbl(table):
+    parsed = TranscriptParser(on_error="send").fn(table)
+    return Router(ROUTE_CONFIGS).fn(parsed)
+
+
+def test_routed_row_equality(table, routed_tbl):
+    got = sorted(zip(routed_tbl["conv_id"].to_pylist(),
+                     routed_tbl["turn_idx"].to_pylist(),
+                     routed_tbl["sink"].to_pylist()))
+    want = sorted(oracle_route(table.to_pylist()))
+    assert got == want
+
+
+def test_copy_rows_duplicated_not_moved(routed_tbl):
+    # every copy row's original must still exist under a move/default sink
+    per_key = collections.defaultdict(set)
+    for c, t, s in zip(routed_tbl["conv_id"].to_pylist(),
+                       routed_tbl["turn_idx"].to_pylist(),
+                       routed_tbl["sink"].to_pylist()):
+        per_key[(c, t)].add(s)
+    for key, sinks in per_key.items():
+        if "tools" in sinks:
+            assert sinks & {"errors", "slow", "default"}, key
+
+
+def oracle_metrics(rows):
+    counts = {d.name: collections.Counter() for d in METRIC_DEFS}
+    sums = collections.Counter()
+    for r in rows:
+        p = oracle_parse_row(r["text"]) or {}
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        tool = r["tool"] if r["tool"] else "-"
+        counts["turn_count"][(r["role"], tool, hour)] += 1
+        if p.get("level") == "ERROR":
+            counts["error_count"][(r["role"], hour)] += 1
+        if p.get("dur") is not None:
+            sums[(r["role"], tool, hour)] += p["dur"]
+    return counts, sums
+
+
+def test_count_sum_defs_match_oracle(table):
+    parsed = TranscriptParser(on_error="send").fn(table)
+    ds = add_hour_column(ray.data.from_arrow(parsed), "ts", "hour")
+    counts, sums = oracle_metrics(table.to_pylist())
+
+    turn = {(r["role"], r["tool"], r["hour"]): r["turn_count"]
+            for r in run_metric_def(ds, METRIC_DEFS[0]).take_all()}
+    assert turn == dict(counts["turn_count"])
+
+    err = {(r["role"], r["hour"]): r["error_count"]
+           for r in run_metric_def(ds, METRIC_DEFS[1]).take_all()}
+    assert err == dict(counts["error_count"])
+
+    dsum = {(r["role"], r["tool"], r["hour"]): r["dur_sum"]
+            for r in run_metric_def(ds, METRIC_DEFS[2]).take_all()}
+    assert dsum == dict(sums)  # dur is multiples of 0.25 -> exact sums
