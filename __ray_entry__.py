@@ -1,44 +1,491 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() / queries() / oracle_sql().
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+ray.init()/shutdown() here or in the library (see package docstring).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every `queries()` entry has a matching `oracle_sql()` ANSI-SQL string
+unless the operator is genuinely non-SQL-expressible (MinHash-LSH,
+SimHash, LSH near-dup, language-ID heuristic) — those get rows-only
+checks and pytest oracles instead (tests/).
+
+Transcript queries run over the deterministic synthetic transcript
+table (FIXTURES.md F1, BASELINE.json input_hint) generated once under
+/tmp/graft_transcripts/<sf>/ by numpy — the SQL oracle reads the
+same files via read_parquet(path).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.schema import TEXT_REGEX, TEXT_REGEX_GROUPS
+from opentelemetry_collector_contrib_ray.sources.lookup import LOOKUP_PATH, ensure_lookup
+from opentelemetry_collector_contrib_ray.sources.readers import read_table, read_transcripts
+from opentelemetry_collector_contrib_ray.sources.transcripts import ensure_transcripts, sf_name
+
+_SQL_GROUPS = "[" + ",".join(f"'{g}'" for g in TEXT_REGEX_GROUPS) + "]"
+
+
+def _tpath(sf_dir: str) -> str:
+    return os.path.join(ensure_transcripts(sf_dir), "*.parquet")
+
+
+# ----------------------------------------------------------------- queries
+
+def _q_parse_drop(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    out = TranscriptParser(on_error="drop").apply(ds)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "level", "actor", "tool_tag", "status", "dur", "payload"]
+    )
+
+
+def _q_parse_send(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    out = TranscriptParser(on_error="send").apply(ds)
+    return out.select_columns(["conv_id", "turn_idx", "text", "level", "status"])
+
+
+def _q_severity(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    out = TranscriptParser(on_error="drop").apply(ds)
+
+    def widen(b: pa.Table) -> pa.Table:
+        for c in ["severity_number", "http_severity_number"]:
+            b = b.set_column(b.column_names.index(c), c, pc.cast(b[c], pa.int32()))
+        return b
+
+    out = out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "severity_number", "severity_text",
+         "http_severity_number", "http_severity_text", "event_ts"]
+    )
+
+
+def _q_enrich(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_enriched
+
+    out = build_enriched(sf_dir)
+    return out.select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "team", "cost_weight", "tool_kind"]
+    )
+
+
+def _q_route(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_routed
+
+    return build_routed(sf_dir).select_columns(["conv_id", "turn_idx", "sink"])
+
+
+def _q_route_counts(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_routed
+    from opentelemetry_collector_contrib_ray.stages.aggregate import grouped_count_sum
+
+    return grouped_count_sum(build_routed(sf_dir), ["sink"], count_name="n_rows")
+
+
+def _metric_query(sf_dir: str, idx: int):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import METRIC_DEFS
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        run_metric_def,
+    )
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    d = METRIC_DEFS[idx]
+    ds = read_transcripts(sf_dir)
+    if d.conditions or d.source:
+        ds = TranscriptParser(on_error="send").apply(ds)
+    ds = add_hour_column(ds, "ts", "hour")
+    return run_metric_def(ds, d)
+
+
+def _q_recombine(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
+
+    ds = read_transcripts(sf_dir)
+    return Recombine().apply(ds)
+
+
+def _q_transform(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+    from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+    ds = read_transcripts(sf_dir)
+    ds = TranscriptParser(on_error="drop").apply(ds)
+    stage = TransformStage(
+        [
+            {"editor": "upper", "args": {"target": "payload_upper", "src": "payload"},
+             "where": ("==", col("role"), "assistant")},
+            {"editor": "replace_pattern",
+             "args": {"target": "redacted", "src": "text", "pattern": r"[0-9]+", "replacement": "#"}},
+            {"editor": "concat", "args": {"target": "actor_key", "parts": [col("role"), col("tool_tag")], "sep": ":"}},
+            {"editor": "substring", "args": {"target": "text_head", "src": "text", "start": 0, "length": 16}},
+        ]
+    )
+    return stage.apply(ds).select_columns(
+        ["conv_id", "turn_idx", "payload_upper", "redacted", "actor_key", "text_head"]
+    )
+
+
+def _q_sample(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
+
+    ds = read_transcripts(sf_dir)
+    return ProbabilisticSampler(10.0, key="conv_id").apply(ds).select_columns(
+        ["conv_id", "turn_idx"]
+    )
+
+
+def _q_unroll(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    ds = TranscriptParser(on_error="drop").apply(ds)
+
+    def explode(b: pa.Table) -> pa.Table:
+        # unrollprocessor semantics (processor/unrollprocessor/
+        # processor.go:37-56): one row per list element, parent fields
+        # repeated — vectorized with list_parent_indices/flatten
+        words = pc.split_pattern(b["payload"].combine_chunks(), pattern=" ")
+        parents = pc.list_parent_indices(words)
+        return pa.table(
+            {
+                "conv_id": pc.take(b["conv_id"].combine_chunks(), parents),
+                "turn_idx": pc.take(b["turn_idx"].combine_chunks(), parents),
+                "word": pc.list_flatten(words),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_events_hourly(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        grouped_count_sum,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("value_cents", v)
+
+    ds = add_hour_column(ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True), "ts", "hour")
+    return grouped_count_sum(ds, ["event_type", "hour"], {"value_cents": "value_cents"}, count_name="n_events")
+
+
+def _q_events_json(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import JsonParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    return JsonParser(parse_from="props", fields={"k": "int64"}).apply(ds).select_columns(
+        ["event_id", "k"]
+    )
+
+
+def _q_sessions(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sessionize import sessionize
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize(ds, "user_id", "ts", 30.0)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds, key_col="text", id_col="doc_id")
+
+
+def _q_docs_quality(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import TextQuality
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return TextQuality().apply(ds).select_columns(
+        ["doc_id", "n_chars", "n_words", "n_punct", "n_stopwords"]
+    )
+
+
+def _q_docs_tokens(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import TokenCount
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return TokenCount().apply(ds).select_columns(["doc_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def _q_knn(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.similarity import knn_brute_force
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_brute_force(ds, query_ids=list(range(10)), k=5)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.aggregate import grouped_count_sum
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        b = b.append_column("qty_cents", pc.cast(pc.round(pc.multiply(b["l_quantity"], 100.0)), pa.int64()))
+        b = b.append_column("price_cents", pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()))
+        return b
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count_sum(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"qty_cents": "qty_cents", "price_cents": "price_cents"},
+        count_name="n",
+    )
+
+
+# ------- rows-only queries (non-SQL-expressible; pytest oracles in tests/)
+
+def _q_minhash_pairs(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import minhash_lsh_candidates
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds, "text", "doc_id")
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.similarity import embedding_near_dup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dup(ds, threshold=0.8)
+
+
+def _q_lang_id(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.textstats import LangId
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return LangId().apply(ds).select_columns(["doc_id", "pred_lang", "lang_confidence"])
+
+
+def _q_multimodal_decode(sf_dir: str):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_images,
+        synth_binary_table,
+    )
+
+    ds = ray.data.from_arrow(synth_binary_table(200))
+    return decode_images(ds).select_columns(["item_id", "byte_size", "mean_intensity"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship parse->enrich->route->aggregate on sf0.001 with
+    manifest checkpointing; returns the turn_count aggregate."""
+    import ray.data
+
+    out_root = tempfile.mkdtemp(prefix="flagship_", dir="/tmp")
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import run_flagship
+
+    entries = run_flagship("/root/testdata/sf0.001", out_root)
+    return ray.data.read_parquet(entries["metrics:turn_count"]["output"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_drop": _q_parse_drop,
+        "parse_send": _q_parse_send,
+        "severity": _q_severity,
+        "enrich_lookup": _q_enrich,
+        "route_rows": _q_route,
+        "route_sink_counts": _q_route_counts,
+        "agg_turn_count": lambda sf: _metric_query(sf, 0),
+        "agg_error_count": lambda sf: _metric_query(sf, 1),
+        "agg_dur_sum": lambda sf: _metric_query(sf, 2),
+        "recombine_conv": _q_recombine,
+        "transform_ottl": _q_transform,
+        "sample_10pct": _q_sample,
+        "unroll_payload": _q_unroll,
+        "events_hourly": _q_events_hourly,
+        "events_json": _q_events_json,
+        "events_sessions": _q_sessions,
+        "dedup_exact": _q_dedup_exact,
+        "docs_quality": _q_docs_quality,
+        "docs_tokens": _q_docs_tokens,
+        "knn_cosine": _q_knn,
+        "lineitem_pricing": _q_lineitem_pricing,
+        # rows-only (non-SQL-expressible; oracles live in tests/)
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "lang_id": _q_lang_id,
+        "multimodal_decode": _q_multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # The driver compares at sf=0.01; make sure the synthetic inputs
+    # exist before DuckDB runs (generation is idempotent + atomic).
+    tpath = _tpath("/root/testdata/sf0.01")
+    ensure_lookup()
+    pat = TEXT_REGEX
+    parsed_cte = f"""
+WITH t AS (SELECT * FROM read_parquet('{tpath}')),
+p AS (SELECT *, regexp_matches(text, '{pat}') AS ok,
+             regexp_extract(text, '{pat}', {_SQL_GROUPS}) AS g
+      FROM t),
+f AS (SELECT conv_id, turn_idx, role, tool, ts, text, ok,
+             CASE WHEN ok THEN g['level'] END AS level,
+             CASE WHEN ok THEN g['time'] END AS time,
+             CASE WHEN ok THEN g['actor'] END AS actor,
+             CASE WHEN ok THEN g['tool_tag'] END AS tool_tag,
+             TRY_CAST(g['status'] AS BIGINT) AS status,
+             TRY_CAST(g['dur'] AS DOUBLE) AS dur,
+             CASE WHEN ok THEN g['payload'] END AS payload
+      FROM p)
+"""
+    sev_case = """
+  CASE level WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
+             WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END"""
+    return {
+        "parse_drop": parsed_cte + """
+SELECT conv_id, turn_idx, level, actor, tool_tag, status, dur, payload
+FROM f WHERE ok""",
+        "parse_send": parsed_cte + """
+SELECT conv_id, turn_idx, text, level, status FROM f""",
+        "severity": parsed_cte + f"""
+SELECT conv_id, turn_idx,
+  CAST({sev_case} AS INTEGER) AS severity_number,
+  level AS severity_text,
+  CAST(CASE WHEN status < 300 THEN 9 WHEN status < 400 THEN 10
+            WHEN status < 500 THEN 13 ELSE 17 END AS INTEGER) AS http_severity_number,
+  CASE WHEN status < 300 THEN 'INFO' WHEN status < 400 THEN 'INFO2'
+       WHEN status < 500 THEN 'WARN' ELSE 'ERROR' END AS http_severity_text,
+  strptime(time, '%Y-%m-%d %H:%M:%S') AS event_ts
+FROM f WHERE ok""",
+        "enrich_lookup": f"""
+SELECT t.conv_id, t.turn_idx, t.role, t.tool,
+       COALESCE(l.team, 'unknown') AS team,
+       COALESCE(l.cost_weight, 1.0) AS cost_weight,
+       COALESCE(l.tool_kind, 'none') AS tool_kind
+FROM read_parquet('{tpath}') t
+LEFT JOIN read_parquet('{LOOKUP_PATH}') l ON l.key = t.role || ':' || t.tool""",
+        "route_rows": parsed_cte + """
+, r AS (SELECT conv_id, turn_idx, role, tool,
+          COALESCE(level = 'ERROR' OR status >= 500, false) AS m0,
+          (role = 'tool' AND tool <> '') AS m1,
+          COALESCE(dur > 100.0, false) AS m2
+        FROM f)
+SELECT conv_id, turn_idx,
+  CASE WHEN m0 THEN 'errors' WHEN m2 THEN 'slow' ELSE 'default' END AS sink
+FROM r
+UNION ALL
+SELECT conv_id, turn_idx, 'tools' AS sink FROM r WHERE NOT m0 AND m1""",
+        "route_sink_counts": parsed_cte + """
+, r AS (SELECT conv_id, turn_idx, role, tool,
+          COALESCE(level = 'ERROR' OR status >= 500, false) AS m0,
+          (role = 'tool' AND tool <> '') AS m1,
+          COALESCE(dur > 100.0, false) AS m2
+        FROM f),
+s AS (
+  SELECT CASE WHEN m0 THEN 'errors' WHEN m2 THEN 'slow' ELSE 'default' END AS sink FROM r
+  UNION ALL
+  SELECT 'tools' AS sink FROM r WHERE NOT m0 AND m1)
+SELECT sink, COUNT(*) AS n_rows FROM s GROUP BY sink""",
+        "agg_turn_count": f"""
+SELECT role, CASE WHEN tool = '' THEN '-' ELSE tool END AS tool,
+       date_trunc('hour', ts) AS hour, COUNT(*) AS turn_count
+FROM read_parquet('{tpath}') GROUP BY 1, 2, 3""",
+        "agg_error_count": parsed_cte + """
+SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS error_count
+FROM f WHERE level = 'ERROR' GROUP BY 1, 2""",
+        "agg_dur_sum": parsed_cte + """
+SELECT role, CASE WHEN tool = '' THEN '-' ELSE tool END AS tool,
+       date_trunc('hour', ts) AS hour, SUM(dur) AS dur_sum
+FROM f WHERE dur IS NOT NULL GROUP BY 1, 2, 3""",
+        "recombine_conv": f"""
+SELECT conv_id, CAST(1 AS BIGINT) AS segment,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+       COUNT(*) AS n_turns, MIN(turn_idx) AS first_turn_idx
+FROM read_parquet('{tpath}') GROUP BY conv_id""",
+        "transform_ottl": parsed_cte + """
+SELECT conv_id, turn_idx,
+  CASE WHEN role = 'assistant' THEN upper(payload) END AS payload_upper,
+  regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+  role || ':' || tool_tag AS actor_key,
+  substr(text, 1, 16) AS text_head
+FROM f WHERE ok""",
+        "sample_10pct": f"""
+SELECT conv_id, turn_idx FROM read_parquet('{tpath}')
+WHERE md5_number_lower(conv_id) % 10000 < 1000""",
+        "unroll_payload": parsed_cte + """
+SELECT conv_id, turn_idx, unnest(str_split(payload, ' ')) AS word
+FROM f WHERE ok""",
+        "events_hourly": """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2""",
+        "events_json": """
+SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events""",
+        "events_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+s AS (SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY 1, 2""",
+        "dedup_exact": """
+SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY text""",
+        "docs_quality": r"""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+  CAST(len(regexp_extract_all(lower(text),
+       '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS BIGINT) AS n_stopwords
+FROM documents""",
+        "docs_tokens": r"""
+SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe_tokens
+FROM documents""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+        list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+FROM s QUALIFY rank <= 5""",
+        "lineitem_pricing": """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+FROM lineitem GROUP BY 1, 2""",
+    }

@@ -112,6 +112,33 @@ def run_metric_def(ds: ray.data.Dataset, def_: MetricDef) -> ray.data.Dataset:
     return merged
 
 
+def grouped_count_sum(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_name: str = "n",
+) -> ray.data.Dataset:
+    """Generic partial-then-merge grouped count + sums (the
+    signaltometrics generalization of count/sum connectors).
+
+    ``sum_cols`` maps input column -> output name. Per-batch Arrow
+    hash group-by emits one partial row per key; the Ray groupby then
+    merges partials, so the shuffle is tiny.
+    """
+    sum_cols = sum_cols or {}
+
+    def partial(b: pa.Table) -> pa.Table:
+        aggs = [([], "count_all")] + [(c, "sum") for c in sum_cols]
+        g = b.select(dims + list(sum_cols)).group_by(dims).aggregate(aggs)
+        return g.rename_columns(dims + [count_name] + [sum_cols[c] for c in sum_cols])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(dims).aggregate(
+        Sum(count_name, alias_name=count_name),
+        *[Sum(v, alias_name=v) for v in sum_cols.values()],
+    )
+
+
 def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour") -> ray.data.Dataset:
     """hour = TruncateTime(ts, 'hour') (func_truncate_time.go /
     floor_temporal) — the window key for per-(role, tool, hour)

@@ -35,8 +35,8 @@ class ProbabilisticSampler:
         key = pc.cast(batch[self.key], pa.string())
         if self.seed:
             key = pc.binary_join_element_wise(key, pa.scalar(str(self.seed)), "")
-        h = md5_number_lower_arrow(key)
-        keep = pc.less(pc.mod(h, 10_000), self.threshold)
+        h = md5_number_lower_arrow(key).to_numpy(zero_copy_only=False)
+        keep = pa.array((h % 10_000) < self.threshold)
         return batch.filter(keep)
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:

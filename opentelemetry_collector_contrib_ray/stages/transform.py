@@ -217,7 +217,8 @@ class FilterStage:
             m = pc.invert(m)  # keep-mask
             if self.drop_ratio < 1.0 and self.ratio_key is not None:
                 h = md5_number_lower_arrow(pc.cast(batch[self.ratio_key], pa.string()))
-                spared = pc.greater_equal(pc.mod(h, 10_000), int(self.drop_ratio * 10_000))
+                hv = h.to_numpy(zero_copy_only=False)
+                spared = pa.array((hv % 10_000) >= int(self.drop_ratio * 10_000))
                 m = pc.or_(m, spared)
         return batch.filter(m)
 
