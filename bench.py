@@ -1,0 +1,136 @@
+"""Benchmark harness.
+
+Default: run the headline flagship pipeline (parse -> enrich -> route
+-> partitioned sink write -> count/sum aggregates) over the synthetic
+transcript table for $GRAFT_SF_DIR (default /root/testdata/sf0.1,
+5M turns) plus representative per-operator timings, and print ONE
+JSON line.
+
+--scaling: run the headline twice in FRESH processes at
+num_cpus=8 and num_cpus=32 on the same input and report both
+throughputs + scaling efficiency (the sandbox evidence for the north
+rule's N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as e
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import run_flagship
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts,
+        rows_for_sf,
+        sf_name,
+    )
+
+    # one-time generation + page-cache warm (untimed)
+    tdir = ensure_transcripts(sf_dir)
+    for f in os.listdir(tdir):
+        with open(os.path.join(tdir, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    n_rows = rows_for_sf(sf_name(sf_dir))
+
+    # headline: full flagship end-to-end
+    out_root = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
+    t0 = time.perf_counter()
+    run_flagship(sf_dir, out_root)
+    headline = time.perf_counter() - t0
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    # representative per-operator timings
+    bench_queries = [
+        "parse_drop",
+        "enrich_lookup",
+        "route_rows",
+        "agg_turn_count",
+        "agg_dur_sum",
+        "recombine_conv",
+        "events_hourly",
+        "dedup_exact",
+        "docs_quality",
+        "knn_cosine",
+        "minhash_lsh_pairs",
+    ]
+    qs = e.queries()
+    qtimes = {}
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()  # consume the stream
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship_e2e_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_name(sf_dir),
+        "num_cpus": num_cpus,
+        "rows": n_rows,
+        "turns_per_sec": round(n_rows / headline, 1),
+    }
+
+
+def _scaling() -> None:
+    lo_n, hi_n = 8, 32
+    results = {}
+    for n in (lo_n, hi_n):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[n] = json.loads(out.strip().splitlines()[-1])
+    t_lo, t_hi = results[lo_n]["value"], results[hi_n]["value"]
+    eff = (t_lo / t_hi) / (hi_n / lo_n)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        "turns_per_sec_lo": results[lo_n]["turns_per_sec"],
+        "turns_per_sec_hi": results[hi_n]["turns_per_sec"],
+        "sf": results[hi_n]["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        _scaling()
+    else:
+        result = _run_bench()
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

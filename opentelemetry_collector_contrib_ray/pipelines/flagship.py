@@ -85,22 +85,26 @@ def run_flagship(sf_dir_or_sf, out_root: str) -> dict:
 
     # Copy-route rows are duplicates; the metric stream is the set of
     # original rows = every row whose sink is a move/default sink.
-    copy_sinks = [r["sink"] for r in ROUTE_CONFIGS if r["action"] == "copy"]
+    # Reading only those sink=<name>/ directories prunes the copy rows
+    # at the scan (partition-level pruning, no filter stage).
+    copy_sinks = {r["sink"] for r in ROUTE_CONFIGS if r["action"] == "copy"}
+    import glob as _glob
+
+    original_dirs = [
+        f
+        for d in os.listdir(routed_path)
+        if d.startswith("sink=") and d.split("=", 1)[1] not in copy_sinks
+        for f in sorted(_glob.glob(os.path.join(routed_path, d, "*.parquet")))
+    ]
 
     for d in METRIC_DEFS:
         key = f"metrics:{d.name}"
         if man.is_done(key):
             continue
         t = StageTimer()
-        import pyarrow.compute as pc_
-
         cols = ["role", "tool", "ts"] + ([d.source] if d.source else []) + (
             ["severity_text"] if d.conditions else [])
-        ds = ray.data.read_parquet(
-            routed_path,
-            columns=sorted(set(cols)),
-            filter=~pc_.field("sink").isin(copy_sinks),
-        )
+        ds = ray.data.read_parquet(original_dirs, columns=sorted(set(cols)))
         ds = add_hour_column(ds, "ts", "hour")
         out = run_metric_def(ds, d)
         out_path = os.path.join(out_root, "metrics", d.name)
