@@ -68,7 +68,7 @@ def _q_severity(sf_dir: str):
             b = b.set_column(b.column_names.index(c), c, pc.cast(b[c], pa.int32()))
         return b
 
-    out = out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return out.select_columns(
         ["conv_id", "turn_idx", "severity_number", "severity_text",
          "http_severity_number", "http_severity_text", "event_ts"]
@@ -170,7 +170,7 @@ def _q_unroll(sf_dir: str):
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def _q_events_hourly(sf_dir: str):
@@ -185,7 +185,7 @@ def _q_events_hourly(sf_dir: str):
         v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
         return b.append_column("value_cents", v)
 
-    ds = add_hour_column(ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True), "ts", "hour")
+    ds = add_hour_column(ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None), "ts", "hour")
     return grouped_count_sum(ds, ["event_type", "hour"], {"value_cents": "value_cents"}, count_name="n_events")
 
 
@@ -248,7 +248,7 @@ def _q_lineitem_pricing(sf_dir: str):
         b = b.append_column("price_cents", pc.cast(pc.round(pc.multiply(b["l_extendedprice"], 100.0)), pa.int64()))
         return b
 
-    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return grouped_count_sum(
         ds, ["l_returnflag", "l_linestatus"],
         {"qty_cents": "qty_cents", "price_cents": "price_cents"},

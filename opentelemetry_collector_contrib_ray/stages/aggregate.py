@@ -107,7 +107,7 @@ def run_metric_def(ds: ray.data.Dataset, def_: MetricDef) -> ray.data.Dataset:
     """filter -> per-batch partial -> small groupby merge."""
     dims = [d for d, _ in def_.dims]
     out = def_.out_col()
-    partials = ds.map_batches(lambda b, d=def_: _partial(b, d), batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(lambda b, d=def_: _partial(b, d), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     merged = partials.groupby(dims).aggregate(Sum(out, alias_name=out))
     return merged
 
@@ -132,7 +132,7 @@ def grouped_count_sum(
         g = b.select(dims + list(sum_cols)).group_by(dims).aggregate(aggs)
         return g.rename_columns(dims + [count_name] + [sum_cols[c] for c in sum_cols])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return partials.groupby(dims).aggregate(
         Sum(count_name, alias_name=count_name),
         *[Sum(v, alias_name=v) for v in sum_cols.values()],
@@ -150,4 +150,4 @@ def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour")
             col = col.combine_chunks()
         return b.append_column(out, pc.floor_temporal(col, unit="hour"))
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -84,7 +84,7 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str) -> ray.data.Dat
         g = b.select([key_col, id_col]).group_by([key_col]).aggregate([(id_col, "min"), (id_col, "count")])
         return g.rename_columns([key_col, "keep_id", "dup_count"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     return partials.groupby(key_col).aggregate(
         Min("keep_id", alias_name="keep_id"), Sum("dup_count", alias_name="dup_count")
     )
@@ -133,7 +133,7 @@ def minhash_lsh_candidates(
         sigs = hasher.signatures(texts)
         return _band_rows(ids, sigs, bands)
 
-    band_rows = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    band_rows = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].to_numpy())
@@ -177,7 +177,7 @@ def verify_pairs_jaccard(
             b = b.assign(jaccard=js)
             return b[b["jaccard"] >= threshold]
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+    return cand.map_batches(Verify, batch_format="pandas", batch_size=None, concurrency=(1, 4))
 
 
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -213,7 +213,7 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming:
         fps = simhash64_from_token_hashes(th)
         return pa.table({id_col: b[id_col], "simhash": pa.array(fps, pa.uint64())})
 
-    fps = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    fps = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def explode(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -233,7 +233,7 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming:
             )
         return pa.concat_tables(outs)
 
-    blocks = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    blocks = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col)

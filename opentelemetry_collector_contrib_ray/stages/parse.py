@@ -94,7 +94,7 @@ class RegexParser:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("transcript_parser")
@@ -151,7 +151,7 @@ class TranscriptParser:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("json_parser")
@@ -204,7 +204,7 @@ class JsonParser:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("severity_parser")
@@ -234,4 +234,4 @@ class SeverityParserStage:
         ).append_column(f"{self.out_prefix}_text", SeverityMapper.number_to_text(num))
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -76,7 +76,7 @@ class Router:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def write_sinks(self, ds: ray.data.Dataset, base_path: str, **write_kwargs) -> None:
         """Single-pass partitioned write: one directory per sink under

@@ -40,4 +40,4 @@ class ProbabilisticSampler:
         return batch.filter(keep)
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -100,6 +100,7 @@ def knn_brute_force(
         fn_constructor_args=(ref, k, id_col, emb_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=None,
         concurrency=(1, 8),
     )
 
@@ -138,7 +139,7 @@ def lsh_bucket_assign(
             bucket |= signs[:, j].astype(np.int64) << j
         return pa.table({id_col: b[id_col], "bucket": pa.array(bucket, pa.int32())})
 
-    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def embedding_near_dup(
@@ -173,7 +174,7 @@ def embedding_near_dup(
         )
         return out
 
-    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()

@@ -38,7 +38,7 @@ def salted_aggregate(
         s = rng.integers(0, salt, size=b.num_rows)
         return b.append_column("_salt", pa.array(s, pa.int32()))
 
-    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     phase1 = salted.groupby(key_cols + ["_salt"]).aggregate(
         *[
             (_AGGS[op](alias_name=out) if on is None else _AGGS[op](on, alias_name=out))

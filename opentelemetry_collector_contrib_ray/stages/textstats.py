@@ -64,7 +64,7 @@ class TextQuality:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("token_count")
@@ -85,7 +85,7 @@ class TokenCount:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("lang_id")
@@ -119,7 +119,7 @@ class LangId:
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(
             LangId, fn_constructor_kwargs={"text_col": self.text_col},
-            batch_format="pandas", concurrency=(1, 4),
+            batch_format="pandas", batch_size=None, concurrency=(1, 4),
         )
 
 
@@ -152,4 +152,4 @@ class Fingerprint:
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

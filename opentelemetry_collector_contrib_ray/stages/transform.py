@@ -188,7 +188,7 @@ class TransformStage:
         return batch
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 @register("filter")
@@ -223,4 +223,4 @@ class FilterStage:
         return batch.filter(m)
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True)
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
