@@ -38,6 +38,18 @@ ROUTE_CONFIGS = [
     {"condition": (">", col("dur"), 100.0), "sink": "slow", "action": "move"},
 ]
 
+# Columns carried into the routed sinks: the original record
+# (input_hint schema), the parsed fields downstream consumers and the
+# metric defs need, and the enrichment attrs. Parse-internal
+# intermediates (time string, actor/tool_tag echoes, payload,
+# http_severity_*) are re-derivable from text and are dropped to
+# halve sink bytes.
+SINK_COLUMNS = [
+    "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    "event_ts", "severity_text", "status", "dur",
+    "team", "cost_weight", "tool_kind", "sink",
+]
+
 # F4 metric definitions
 METRIC_DEFS = [
     MetricDef(name="turn_count", agg="count",
@@ -78,8 +90,12 @@ def run_flagship(sf_dir_or_sf, out_root: str) -> dict:
 
     if not man.is_done("routed"):
         t = StageTimer()
-        routed = build_routed(sf_dir_or_sf)
-        routed.write_parquet(routed_path, partition_cols=["sink"])
+        routed = build_routed(sf_dir_or_sf).select_columns(SINK_COLUMNS)
+        routed.write_parquet(
+            routed_path,
+            partition_cols=["sink"],
+            arrow_parquet_args_fn=lambda: {"compression": "zstd"},
+        )
         man.commit("routed", inputs=[str(sf_dir_or_sf)], output=routed_path,
                    metrics=t.done())
 
@@ -144,14 +160,11 @@ def _metrics_single_pass(input_files: list[str], out_dir: str) -> dict[str, str]
     ds = ray.data.read_parquet(
         input_files, columns=["role", "tool", "ts", "dur", "severity_text"]
     )
-    merged = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["role", "tool", "hour"])
-        .aggregate(
-            Sum("turn_count", alias_name="turn_count"),
-            Sum("err_cnt", alias_name="err_cnt"),
-            Sum("dur_sum", alias_name="dur_sum"),
-        )
+    from ..stages.aggregate import tree_merge_groupby
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    merged = tree_merge_groupby(
+        partials, ["role", "tool", "hour"], ["turn_count", "err_cnt", "dur_sum"]
     )
     pdf = merged.to_pandas()  # ~#roles x #tools x #hours rows — tiny
 

@@ -33,8 +33,8 @@ import shutil
 import tempfile
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import ROLES, TOOLS, TRANSCRIPT_SCHEMA
@@ -116,53 +116,65 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
     ts_s = BASE_EPOCH_S + conv_offset[conv_index] + 7 * turn_idx
     ts64 = ts_s.astype("datetime64[s]")
 
-    # 4. payload: 3..10 words from the 64-word vocab
-    word_idx = rng.integers(0, len(_VOCAB), size=(n_rows, 10))
+    # 4. payload: 3..10 words from the 64-word vocab — built as an
+    # Arrow list array + binary_join (no per-row Python)
     n_words = rng.integers(3, 11, size=n_rows)
-    vocab = np.array(_VOCAB)
-    words = vocab[word_idx]
-    payload = pd.Series(
-        [" ".join(row[:n]) for row, n in zip(words, n_words)], dtype="object"
-    )
+    total_words = int(n_words.sum())
+    word_idx_flat = rng.integers(0, len(_VOCAB), size=total_words)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_words, out=offsets[1:])
+    vocab_arr = pa.array(_VOCAB, pa.string())
+    words_flat = pc.take(vocab_arr, pa.array(word_idx_flat, pa.int64()))
+    word_lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), words_flat)
+    payload = pc.binary_join(word_lists, " ")
 
-    # 5. render text
-    time_str = pd.Series(np.datetime_as_string(ts64, unit="s")).str.replace("T", " ", regex=False)
-    dur_str = pd.Series((dur_q // 4).astype(str)) + pd.Series(_DUR_FRAC[dur_q % 4])
-    tool_tag = pd.Series(np.where(tools == "", "-", tools))
-    text = (
-        pd.Series(level)
-        + " ["
-        + time_str
-        + "] "
-        + pd.Series(roles)
-        + "@"
-        + tool_tag
-        + " status="
-        + pd.Series(status.astype(str))
-        + " dur="
-        + dur_str
-        + "ms :: "
-        + payload
+    # 5. render text — all Arrow kernels (C, no Python string churn)
+    ts_arrow = pa.array(ts64.astype("datetime64[us]"), pa.timestamp("us"))
+    # Arrow %S prints fractional digits for sub-second units; format
+    # from second precision so the layout round-trips with strptime
+    time_str = pc.strftime(pc.cast(ts_arrow, pa.timestamp("s")), format="%Y-%m-%d %H:%M:%S")
+    dur_str = pc.binary_join_element_wise(
+        pc.cast(pa.array(dur_q // 4), pa.string()),
+        pc.take(pa.array(_DUR_FRAC, pa.string()), pa.array(dur_q % 4, pa.int64())),
+        "",
+    )
+    roles_arr = pa.array(roles, pa.string())
+    tools_arr = pa.array(tools, pa.string())
+    tool_tag = pc.if_else(pc.equal(tools_arr, ""), pa.scalar("-", pa.string()), tools_arr)
+    text = pc.binary_join_element_wise(
+        pa.array(level, pa.string()), " [", time_str, "] ",
+        roles_arr, "@", tool_tag,
+        " status=", pc.cast(pa.array(status), pa.string()),
+        " dur=", dur_str, "ms :: ", payload,
+        "",
     )
 
     # 6. malformed rows: truncate or corrupt the opening bracket
     bad = rng.random(n_rows) < MALFORMED_FRAC
     style = rng.integers(0, 2, size=n_rows)
-    trunc = bad & (style == 0)
-    brak = bad & (style == 1)
-    text = text.mask(trunc, text.str.slice(0, 12))
-    text = text.mask(brak, text.str.replace("[", "(", n=1, regex=False))
+    trunc = pa.array(bad & (style == 0))
+    brak = pa.array(bad & (style == 1))
+    text = pc.if_else(trunc, pc.utf8_slice_codeunits(text, start=0, stop=12), text)
+    text = pc.if_else(
+        brak,
+        pc.replace_substring(text, pattern="[", replacement="(", max_replacements=1),
+        text,
+    )
 
-    conv_id = pd.Series(conv_index).map(lambda i: f"conv-{i:08d}").to_numpy()
+    # conv-%08d ids without per-row format(): 8-digit zero pad via slice
+    pad = pc.utf8_slice_codeunits(
+        pc.cast(pa.array(conv_index + 100_000_000), pa.string()), start=1, stop=9
+    )
+    conv_id = pc.binary_join_element_wise(pa.scalar("conv-"), pad, "")
 
     return pa.table(
         {
-            "conv_id": pa.array(conv_id, pa.string()),
+            "conv_id": conv_id,
             "turn_idx": pa.array(turn_idx, pa.int32()),
-            "role": pa.array(roles, pa.string()),
-            "text": pa.array(text.to_numpy(), pa.string()),
-            "tool": pa.array(tools, pa.string()),
-            "ts": pa.array(ts64.astype("datetime64[us]"), pa.timestamp("us")),
+            "role": roles_arr,
+            "text": text,
+            "tool": tools_arr,
+            "ts": ts_arrow,
         },
         schema=TRANSCRIPT_SCHEMA,
     )
@@ -188,7 +200,10 @@ def ensure_transcripts(sf_dir_or_sf: str | float) -> str:
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=CACHE_ROOT)
     try:
-        n_files = max(1, n_rows // 500_000)
+        # ~125k rows per file so the parquet decode parallelizes wide
+        # (one read task per file, capped so task/file counts stay
+        # bounded as the input grows)
+        n_files = min(64, max(1, n_rows // 125_000))
         per = (tbl.num_rows + n_files - 1) // n_files
         for i in range(n_files):
             chunk = tbl.slice(i * per, per)

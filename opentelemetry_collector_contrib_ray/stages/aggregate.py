@@ -103,13 +103,53 @@ def _partial(batch: pa.Table, def_: MetricDef) -> pa.Table:
     return g
 
 
+def tree_merge_groupby(
+    partials: ray.data.Dataset,
+    keys: list[str],
+    sum_cols: list[str],
+    fan_in: int = 64,
+) -> pa.Table:
+    """Merge a partial-aggregate stream WITHOUT a Ray sort shuffle.
+
+    Valid when the grouped key cardinality is bounded (metric dims,
+    sink names — NOT raw text keys): level 1 coalesces blocks
+    (``repartition`` moves blocks, not rows) and combines each with an
+    Arrow hash group-by, so at most ``fan_in x n_keys`` rows reach the
+    driver for the final combine. The commutative merge (sums) makes
+    the tree shape invisible in the result. For unbounded keys use a
+    real ``ds.groupby`` instead (see exact_dedup).
+    """
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        merged = pa.concat_tables([t for t in tables if t.num_rows] or tables[:1],
+                                  promote_options="none")
+        g = merged.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        return g.rename_columns(keys + sum_cols)
+
+    import ray as _ray
+
+    combine_task = _ray.remote(num_cpus=1)(lambda *ts: combine(list(ts)))
+
+    refs = partials.to_arrow_refs()
+    # parallel tree reduce with raw Ray tasks (the Dataset API has no
+    # tree-reduce; a full ds.groupby sort-shuffle is overkill for a
+    # commutative merge): each round combines fan_in tables in
+    # parallel until one driver-side combine finishes the job.
+    while len(refs) > fan_in:
+        refs = [
+            combine_task.remote(*refs[i : i + fan_in])
+            for i in range(0, len(refs), fan_in)
+        ]
+    return combine(_ray.get(refs))
+
+
 def run_metric_def(ds: ray.data.Dataset, def_: MetricDef) -> ray.data.Dataset:
-    """filter -> per-batch partial -> small groupby merge."""
+    """filter -> per-batch partial -> tree-combine merge (metric dims
+    are low-cardinality, so no all-to-all shuffle is needed)."""
     dims = [d for d, _ in def_.dims]
     out = def_.out_col()
     partials = ds.map_batches(lambda b, d=def_: _partial(b, d), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    merged = partials.groupby(dims).aggregate(Sum(out, alias_name=out))
-    return merged
+    merged = tree_merge_groupby(partials, dims, [out])
+    return ray.data.from_arrow(merged)
 
 
 def grouped_count_sum(
@@ -133,10 +173,8 @@ def grouped_count_sum(
         return g.rename_columns(dims + [count_name] + [sum_cols[c] for c in sum_cols])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return partials.groupby(dims).aggregate(
-        Sum(count_name, alias_name=count_name),
-        *[Sum(v, alias_name=v) for v in sum_cols.values()],
-    )
+    merged = tree_merge_groupby(partials, dims, [count_name] + list(sum_cols.values()))
+    return ray.data.from_arrow(merged)
 
 
 def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour") -> ray.data.Dataset:

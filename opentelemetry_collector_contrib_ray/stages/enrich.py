@@ -1,4 +1,4 @@
-"""Lookup enrichment — stateful actor-pool broadcast join.
+"""Lookup enrichment — broadcast hash join, fused into the task chain.
 
 Reimplements the lookupprocessor family (reference:
 processor/lookupprocessor/processor.go:46-105 — evaluate a key per
@@ -6,11 +6,15 @@ record, Source.Lookup(key)->(value, found), write mapped fields with
 per-field defaults, misses silent; file source
 lookupsource/filelookup.go; same shape as geoip/k8sattributes).
 
-Ray design: the small side is broadcast ONCE — ``ray.put`` of the
-lookup arrays on the driver, ``ray.get`` in each actor's ``__init__``
-— and each batch does a vectorized hash join via ``pc.index_in`` +
-``pc.take``. No shuffle; the stream side never moves. This is the
-canonical small-side broadcast join for 100 TB inputs.
+Ray design: the small side is broadcast ONCE — ``ray.put`` on the
+driver, fetched zero-copy from the local object store the first time
+each worker process touches it (cached per process) — and every
+batch does a vectorized ``pc.index_in`` + ``pc.take`` join. No
+shuffle; the stream side never moves, and because the default mode is
+a plain task function, Ray fuses read -> parse -> enrich -> route ->
+write into ONE operator (an actor-pool stage would split the chain
+into three operators with object-store hops; set ``use_actors=True``
+to get that shape when the state is per-actor mutable).
 """
 
 from __future__ import annotations
@@ -23,6 +27,18 @@ import ray
 import ray.data
 
 from . import register
+
+# per-worker-process cache of fetched broadcast tables (keyed by ref)
+_BROADCAST_CACHE: dict[str, pa.Table] = {}
+
+
+def _fetch_broadcast(ref) -> pa.Table:
+    key = ref.hex()
+    tbl = _BROADCAST_CACHE.get(key)
+    if tbl is None:
+        tbl = ray.get(ref)  # zero-copy read from local plasma
+        _BROADCAST_CACHE[key] = tbl
+    return tbl
 
 
 def _composite_key(batch: pa.Table, key_cols: list[str], sep: str = ":") -> pa.Array:
@@ -37,28 +53,34 @@ def _composite_key(batch: pa.Table, key_cols: list[str], sep: str = ":") -> pa.A
     return pc.binary_join_element_wise(*arrs, sep)
 
 
+def _join_batch(
+    batch: pa.Table,
+    lookup: pa.Table,
+    key_cols: list[str],
+    fields: dict[str, Any],
+    sep: str,
+) -> pa.Table:
+    key = _composite_key(batch, key_cols, sep)
+    idx = pc.index_in(key, value_set=lookup["key"].combine_chunks())
+    for field, default in fields.items():
+        vals = pc.take(lookup[field].combine_chunks(), idx)
+        if default is not None:
+            vals = pc.fill_null(vals, default)
+        batch = batch.append_column(field, vals)
+    return batch
+
+
 class _LookupActor:
-    """Callable class for map_batches actor pools: the lookup table is
-    fetched from the object store once per actor (``__init__``), then
-    every batch is an O(batch) vectorized index_in/take join."""
+    """Actor-pool variant: table fetched once in __init__."""
 
     def __init__(self, table_ref, key_cols: list[str], fields: dict[str, Any], sep: str):
-        tbl: pa.Table = ray.get(table_ref)
-        self.keys = tbl["key"].combine_chunks()
-        self.values = {f: tbl[f].combine_chunks() for f in fields}
-        self.defaults = fields
+        self.lookup: pa.Table = ray.get(table_ref)
         self.key_cols = key_cols
+        self.fields = fields
         self.sep = sep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        key = _composite_key(batch, self.key_cols, self.sep)
-        idx = pc.index_in(key, value_set=self.keys)
-        for field, default in self.defaults.items():
-            vals = pc.take(self.values[field], idx)
-            if default is not None:
-                vals = pc.fill_null(vals, default)
-            batch = batch.append_column(field, vals)
-        return batch
+        return _join_batch(batch, self.lookup, self.key_cols, self.fields, self.sep)
 
 
 @register("lookup")
@@ -74,22 +96,33 @@ class LookupEnrich:
         key_cols: list[str],
         fields: dict[str, Any],
         sep: str = ":",
+        use_actors: bool = False,
         concurrency: int | tuple[int, int] = (1, 8),
-        batch_size: int | None = 65_536,
+        batch_size: int | None = None,
     ):
         self.table_ref = ray.put(lookup_table)
         self.key_cols = key_cols
         self.fields = fields
         self.sep = sep
+        self.use_actors = use_actors
         self.concurrency = concurrency
         self.batch_size = batch_size
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        if self.use_actors:
+            return ds.map_batches(
+                _LookupActor,
+                fn_constructor_args=(self.table_ref, self.key_cols, self.fields, self.sep),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=self.batch_size,
+                concurrency=self.concurrency,
+            )
+        ref, key_cols, fields, sep = self.table_ref, self.key_cols, self.fields, self.sep
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return _join_batch(batch, _fetch_broadcast(ref), key_cols, fields, sep)
+
         return ds.map_batches(
-            _LookupActor,
-            fn_constructor_args=(self.table_ref, self.key_cols, self.fields, self.sep),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=self.batch_size,
-            concurrency=self.concurrency,
+            fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=self.batch_size
         )
