@@ -3,11 +3,19 @@
 The end-to-end slice of SURVEY.md §3.2/§3.3: composite transcript
 parse (stanza parser semantics), broadcast lookup enrichment
 (lookupprocessor), first-match-wins routing fan-out
-(routingconnector) written as ONE partitioned-parquet pass, then
-count/sum connector aggregates over the routed output. Each stage
-commits a manifest entry (lineage + metrics) so a rerun resumes —
-``run_flagship`` twice on the same out_root does no work the second
-time.
+(routingconnector) and count/sum connector aggregates — executed as
+ONE fused streaming pass: each task parses, enriches and routes its
+block, writes the per-sink parquet files itself (write-audit-publish:
+data files first, then a part-manifest JSON naming exactly the files
+it committed, so retried/orphaned task files are identifiable), and
+returns the metric PARTIALS for its rows; a parallel tree reduce
+merges the partials. No second read of the routed output.
+
+Resumability (the north rule's per-partition lineage): the input file
+list is split into ``partitions``; each partition runs the fused pass
+independently and commits a manifest entry (input files, routed
+output, partial-metrics parquet, rows/wall metrics). A rerun skips
+committed partitions and only re-merges the final metrics.
 
 Route table and metric definitions are the conformance fixtures
 (FIXTURES.md F3/F4) shared by __ray_entry__ queries, the pytest
@@ -16,14 +24,23 @@ oracle and bench.py.
 
 from __future__ import annotations
 
+import glob as _glob
+import json
 import os
+import uuid
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray.data
 
 from ..expr import col
 from ..sources.lookup import DEFAULTS, build_lookup_table
 from ..sources.readers import read_transcripts
-from ..stages.aggregate import MetricDef
+from ..sources.transcripts import ensure_transcripts
+from ..stages.aggregate import MetricDef, tree_merge_groupby
 from ..stages.enrich import LookupEnrich
 from ..stages.parse import TranscriptParser
 from ..stages.route import Router
@@ -37,6 +54,8 @@ ROUTE_CONFIGS = [
      "sink": "tools", "action": "copy"},
     {"condition": (">", col("dur"), 100.0), "sink": "slow", "action": "move"},
 ]
+
+COPY_SINKS = {r["sink"] for r in ROUTE_CONFIGS if r["action"] == "copy"}
 
 # Columns carried into the routed sinks: the original record
 # (input_hint schema), the parsed fields downstream consumers and the
@@ -61,6 +80,9 @@ METRIC_DEFS = [
               dims=[("role", None), ("tool", "-"), ("hour", None)]),
 ]
 
+_METRIC_KEYS = ["role", "tool", "hour"]
+_METRIC_VALS = ["turn_count", "err_cnt", "dur_sum"]
+
 
 def build_parsed(sf_dir_or_sf, on_error: str = "send") -> ray.data.Dataset:
     ds = read_transcripts(sf_dir_or_sf)
@@ -83,98 +105,137 @@ def build_routed(sf_dir_or_sf, on_error: str = "send") -> ray.data.Dataset:
     return Router(ROUTE_CONFIGS).apply(ds)
 
 
-def run_flagship(sf_dir_or_sf, out_root: str) -> dict:
+def _metric_partial(b: pa.Table) -> pa.Table:
+    """Per-batch combined partial for all three F4 defs — they share
+    the (role, tool, hour) key (error_count's coarser (role, hour)
+    key is re-grouped from the merged table at finalize)."""
+    tool = b["tool"].combine_chunks()
+    tool = pc.if_else(pc.equal(tool, ""), pa.scalar("-", pa.string()), tool)
+    hour = pc.floor_temporal(b["ts"].combine_chunks(), unit="hour")
+    is_err = pc.cast(pc.equal(b["severity_text"].combine_chunks(), "ERROR"), pa.int64())
+    t = pa.table({
+        "role": b["role"].combine_chunks(),
+        "tool": tool,
+        "hour": hour,
+        "is_err": is_err,
+        "dur": b["dur"].combine_chunks(),
+    })
+    g = t.group_by(_METRIC_KEYS).aggregate(
+        [([], "count_all"), ("is_err", "sum"), ("dur", "sum")]
+    )
+    return g.rename_columns(_METRIC_KEYS + _METRIC_VALS)
+
+
+class _WriteAndAggregate:
+    """The fused terminal stage: write this block's rows to their
+    sink=<name>/ hive dirs (zstd parquet + a part-manifest JSON), then
+    return the metric partial over the ORIGINAL rows (copy-route
+    duplicates excluded — they are fan-out copies, not stream rows)."""
+
+    def __init__(self, routed_path: str):
+        self.routed_path = routed_path
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        b = b.select(SINK_COLUMNS)
+        sinks = b["sink"]
+        if isinstance(sinks, pa.ChunkedArray):
+            sinks = sinks.combine_chunks()
+        # Deterministic per-block id (blocks are disjoint contiguous row
+        # ranges, so the first key identifies the block): task retries
+        # and lineage re-executions overwrite the SAME files instead of
+        # duplicating them — the write is idempotent.
+        import hashlib
+
+        tid = hashlib.md5(
+            f"{b['conv_id'][0].as_py()}|{b['turn_idx'][0].as_py()}|{b.num_rows}".encode()
+        ).hexdigest()[:16]
+        written = []
+        for s in pc.unique(sinks).to_pylist():
+            sub = b.filter(pc.equal(sinks, s))
+            d = os.path.join(self.routed_path, f"sink={s}")
+            os.makedirs(d, exist_ok=True)
+            fp = os.path.join(d, f"part-{tid}.parquet")
+            tmp_fp = fp + "." + uuid.uuid4().hex[:8] + ".tmp"
+            pq.write_table(sub.drop_columns(["sink"]), tmp_fp, compression="zstd")
+            os.replace(tmp_fp, fp)  # atomic publish; last writer wins
+            written.append({"file": fp, "rows": sub.num_rows, "sink": s})
+        pdir = os.path.join(self.routed_path, "_parts")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".{tid}.{uuid.uuid4().hex[:8]}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"task": tid, "files": written}, f)
+        os.replace(tmp, os.path.join(pdir, f"{tid}.json"))
+
+        orig = b.filter(pc.invert(pc.is_in(sinks, value_set=pa.array(sorted(COPY_SINKS)))))
+        return _metric_partial(orig)
+
+
+def _fused_pass(input_files: list[str], routed_path: str) -> pa.Table:
+    """read -> parse -> enrich -> route -> write+partial -> tree merge.
+    One streaming consumption; returns the merged metric partial."""
+    ds = ray.data.read_parquet(input_files)
+    ds = TranscriptParser(on_error="send").apply(ds)
+    ds = LookupEnrich(build_lookup_table(), key_cols=["role", "tool"],
+                      fields=dict(DEFAULTS)).apply(ds)
+    ds = Router(ROUTE_CONFIGS).apply(ds)
+    partials = ds.map_batches(
+        _WriteAndAggregate(routed_path),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None,
+    )
+    return tree_merge_groupby(partials, _METRIC_KEYS, _METRIC_VALS)
+
+
+def run_flagship(sf_dir_or_sf, out_root: str, partitions: int = 1) -> dict:
     """Resumable end-to-end run; returns manifest entries."""
     man = Manifest(out_root)
     routed_path = os.path.join(out_root, "routed")
+    partials_dir = os.path.join(out_root, "metric_partials")
+    os.makedirs(partials_dir, exist_ok=True)
 
-    if not man.is_done("routed"):
+    tdir = ensure_transcripts(sf_dir_or_sf)
+    files = sorted(_glob.glob(os.path.join(tdir, "*.parquet")))
+    chunks = [list(c) for c in np.array_split(files, min(partitions, len(files)))]
+
+    partial_tables: list[pa.Table] = []
+    for i, chunk in enumerate(chunks):
+        key = f"part-{i:05d}"
+        ppath = os.path.join(partials_dir, key + ".parquet")
+        if man.is_done(key):
+            partial_tables.append(pq.read_table(ppath))
+            continue
         t = StageTimer()
-        routed = build_routed(sf_dir_or_sf).select_columns(SINK_COLUMNS)
-        routed.write_parquet(
-            routed_path,
-            partition_cols=["sink"],
-            arrow_parquet_args_fn=lambda: {"compression": "zstd"},
-        )
-        man.commit("routed", inputs=[str(sf_dir_or_sf)], output=routed_path,
-                   metrics=t.done())
-
-    # Copy-route rows are duplicates; the metric stream is the set of
-    # original rows = every row whose sink is a move/default sink.
-    # Reading only those sink=<name>/ directories prunes the copy rows
-    # at the scan (partition-level pruning, no filter stage).
-    copy_sinks = {r["sink"] for r in ROUTE_CONFIGS if r["action"] == "copy"}
-    import glob as _glob
-
-    original_dirs = [
-        f
-        for d in os.listdir(routed_path)
-        if d.startswith("sink=") and d.split("=", 1)[1] not in copy_sinks
-        for f in sorted(_glob.glob(os.path.join(routed_path, d, "*.parquet")))
-    ]
+        merged = _fused_pass(chunk, routed_path)
+        pq.write_table(merged, ppath)
+        man.commit(key, inputs=chunk, output=routed_path,
+                   metrics=t.done(rows=int(pc.sum(merged["turn_count"]).as_py() or 0)))
+        partial_tables.append(merged)
 
     todo = [d for d in METRIC_DEFS if not man.is_done(f"metrics:{d.name}")]
     if todo:
         t = StageTimer()
-        outputs = _metrics_single_pass(original_dirs, os.path.join(out_root, "metrics"))
+        all_parts = pa.concat_tables(partial_tables, promote_options="none")
+        g = all_parts.group_by(_METRIC_KEYS).aggregate([(c, "sum") for c in _METRIC_VALS])
+        merged = g.rename_columns(_METRIC_KEYS + _METRIC_VALS)
+        outputs = _finalize_metrics(merged, os.path.join(out_root, "metrics"))
         metrics = t.done()
         for d in todo:
-            man.commit(f"metrics:{d.name}", inputs=[routed_path],
+            man.commit(f"metrics:{d.name}", inputs=[partials_dir],
                        output=outputs[d.name], metrics=metrics)
 
     return man.entries()
 
 
-def _metrics_single_pass(input_files: list[str], out_dir: str) -> dict[str, str]:
-    """All three F4 metric defs from ONE read of the routed output.
-
-    The defs share the (role, tool, hour) key, so a single per-batch
-    partial (count, conditional error count, dur sum — Arrow hash
-    group-by) plus one small merge groupby yields every output;
-    error_count's coarser (role, hour) key is a driver-side re-group
-    of the ~10^3-row merged table. One stream pass instead of three.
-    """
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet  # noqa: F401  (pa.parquet below)
-    from ray.data.aggregate import Sum
-
-    def partial(b: pa.Table) -> pa.Table:
-        tool = b["tool"].combine_chunks()
-        tool = pc.if_else(pc.equal(tool, ""), pa.scalar("-", pa.string()), tool)
-        hour = pc.floor_temporal(b["ts"].combine_chunks(), unit="hour")
-        is_err = pc.cast(pc.equal(b["severity_text"].combine_chunks(), "ERROR"), pa.int64())
-        t = pa.table({
-            "role": b["role"].combine_chunks(),
-            "tool": tool,
-            "hour": hour,
-            "is_err": is_err,
-            "dur": b["dur"].combine_chunks(),
-        })
-        g = t.group_by(["role", "tool", "hour"]).aggregate(
-            [([], "count_all"), ("is_err", "sum"), ("dur", "sum")]
-        )
-        return g.rename_columns(["role", "tool", "hour", "turn_count", "err_cnt", "dur_sum"])
-
-    ds = ray.data.read_parquet(
-        input_files, columns=["role", "tool", "ts", "dur", "severity_text"]
-    )
-    from ..stages.aggregate import tree_merge_groupby
-
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    merged = tree_merge_groupby(
-        partials, ["role", "tool", "hour"], ["turn_count", "err_cnt", "dur_sum"]
-    )
-    pdf = merged.to_pandas()  # ~#roles x #tools x #hours rows — tiny
-
+def _finalize_metrics(merged: pa.Table, out_dir: str) -> dict[str, str]:
+    """Split the merged (role, tool, hour) partial into the three F4
+    metric outputs (tiny, driver-side)."""
+    pdf = merged.to_pandas()
     outputs: dict[str, str] = {}
 
     def write(name: str, df: pd.DataFrame) -> None:
         path = os.path.join(out_dir, name)
         os.makedirs(path, exist_ok=True)
-        pa.parquet.write_table(pa.Table.from_pandas(df, preserve_index=False),
-                               os.path.join(path, "part-00000.parquet"))
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(path, "part-00000.parquet"))
         outputs[name] = path
 
     write("turn_count", pdf[["role", "tool", "hour", "turn_count"]])

@@ -112,8 +112,12 @@ def generate_transcripts(n_rows: int, seed: int = SEED) -> pa.Table:
     base_level = rng.choice(np.array(["TRACE", "DEBUG", "INFO"]), size=n_rows, p=[0.10, 0.25, 0.65])
     level = np.where(status >= 500, "ERROR", np.where(status >= 400, "WARN", base_level))
 
-    # 3. timestamps (whole seconds -> exact text round-trip)
-    ts_s = BASE_EPOCH_S + conv_offset[conv_index] + 7 * turn_idx
+    # 3. timestamps (whole seconds -> exact text round-trip). The
+    # per-turn offset wraps at the 72h window so event-time hour
+    # cardinality stays bounded at any scale (a Zipf-hot conv would
+    # otherwise stretch the hour key space linearly with its length);
+    # convs shorter than 37k turns (all of sf<=0.01) never wrap.
+    ts_s = BASE_EPOCH_S + conv_offset[conv_index] + (7 * turn_idx) % SPAN_S
     ts64 = ts_s.astype("datetime64[s]")
 
     # 4. payload: 3..10 words from the 64-word vocab — built as an

@@ -129,7 +129,11 @@ def tree_merge_groupby(
 
     combine_task = _ray.remote(num_cpus=1)(lambda *ts: combine(list(ts)))
 
-    refs = partials.to_arrow_refs()
+    # materialize() pins the (small) partial blocks in the object
+    # store so the refs below cannot trigger lineage re-execution of
+    # the upstream tasks (which may have side effects, e.g. sink
+    # writes in the fused flagship pass)
+    refs = partials.materialize().to_arrow_refs()
     # parallel tree reduce with raw Ray tasks (the Dataset API has no
     # tree-reduce; a full ds.groupby sort-shuffle is overkill for a
     # commutative merge): each round combines fan_in tables in
