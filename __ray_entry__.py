@@ -256,6 +256,43 @@ def _q_lineitem_pricing(sf_dir: str):
     )
 
 
+def _q_kv_parse(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import KeyValueParser
+
+    ds = read_transcripts(sf_dir)
+    return KeyValueParser("text", {"status": "int64", "dur": "string"}).apply(ds).select_columns(
+        ["conv_id", "turn_idx", "status", "dur"]
+    )
+
+
+def _q_csv_parse(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import CsvParser, TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    ds = TranscriptParser(on_error="drop").apply(ds)
+    return CsvParser("payload", ["w1", "w2", "w3"], delimiter=" ").apply(ds).select_columns(
+        ["conv_id", "turn_idx", "w1", "w2", "w3"]
+    )
+
+
+def _q_uri_parse(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser, UriParser
+    from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+    ds = read_transcripts(sf_dir)
+    ds = TranscriptParser(on_error="drop").apply(ds)
+    ds = TransformStage([
+        {"editor": "concat",
+         "args": {"target": "uri",
+                  "parts": ["https://", col("tool_tag"), ".example.com:8443/",
+                            col("role"), "?s=", col("status")],
+                  "sep": ""}},
+    ]).apply(ds)
+    return UriParser("uri").apply(ds).select_columns(
+        ["conv_id", "turn_idx", "scheme", "host", "port", "path", "query"]
+    )
+
+
 # ------- rows-only queries (non-SQL-expressible; pytest oracles in tests/)
 
 def _q_minhash_pairs(sf_dir: str):
@@ -276,7 +313,9 @@ def _q_embedding_near_dup(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.similarity import embedding_near_dup
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dup(ds, threshold=0.8)
+    # driver embeddings are near-orthogonal (max cos ~0.44): a low
+    # threshold keeps the candidate->verify path non-trivially exercised
+    return embedding_near_dup(ds, threshold=0.25)
 
 
 def _q_lang_id(sf_dir: str):
@@ -325,6 +364,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
         "unroll_payload": _q_unroll,
+        "kv_parse": _q_kv_parse,
+        "csv_parse": _q_csv_parse,
+        "uri_parse": _q_uri_parse,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "events_sessions": _q_sessions,
@@ -439,6 +481,25 @@ SELECT conv_id, turn_idx FROM read_parquet('{tpath}')
 WHERE md5_number_lower(conv_id) % 10000 < 1000""",
         "unroll_payload": parsed_cte + """
 SELECT conv_id, turn_idx, unnest(str_split(payload, ' ')) AS word
+FROM f WHERE ok""",
+        "kv_parse": f"""
+SELECT conv_id, turn_idx,
+  TRY_CAST(NULLIF(regexp_extract(text, '(?:^|[ ])status=([^ ]+)', 1), '') AS BIGINT) AS status,
+  NULLIF(regexp_extract(text, '(?:^|[ ])dur=([^ ]+)', 1), '') AS dur
+FROM read_parquet('{tpath}')""",
+        "csv_parse": parsed_cte + """
+SELECT conv_id, turn_idx,
+  list_extract(str_split(payload, ' '), 1) AS w1,
+  list_extract(str_split(payload, ' '), 2) AS w2,
+  list_extract(str_split(payload, ' '), 3) AS w3
+FROM f WHERE ok""",
+        "uri_parse": parsed_cte + """
+SELECT conv_id, turn_idx,
+  'https' AS scheme,
+  tool_tag || '.example.com' AS host,
+  '8443' AS port,
+  '/' || role AS path,
+  's=' || status AS query
 FROM f WHERE ok""",
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,

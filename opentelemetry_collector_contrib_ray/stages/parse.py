@@ -207,6 +207,164 @@ class JsonParser:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+@register("key_value_parser")
+class KeyValueParser:
+    """stanza key_value_parser (parser/keyvalue/parser.go:32-51): split
+    ``pair_delimiter``-separated pairs on ``delimiter``. We extract the
+    REQUESTED keys into typed columns with one vectorized regex per
+    key (columnar engines want fixed schemas, not per-row maps; an
+    unrequested-keys map column would box every row into Python)."""
+
+    def __init__(
+        self,
+        parse_from: str,
+        keys: dict[str, Any],
+        delimiter: str = "=",
+        on_error: str = "send",
+        prefix: str = "",
+    ):
+        import re as _re
+
+        self.parse_from = parse_from
+        self.keys = {k: pa.type_for_alias(v) if isinstance(v, str) else v for k, v in keys.items()}
+        self.delimiter = delimiter
+        self.on_error = on_error
+        self.prefix = prefix
+        self._pats = {
+            k: rf"(?:^|\s){_re.escape(k)}{_re.escape(delimiter)}(?P<v>\S+)" for k in keys
+        }
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        any_ok = None
+        for k, typ in self.keys.items():
+            res = pc.extract_regex(src, pattern=self._pats[k])
+            val = pc.struct_field(res, "v")
+            ok = res.is_valid()
+            any_ok = ok if any_ok is None else pc.or_(any_ok, ok)
+            if typ != pa.string():
+                val = pc.cast(val, typ, safe=False)
+            batch = batch.append_column(self.prefix + k, val)
+        if self.on_error.startswith("drop") and any_ok is not None:
+            batch = batch.filter(any_ok)
+        return batch
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+@register("csv_parser")
+class CsvParser:
+    """stanza csv_parser (parser/csv/parser.go:94-130): header-defined
+    field split. Vectorized: ``pc.split_pattern`` + position-indexed
+    columns; rows with fewer fields than the header get nulls
+    (non-strict) or are dropped (on_error='drop'). Quoting modes are
+    out of scope for the vectorized path (note: parser.go supports
+    lazy quotes; use a JsonParser-style Python fallback if needed)."""
+
+    def __init__(
+        self,
+        parse_from: str,
+        header: list[str],
+        delimiter: str = ",",
+        on_error: str = "send",
+        prefix: str = "",
+    ):
+        self.parse_from = parse_from
+        self.header = header
+        self.delimiter = delimiter
+        self.on_error = on_error
+        self.prefix = prefix
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        h = len(self.header)
+        ok = pc.fill_null(
+            pc.greater_equal(
+                pc.list_value_length(pc.split_pattern(src, pattern=self.delimiter)), h
+            ),
+            False,
+        )
+        # pad so every row splits into >= h fields (short rows get ''),
+        # keeping list_slice+flatten row-aligned; `ok` still marks short
+        # rows so on_error='drop' matches strict csv field-count errors
+        padded = pc.binary_join_element_wise(
+            pc.fill_null(src, ""), pa.scalar(self.delimiter * (h - 1)), ""
+        )
+        parts = pc.split_pattern(padded, pattern=self.delimiter)
+        for i, name in enumerate(self.header):
+            val = pc.list_flatten(pc.list_slice(parts, start=i, stop=i + 1))
+            batch = batch.append_column(self.prefix + name, val)
+        if self.on_error.startswith("drop"):
+            batch = batch.filter(ok)
+        return batch
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+@register("uri_parser")
+class UriParser:
+    """stanza uri_parser (parser/uri, wraps internal/parseutils):
+    scheme/host/port/path/query columns via one RE2 named-group pass."""
+
+    URI_REGEX = (
+        r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+        r"(?P<host>[^/:?#]+)(?::(?P<port>\d+))?"
+        r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?"
+    )
+
+    def __init__(self, parse_from: str, on_error: str = "send", prefix: str = ""):
+        self.parse_from = parse_from
+        self.on_error = on_error
+        self.prefix = prefix
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        out, ok = _extract_columns(batch, self.URI_REGEX, self.parse_from, {}, self.prefix)
+        if self.on_error.startswith("drop"):
+            return out.filter(ok)
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+@register("trace_parser")
+class TraceParser:
+    """stanza trace_parser (helper/trace.go): hex-decode trace/span id
+    strings into binary columns + validity flags."""
+
+    def __init__(self, trace_col: str | None = None, span_col: str | None = None):
+        self.trace_col = trace_col
+        self.span_col = span_col
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        import binascii
+
+        for col_name, width, out in [
+            (self.trace_col, 16, "trace_id"),
+            (self.span_col, 8, "span_id"),
+        ]:
+            if col_name is None:
+                continue
+            vals = []
+            for s in batch[col_name].to_pylist():
+                try:
+                    b = binascii.unhexlify(s) if s else None
+                    vals.append(b if b is not None and len(b) == width else None)
+                except (binascii.Error, TypeError):
+                    vals.append(None)
+            batch = batch.append_column(out, pa.array(vals, pa.binary()))
+        return batch
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 @register("severity_parser")
 class SeverityParserStage:
     """Standalone severity_parser (parser/severity/parser.go:1-26):

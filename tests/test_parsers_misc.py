@@ -1,0 +1,77 @@
+"""Unit tests for the kv/csv/uri/trace/json parser stages and the
+severity mapper (table-driven, mirroring the reference's per-operator
+test style, pkg/stanza/operator/parser/*/parser_test.go)."""
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.functions.severity import (
+    SEVERITY_NUMBER,
+    SeverityMapper,
+    http_status_severity,
+)
+from opentelemetry_collector_contrib_ray.stages.parse import (
+    CsvParser,
+    JsonParser,
+    KeyValueParser,
+    TraceParser,
+    UriParser,
+)
+
+
+def test_severity_default_tokens():
+    m = SeverityMapper()
+    toks = pa.array(["info", "WARN", "err", "warning3", "17", "nope", None])
+    nums = m.map_tokens(toks).to_pylist()
+    assert nums == [9, 13, 17, 15, 17, 0, 0]
+
+
+def test_severity_http_ranges():
+    m = http_status_severity()
+    nums = m.map_ints(pa.array([200, 299, 301, 404, 500, 599, 700])).to_pylist()
+    assert nums == [9, 9, 10, 13, 17, 17, 0]
+
+
+def test_severity_text_roundtrip():
+    nums = pa.array(list(range(25)), pa.int8())
+    texts = SeverityMapper.number_to_text(nums).to_pylist()
+    assert texts[0] == "DEFAULT" and texts[9] == "INFO" and texts[24] == "FATAL4"
+    assert all(SEVERITY_NUMBER[t] == i for i, t in enumerate(texts))
+
+
+def test_kv_parser_drop():
+    t = pa.table({"s": ["a=1 b=2", "none", "b=9"]})
+    out = KeyValueParser("s", {"a": "int64", "b": "int64"}, on_error="drop").fn(t)
+    assert out.num_rows == 2  # row without ANY requested key dropped
+    assert out["a"].to_pylist() == [1, None]
+
+
+def test_csv_parser_short_rows():
+    t = pa.table({"s": ["a,b,c", "x", None]})
+    out = CsvParser("s", ["f1", "f2", "f3"], on_error="drop").fn(t)
+    assert out.num_rows == 1
+    out2 = CsvParser("s", ["f1", "f2", "f3"], on_error="send").fn(t)
+    assert out2.num_rows == 3
+    assert out2["f2"].to_pylist() == ["b", "", ""]
+
+
+def test_uri_parser():
+    t = pa.table({"u": ["http://h:80/p?q=1", "nope"]})
+    out = UriParser("u").fn(t)
+    assert out["scheme"].to_pylist() == ["http", None]
+    assert out["port"].to_pylist() == ["80", None]
+
+
+def test_trace_parser_widths():
+    t = pa.table({"tid": ["ab" * 16, "ab" * 8, "zz", None]})
+    out = TraceParser(trace_col="tid").fn(t)
+    vals = out["trace_id"].to_pylist()
+    assert vals[0] is not None and vals[1] is None and vals[2] is None and vals[3] is None
+
+
+def test_json_parser_errors():
+    t = pa.table({"j": ['{"k": 5}', "notjson", None, '{"other": 1}']})
+    send = JsonParser("j", {"k": "int64"}, on_error="send").fn(t)
+    assert send["k"].to_pylist() == [5, None, None, None]
+    drop = JsonParser("j", {"k": "int64"}, on_error="drop").fn(t)
+    assert drop.num_rows == 2  # valid JSON rows kept (key may be absent)
