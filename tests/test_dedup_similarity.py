@@ -1,0 +1,136 @@
+"""Dedup + similarity operators vs brute-force oracles on constructed
+corpora with real duplicates (driver documents are all-distinct, so
+tests build their own)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.dedup import (
+    _shingle_hashes,
+    connected_components,
+    exact_dedup,
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_dedup,
+    verify_pairs_jaccard,
+)
+from opentelemetry_collector_contrib_ray.stages.similarity import (
+    embedding_near_dup,
+    knn_brute_force,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the engine "
+    "streams arrow batches through the object store with backpressure"
+)
+
+
+def _corpus():
+    rng = np.random.default_rng(7)
+    words = BASE.split()
+    docs = []
+    for i in range(40):
+        w = list(words)
+        rng.shuffle(w)
+        docs.append(" ".join(w * 3))
+    # near-dups: copy doc i with one word changed
+    near = []
+    for i in range(0, 40, 8):
+        toks = docs[i].split()
+        toks[3] = "MUTATED"
+        near.append(" ".join(toks))
+    exact = [docs[1], docs[2]]  # exact dups
+    all_docs = docs + near + exact
+    return pa.table({"doc_id": pa.array(range(len(all_docs)), pa.int64()),
+                     "text": pa.array(all_docs, pa.string())})
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _corpus()
+
+
+def test_exact_dedup(corpus):
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    out = exact_dedup(ds, "text", "doc_id").to_pandas()
+    # 47 docs, 2 exact dup pairs -> 45 distinct texts
+    assert len(out) == 45
+    d1 = out[out["dup_count"] > 1].sort_values("keep_id")
+    assert list(d1["keep_id"]) == [1, 2]
+    assert list(d1["dup_count"]) == [2, 2]
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    cand = minhash_lsh_candidates(ds, "text", "doc_id").to_pandas()
+    pairs = {tuple(sorted((a, b))) for a, b in zip(cand["id_a"], cand["id_b"])}
+    # the 5 mutated docs must pair with their sources (jaccard ~0.93)
+    for j, i in enumerate(range(0, 40, 8)):
+        assert (i, 40 + j) in pairs, f"missing near-dup pair {(i, 40 + j)}"
+    # exact dups too
+    assert (1, 45) in pairs and (2, 46) in pairs
+
+
+def test_verify_and_cluster(corpus):
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    cand = minhash_lsh_candidates(ds, "text", "doc_id")
+    docs = {r["doc_id"]: r["text"] for r in corpus.to_pylist()}
+    verified = verify_pairs_jaccard(cand, docs, threshold=0.8).to_pandas()
+    assert (verified["jaccard"] >= 0.8).all()
+    clusters = connected_components(list(zip(verified["id_a"], verified["id_b"])))
+    assert clusters[45] == 1 and clusters[46] == 2
+    for j, i in enumerate(range(0, 40, 8)):
+        assert clusters.get(40 + j) == clusters.get(i, i)
+
+
+def test_jaccard_oracle_parity():
+    a, b = "a b c d e f g", "a b c d e f z"
+    sa, sb = set(_shingle_hashes(a, 3)), set(_shingle_hashes(b, 3))
+    assert jaccard(a, b, 3) == len(sa & sb) / len(sa | sb)
+    assert jaccard("", "", 3) == 1.0
+    assert jaccard("x y z", "", 3) == 0.0
+
+
+def test_simhash_exact_and_near(corpus):
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    out = simhash_dedup(ds, "text", "doc_id", max_hamming=4).to_pandas()
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (1, 45) in pairs and (2, 46) in pairs  # exact dups: hamming 0
+    ham = {tuple(sorted((int(a), int(b)))): h for a, b, h in
+           zip(out["id_a"], out["id_b"], out["hamming"])}
+    assert ham[(1, 45)] == 0
+
+
+def _vectors():
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((60, 16)).astype(np.float32)
+    m[50] = m[0] + 0.01 * rng.standard_normal(16).astype(np.float32)  # near-dup of 0
+    ids = np.arange(60, dtype=np.int64)
+    emb = [list(map(float, row)) for row in m]
+    return pa.table({"vec_id": pa.array(ids), "embedding": pa.array(emb, pa.list_(pa.float32()))}), m
+
+
+def test_knn_matches_numpy_bruteforce():
+    tbl, m = _vectors()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = knn_brute_force(ds, query_ids=[0, 5, 9], k=4).to_pandas()
+    md = m.astype(np.float64)
+    md = md / np.linalg.norm(md, axis=1, keepdims=True)
+    sims = md @ md.T
+    for q in [0, 5, 9]:
+        order = sorted((-(sims[q][j]), j) for j in range(60) if j != q)[:4]
+        want = [j for _, j in order]
+        got = list(out[out["query_id"] == q].sort_values("rank")["neighbor_id"])
+        assert got == want, f"query {q}"
+
+
+def test_embedding_near_dup_finds_planted_pair():
+    tbl, _ = _vectors()
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = embedding_near_dup(ds, threshold=0.95).to_pandas()
+    pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(out["id_a"], out["id_b"])}
+    assert (0, 50) in pairs
