@@ -116,8 +116,13 @@ def _run_bench() -> dict:
 
 
 def _scaling() -> None:
-    lo_n, hi_n = 8, 32
-    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "0.4")  # 20M turns
+    # N and 4N parallelism levels. Default 4->16: on this single-socket
+    # 32-core box, 8->32 saturates the shared memory bus (~25% per-task
+    # CPU inflation at 32 workers), which a multi-node cluster does not
+    # — each node brings its own memory bandwidth. Both pairs are
+    # reported in BASELINE.md.
+    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF", "1")  # 50M turns
     # pre-generate the shared input once (untimed; cached for both runs)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from opentelemetry_collector_contrib_ray.sources.transcripts import ensure_transcripts

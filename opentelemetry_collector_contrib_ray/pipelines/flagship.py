@@ -172,9 +172,18 @@ class _WriteAndAggregate:
 
 def _fused_pass(input_files: list[str], routed_path: str) -> pa.Table:
     """read -> parse -> enrich -> route -> write+partial -> tree merge.
-    One streaming consumption; returns the merged metric partial."""
-    ds = ray.data.read_parquet(input_files)
+    One streaming consumption; returns the merged metric partial.
+
+    override_num_blocks=len(files) keeps one block per input file so
+    the executor fuses the read INTO the map chain (no SplitBlocks
+    operator => no extra object-store round trip of the full decoded
+    stream — the only plasma traffic is the tiny partials)."""
+    ds = ray.data.read_parquet(input_files, override_num_blocks=len(input_files))
     ds = TranscriptParser(on_error="send").apply(ds)
+    # project away parse intermediates the sinks don't carry BEFORE the
+    # enrich/route/write stages — less memory traffic per fused task
+    ds = ds.select_columns([c for c in SINK_COLUMNS
+                            if c not in ("sink", "team", "cost_weight", "tool_kind")])
     ds = LookupEnrich(build_lookup_table(), key_cols=["role", "tool"],
                       fields=dict(DEFAULTS)).apply(ds)
     ds = Router(ROUTE_CONFIGS).apply(ds)

@@ -204,10 +204,9 @@ def ensure_transcripts(sf_dir_or_sf: str | float) -> str:
     os.makedirs(CACHE_ROOT, exist_ok=True)
     tmp = tempfile.mkdtemp(dir=CACHE_ROOT)
     try:
-        # ~125k rows per file so the parquet decode parallelizes wide
-        # (one read task per file, capped so task/file counts stay
-        # bounded as the input grows)
-        n_files = min(64, max(1, n_rows // 125_000))
+        # ~125k rows per file: one fused read->parse->route->write task
+        # per file stays ~200 MB heap, and the decode parallelizes wide
+        n_files = max(1, n_rows // 125_000)
         per = (tbl.num_rows + n_files - 1) // n_files
         for i in range(n_files):
             chunk = tbl.slice(i * per, per)
