@@ -1,0 +1,125 @@
+"""Tests: skew-salted aggregation, sessionize, recombine segments,
+sampler determinism, multimodal plumbing, manifest atomicity,
+textstats oracle parity."""
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.multimodal import (
+    FAKE_DECODE_SHAPE,
+    decode_images,
+    synth_binary_table,
+)
+from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
+from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
+from opentelemetry_collector_contrib_ray.stages.sessionize import cumulative_sum, sessionize
+from opentelemetry_collector_contrib_ray.stages.skew import salted_aggregate
+from opentelemetry_collector_contrib_ray.stages.textstats import TextQuality, TokenCount
+from opentelemetry_collector_contrib_ray.state.manifest import Manifest
+from opentelemetry_collector_contrib_ray.expr import col
+
+
+def test_salted_aggregate_equals_plain_groupby():
+    rng = np.random.default_rng(3)
+    n = 20_000
+    # Zipf-hot key distribution
+    keys = np.minimum(rng.zipf(1.3, n), 50)
+    vals = rng.integers(0, 100, n)
+    t = pa.table({"k": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = salted_aggregate(ds, ["k"], [("count", None, "n"), ("sum", "v", "v_sum")], salt=8).to_pandas()
+    want = pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False).agg(
+        n=("v", "size"), v_sum=("v", "sum")
+    )
+    merged = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    assert (merged["k"] == want["k"]).all()
+    assert (merged["n"] == want["n"]).all()
+    assert (merged["v_sum"] == want["v_sum"]).all()
+
+
+def test_sessionize_gap_rule():
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 01:00",
+         "2024-01-01 01:05", "2024-01-01 09:00"]
+    )
+    t = pa.table({"user_id": pa.array([1] * 5, pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = sessionize(ray.data.from_arrow(t), gap_minutes=30.0).to_pandas()
+    out = out.sort_values("session_idx")
+    assert list(out["n_events"]) == [2, 2, 1]
+
+
+def test_cumulative_sum_ordered():
+    t = pa.table({"k": ["a", "a", "a", "b"], "ts": pa.array(
+        pd.to_datetime(["2024-01-02", "2024-01-01", "2024-01-03", "2024-01-01"]), pa.timestamp("us")),
+        "v": [2.0, 1.0, 4.0, 9.0]})
+    out = cumulative_sum(ray.data.from_arrow(t), "k", "ts", "v").to_pandas()
+    a = out[out["k"] == "a"].sort_values("ts")
+    assert list(a["running_total"]) == [1.0, 3.0, 7.0]
+
+
+def test_recombine_segments():
+    t = pa.table({
+        "conv_id": ["c"] * 5,
+        "turn_idx": pa.array([0, 1, 2, 3, 4], pa.int32()),
+        "text": ["START a", "b", "START c", "d", "e"],
+    })
+    r = Recombine(is_first_entry=("match", col("text"), r"^START"))
+    out = r.apply(ray.data.from_arrow(t)).to_pandas().sort_values("segment")
+    assert list(out["n_turns"]) == [2, 3]
+    assert list(out["text"]) == ["START a\nb", "START c\nd\ne"]
+
+
+def test_sampler_deterministic_and_proportional():
+    t = pa.table({"k": pa.array([f"key-{i}" for i in range(20_000)], pa.string())})
+    s = ProbabilisticSampler(25.0, key="k")
+    a = s.fn(t)
+    b = s.fn(t)
+    assert a["k"].to_pylist() == b["k"].to_pylist()
+    assert abs(a.num_rows / t.num_rows - 0.25) < 0.02
+
+
+def test_multimodal_decode_plumbing():
+    ds = ray.data.from_arrow(synth_binary_table(50))
+    out = decode_images(ds).to_pandas()
+    assert len(out) == 50
+    h, w, c = FAKE_DECODE_SHAPE
+    assert len(out["pixels"].iloc[0]) == h * w * c
+    # deterministic: same bytes -> same fake pixels
+    out2 = decode_images(ray.data.from_arrow(synth_binary_table(50))).to_pandas()
+    assert (out["mean_intensity"] == out2["mean_intensity"]).all()
+
+
+def test_multimodal_real_decoder_is_explicit_stub():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import ImageDecode
+
+    with pytest.raises(NotImplementedError):
+        ImageDecode(decoder="real")
+
+
+def test_manifest_commit_and_resume(tmp_path):
+    m = Manifest(str(tmp_path))
+    assert not m.is_done("p0")
+    m.commit("p0", inputs=["f1"], output="o", metrics={"rows": 5})
+    assert m.is_done("p0")
+    m2 = Manifest(str(tmp_path))  # fresh handle reads committed state
+    assert m2.entry("p0")["metrics"]["rows"] == 5
+
+
+def test_textstats_vs_python_oracle():
+    texts = ["Hello, world! The answer is 42.", "", "a  b", "the the THE"]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    q = TextQuality().fn(t)
+    tok = TokenCount().fn(t)
+    for i, s in enumerate(texts):
+        assert q["n_chars"][i].as_py() == len(s)
+        assert q["n_words"][i].as_py() == len(re.findall(r"\S+", s))
+        assert q["n_punct"][i].as_py() == len(re.findall(r"[^\w\s]", s))
+        assert tok["n_bpe_tokens"][i].as_py() == len(re.findall(r"\w+|[^\w\s]", s))
+    assert q["n_stopwords"][3].as_py() == 3
