@@ -205,6 +205,37 @@ def _q_sessions(sf_dir: str):
     return sessionize(ds, "user_id", "ts", 30.0)
 
 
+def _q_log_templates(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.templates import (
+        TRANSCRIPT_MASKS,
+        mine_templates,
+    )
+
+    ds = read_transcripts(sf_dir)
+    return mine_templates(ds, "text", masks=TRANSCRIPT_MASKS)
+
+
+def _q_interval_last(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.window import last_value_per_window
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return last_value_per_window(ds, ["user_id"], "ts", "value", "hour")
+
+
+def _q_running_total(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sessionize import cumulative_sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("value_cents", v)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = cumulative_sum(ds, "user_id", "ts", "value_cents", "running_cents")
+    return out.select_columns(["event_id", "user_id", "running_cents"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
 
@@ -370,6 +401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "events_sessions": _q_sessions,
+        "log_templates": _q_log_templates,
+        "interval_last": _q_interval_last,
+        "running_total": _q_running_total,
         "dedup_exact": _q_dedup_exact,
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
@@ -520,6 +554,25 @@ s AS (SELECT user_id, ts,
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY 1, 2""",
+        "log_templates": f"""
+SELECT regexp_replace(regexp_replace(regexp_replace(text,
+         ' :: .*$', ' :: <MSG>'),
+         '\\b0x[0-9a-fA-F]+\\b', '<HEX>', 'g'),
+         '\\b\\d+(?:\\.\\d+)?\\b', '<N>', 'g') AS template,
+       COUNT(*) AS n_rows
+FROM read_parquet('{tpath}') GROUP BY 1""",
+        "interval_last": """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       ts AS last_ts, value AS last_value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC) = 1""",
+        "running_total": """
+SELECT event_id, user_id,
+  SUM(CAST(round(value * 100) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM events""",
         "dedup_exact": """
 SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text""",
