@@ -287,6 +287,22 @@ def _q_lineitem_pricing(sf_dir: str):
     )
 
 
+GROK_LINE = (
+    r"%{LOGLEVEL:level} \[%{TIMESTAMP_ISO8601:gtime}\] "
+    r"%{WORD:actor}@%{NOTSPACE:tool_tag} "
+    r"status=%{INT:status:int} dur=%{NUMBER:dur:float}ms :: %{GREEDYDATA:payload}"
+)
+
+
+def _q_grok_parse(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.parse import GrokParser
+
+    ds = read_transcripts(sf_dir)
+    return GrokParser(GROK_LINE, on_error="drop").apply(ds).select_columns(
+        ["conv_id", "turn_idx", "level", "gtime", "actor", "status", "dur", "payload"]
+    )
+
+
 def _q_kv_parse(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.parse import KeyValueParser
 
@@ -395,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
         "unroll_payload": _q_unroll,
+        "grok_parse": _q_grok_parse,
         "kv_parse": _q_kv_parse,
         "csv_parse": _q_csv_parse,
         "uri_parse": _q_uri_parse,
@@ -416,6 +433,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "multimodal_decode": _q_multimodal_decode,
     }
+
+
+def _grok_oracle_sql(tpath: str) -> str:
+    from opentelemetry_collector_contrib_ray.functions.grok import compile_grok
+
+    regex, _ = compile_grok(GROK_LINE)
+    regex = regex.replace("'", "''")
+    groups = "['level','gtime','actor','tool_tag','status','dur','payload']"
+    return f"""
+WITH p AS (
+  SELECT conv_id, turn_idx, regexp_matches(text, '{regex}') AS ok,
+         regexp_extract(text, '{regex}', {groups}) AS g
+  FROM read_parquet('{tpath}'))
+SELECT conv_id, turn_idx, g['level'] AS level, g['gtime'] AS gtime,
+       g['actor'] AS actor, TRY_CAST(g['status'] AS BIGINT) AS status,
+       TRY_CAST(g['dur'] AS DOUBLE) AS dur, g['payload'] AS payload
+FROM p WHERE ok"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -516,6 +550,7 @@ WHERE md5_number_lower(conv_id) % 10000 < 1000""",
         "unroll_payload": parsed_cte + """
 SELECT conv_id, turn_idx, unnest(str_split(payload, ' ')) AS word
 FROM f WHERE ok""",
+        "grok_parse": _grok_oracle_sql(tpath),
         "kv_parse": f"""
 SELECT conv_id, turn_idx,
   TRY_CAST(NULLIF(regexp_extract(text, '(?:^|[ ])status=([^ ]+)', 1), '') AS BIGINT) AS status,

@@ -58,4 +58,13 @@ def registered_types() -> list[str]:
 
 
 # Import stage modules for their registration side effects.
-from . import parse, transform, enrich, route, aggregate, recombine, sample  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    aggregate,
+    attributes,
+    enrich,
+    parse,
+    recombine,
+    route,
+    sample,
+    transform,
+)

@@ -207,6 +207,36 @@ class JsonParser:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+@register("grok_parser")
+class GrokParser:
+    """ExtractGrokPatterns as a stage (func_extract_grok_patterns.go:
+    39-99): a grok expression compiles once to an RE2 regex with named
+    groups + a type map, then runs the vectorized regex path."""
+
+    def __init__(
+        self,
+        pattern: str,
+        parse_from: str = "text",
+        on_error: str = "send",
+        definitions: dict[str, Any] | None = None,
+        prefix: str = "",
+    ):
+        from ..functions.grok import compile_grok
+
+        regex, types = compile_grok(pattern, definitions)
+        self.regex = regex
+        self._inner = RegexParser(
+            regex=regex, parse_from=parse_from, on_error=on_error,
+            types=types, prefix=prefix,
+        )
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        return self._inner.fn(batch)
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return self._inner.apply(ds)
+
+
 @register("key_value_parser")
 class KeyValueParser:
     """stanza key_value_parser (parser/keyvalue/parser.go:32-51): split

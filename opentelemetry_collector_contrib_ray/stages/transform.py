@@ -181,7 +181,7 @@ class TransformStage:
         for st in self.statements:
             try:
                 batch = st(batch)
-            except pa.ArrowInvalid:
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
                 if self.error_mode == "propagate":
                     raise
                 # ignore: leave the batch unchanged for this statement
