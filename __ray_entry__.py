@@ -205,6 +205,37 @@ def _q_sessions(sf_dir: str):
     return sessionize(ds, "user_id", "ts", 30.0)
 
 
+def _q_tail_sample(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.tailsample import tail_sample
+
+    ds = build_parsed(sf_dir, on_error="send")
+    out = tail_sample(ds, "conv_id", ("==", col("level"), "ERROR"), sample_percentage=10.0)
+    return out.select_columns(["conv_id", "turn_idx"])
+
+
+DUR_BUCKET_BOUNDS = [5.0, 25.0, 100.0, 250.0]
+
+
+def _q_dur_histogram(sf_dir: str):
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.aggregate import grouped_count_sum
+
+    ds = build_parsed(sf_dir, on_error="drop")
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        # spanmetrics explicit-bounds histogram (connector/
+        # spanmetricsconnector/config.go:43-121): bucket index per dur
+        dur = b["dur"].to_numpy(zero_copy_only=False)
+        idx = np.digitize(dur, DUR_BUCKET_BOUNDS, right=True)
+        return b.append_column("bucket", pa.array(idx.astype("int64")))
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return grouped_count_sum(ds, ["role", "bucket"], count_name="n_turns")
+
+
 def _q_log_templates(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.templates import (
         TRANSCRIPT_MASKS,
@@ -418,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "events_sessions": _q_sessions,
+        "tail_sample": _q_tail_sample,
+        "dur_histogram": _q_dur_histogram,
         "log_templates": _q_log_templates,
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
@@ -589,6 +622,17 @@ s AS (SELECT user_id, ts,
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_events, MIN(ts) AS session_start, MAX(ts) AS session_end
 FROM s GROUP BY 1, 2""",
+        "tail_sample": parsed_cte + """
+SELECT conv_id, turn_idx FROM f
+WHERE conv_id IN (SELECT DISTINCT conv_id FROM f WHERE level = 'ERROR')
+   OR md5_number_lower(conv_id) % 10000 < 1000""",
+        "dur_histogram": parsed_cte + """
+SELECT role,
+  CAST(CASE WHEN dur <= 5.0 THEN 0 WHEN dur <= 25.0 THEN 1
+            WHEN dur <= 100.0 THEN 2 WHEN dur <= 250.0 THEN 3
+            ELSE 4 END AS BIGINT) AS bucket,
+  COUNT(*) AS n_turns
+FROM f WHERE ok GROUP BY 1, 2""",
         "log_templates": f"""
 SELECT regexp_replace(regexp_replace(regexp_replace(text,
          ' :: .*$', ' :: <MSG>'),
