@@ -267,6 +267,13 @@ def _q_running_total(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def _q_top_events(sf_dir: str):
+    """Global sort + top-k (SURVEY.md §2.5: the engine adds ds.sort;
+    deterministic tie-break on event_id)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
+
+
 def _q_dedup_exact(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
 
@@ -454,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": _q_log_templates,
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
+        "top_events": _q_top_events,
         "dedup_exact": _q_dedup_exact,
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
@@ -652,6 +660,9 @@ SELECT event_id, user_id,
       OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS running_cents
 FROM events""",
+        "top_events": """
+SELECT event_id, event_type, value FROM events
+ORDER BY value DESC, event_id LIMIT 20""",
         "dedup_exact": """
 SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text""",
