@@ -24,54 +24,139 @@ Scale shapes:
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
 _MERSENNE = (1 << 61) - 1
 
+# odd multipliers mixing the n word hashes of a shingle (order-sensitive)
+_SHINGLE_MIX = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63], dtype=np.uint64
+)
+
+
+def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 word hashes, doc offsets) — one vectorized pass:
+    Arrow lowercase/normalize/split over the whole batch, ONE
+    pandas hash_array call over the flat token array."""
+    arr = pa.array([t or "" for t in texts], pa.string())
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(arr), pattern=r"\W+", replacement=" ")
+    )
+    words = pc.split_pattern(norm, pattern=" ")
+    lengths = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    flat_np = flat.to_numpy(zero_copy_only=False)
+    # empty docs normalize to [''] — keep the token, hash is harmless
+    hashes = pd.util.hash_array(flat_np).astype(np.uint64) if len(flat_np) else np.empty(0, np.uint64)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return hashes, offsets
+
+
+def _shingle_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 word-n-gram shingle hashes for a whole batch.
+
+    Shingle hash = order-sensitive mix of the n word hashes (no
+    shingle strings are materialized). Docs with < n words collapse
+    to one shingle mixing all their words — same semantics as the
+    scalar path. Returns (flat shingle hashes, per-doc offsets).
+    """
+    wh, off = _word_hashes_batch(texts)
+    n_docs = len(texts)
+    lengths = np.diff(off)
+    n_shingles = np.where(lengths >= n, lengths - n + 1, (lengths > 0).astype(np.int64))
+    out_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_shingles, out=out_off[1:])
+    total_w = len(wh)
+    if total_w == 0:
+        return np.empty(0, np.uint64), out_off
+    # full-length rolling mix over the flat array (invalid cross-doc
+    # positions exist but are never selected below)
+    mix = np.zeros(max(total_w - n + 1, 0), dtype=np.uint64)
+    for j in range(n):
+        mix = mix * np.uint64(31) + wh[j : total_w - n + 1 + j] * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+    out = np.empty(out_off[-1], dtype=np.uint64)
+    for i in range(n_docs):
+        lo, hi = off[i], off[i + 1]
+        s_lo, s_hi = out_off[i], out_off[i + 1]
+        if s_hi == s_lo:
+            continue
+        if lengths[i] >= n:
+            out[s_lo:s_hi] = mix[lo : lo + n_shingles[i]]
+        else:
+            h = np.uint64(0)
+            for j, w in enumerate(wh[lo:hi]):
+                h = h * np.uint64(31) + w * _SHINGLE_MIX[j % len(_SHINGLE_MIX)]
+            out[s_lo] = h
+    return out, out_off
+
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """uint64 hashes of word n-gram shingles (stable across processes)."""
-    words = re.findall(r"\w+", (text or "").lower())
-    if len(words) < n:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64))
+    """Per-doc shingle hashes (set semantics for jaccard); same hash
+    definition as the batch path."""
+    flat, off = _shingle_hashes_batch([text], n)
+    return np.unique(flat)
 
 
 class MinHasher:
     """Vectorized k-perm MinHash over a batch of documents.
 
-    Universal hashing (a*x + b) mod p with p = 2^61-1; shingle hashes
-    are reduced to 31 bits and a < 2^31 so a*x + b < 2^63 never
-    overflows uint64 — the whole signature matrix is pure numpy.
+    Permutations are multiply-add hashes over Z_2^64 (odd multiplier,
+    natural wraparound — the Dietzfelbinger multiply-shift family):
+    numpy vectorizes 64-bit mul/add, while a Mersenne ``% p`` would be
+    a scalar division per element (~30x slower). The whole batch is
+    one (shingles x k) matrix reduced per doc with minimum.reduceat —
+    no per-doc loops.
     """
 
     def __init__(self, k: int = 64, ngram: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, 1 << 31, size=k, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+        self.a = (rng.integers(0, 1 << 63, size=k, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, size=k, dtype=np.uint64)
         self.k = k
         self.ngram = ngram
 
+    _CHUNK = 1 << 15  # shingles per chunk: 16 MB work buffer, reused
+
     def signatures(self, texts: list[str]) -> np.ndarray:
-        """(n_docs, k) uint64 signature matrix."""
+        """(n_docs, k) uint64 signature matrix.
+
+        Chunked so the (shingles x k) product reuses ONE small buffer
+        — a monolithic product matrix spends more time page-faulting
+        fresh memory than multiplying.
+        """
         out = np.full((len(texts), self.k), np.iinfo(np.uint64).max, dtype=np.uint64)
-        for i, t in enumerate(texts):
-            th = _shingle_hashes(t, self.ngram)
-            if len(th) == 0:
-                continue
-            xs = (th >> np.uint64(33)).astype(np.uint64)  # 31-bit shingle keys
-            prod = (self.a[:, None] * xs[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-            out[i] = prod.min(axis=1)
+        flat, off = _shingle_hashes_batch(texts, self.ngram)
+        total = len(flat)
+        if total == 0:
+            return out
+        buf = np.empty((min(self._CHUNK, total), self.k), dtype=np.uint64)
+        for lo in range(0, total, self._CHUNK):
+            hi = min(lo + self._CHUNK, total)
+            m = hi - lo
+            np.multiply(flat[lo:hi, None], self.a[None, :], out=buf[:m])
+            np.add(buf[:m], self.b[None, :], out=buf[:m])
+            # docs intersecting this chunk
+            d_lo = int(np.searchsorted(off, lo, side="right")) - 1
+            d_hi = int(np.searchsorted(off, hi, side="left"))
+            starts = np.clip(off[d_lo:d_hi], lo, hi) - lo
+            docs = np.arange(d_lo, d_hi)
+            keep = starts < m  # drop zero-length tails at chunk end
+            # consecutive equal starts mean empty docs; reduceat would
+            # misbehave — restrict to docs with >=1 shingle in chunk
+            seg_end = np.append(starts[1:], m)
+            nonempty = (seg_end - starts) > 0
+            sel = keep & nonempty
+            if sel.any():
+                mins = np.minimum.reduceat(buf[:m], starts[sel], axis=0)
+                np.minimum(out[docs[sel]], mins, out=mins)
+                out[docs[sel]] = mins
         return out
 
 
