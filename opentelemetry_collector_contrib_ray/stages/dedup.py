@@ -14,9 +14,11 @@ Scale shapes:
     the shuffle) -> groupby(key) merge. The shuffle moves at most one
     row per distinct key per block.
   * minhash-lsh: signatures per batch (stateless vectorized) ->
-    explode to (band, band_hash, doc_id) rows -> groupby bands ->
-    candidate pairs -> signature-similarity filter -> connected
-    components by iterative min-label propagation (bounded rounds).
+    explode to (bucket_key, doc_id) rows -> ONE distributed grouped
+    count -> broadcast the duplicate-bucket key set -> filter ->
+    vectorized pair explosion over what remains (bounded by true
+    near-duplicates). A per-bucket map_groups would pay ~100us per
+    bucket across n_docs x bands mostly-singleton buckets.
   * embedding near-dup: random-hyperplane bucket key -> groupby
     bucket -> within-bucket pairwise cosine (brute-force variant for
     the oracle at small scale).
@@ -176,25 +178,26 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str) -> ray.data.Dat
 
 
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
-    """Explode signatures to (band, band_hash, id) rows for the LSH
-    groupby. band_hash folds the band's rows with FNV-style mixing."""
+    """Explode signatures to (bucket_key, doc_id) rows for the LSH
+    grouped count. bucket_key folds the band's signature rows AND the
+    band index with FNV-style mixing into one shuffle-friendly u64."""
     n, k = sigs.shape
     rows_per_band = k // bands
-    band_ids = []
-    band_hashes = []
+    keys = []
     doc_ids = []
     for b in range(bands):
         chunk = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        h = np.full(n, 0xCBF29CE484222325 ^ (b * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF),
+                    dtype=np.uint64)
         for j in range(rows_per_band):
             h = (h ^ chunk[:, j]) * np.uint64(0x100000001B3)
-        band_ids.append(np.full(n, b, dtype=np.int32))
-        band_hashes.append(h)
+        keys.append(h)
         doc_ids.append(ids)
+    # int64 bit-view: Ray's groupby path converts keys through
+    # pandas/python ints, which overflows on uint64 >= 2^63
     return pa.table(
         {
-            "band": pa.array(np.concatenate(band_ids), pa.int32()),
-            "band_hash": pa.array(np.concatenate(band_hashes), pa.uint64()),
+            "bucket_key": pa.array(np.concatenate(keys).view(np.int64), pa.int64()),
             "doc_id": pa.array(np.concatenate(doc_ids)),
         }
     )
@@ -219,17 +222,84 @@ def minhash_lsh_candidates(
         return _band_rows(ids, sigs, bands)
 
     band_rows = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    dup = _duplicate_bucket_rows(band_rows, "bucket_key", ["doc_id"])
+    if dup.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "n_bands": pa.array([], pa.int64())}))
+    pairs = _pairs_from_buckets(dup, "bucket_key", "doc_id")
+    # dedupe pairs found in multiple bands (driver-side: pair set is
+    # bounded by true near-duplicates)
+    pdf = pairs.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "n_bands"})
+    return ray.data.from_pandas(pdf)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
 
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # dedupe pairs found in multiple bands
-    return cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+def _duplicate_bucket_rows(
+    rows: ray.data.Dataset, key_col: str, payload_cols: list[str]
+) -> pa.Table:
+    """Rows whose bucket key occurs more than once, collected to the
+    driver. The heavy lifting is ONE distributed grouped count
+    (vectorized sort-aggregate — cheap even for 10^8 buckets) + a
+    broadcast is_in filter; what comes back is bounded by the actual
+    duplicate-bucket membership, which for near-dup workloads is a
+    tiny fraction of the corpus. (Per-bucket map_groups here would
+    spawn a pandas frame per bucket — ~100us x n_buckets — which is
+    what this path replaces.)"""
+    import ray as _ray
+
+    counts = rows.groupby(key_col).count()
+
+    def dup_keys(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["count()"], 1)
+        return b.filter(m).select([key_col])
+
+    key_tables = [
+        t for t in (
+            _ray.get(r) for r in counts.map_batches(
+                dup_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            ).materialize().to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if not key_tables:
+        # no duplicate buckets; callers branch on num_rows == 0
+        return pa.table({key_col: pa.array([], pa.int64())})
+    keys_tbl = pa.concat_tables(key_tables, promote_options="none")
+    key_set = keys_tbl[key_col].combine_chunks()
+    ref = _ray.put(key_set)
+
+    def member(b: pa.Table) -> pa.Table:
+        ks = b[key_col]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        return b.filter(pc.is_in(ks, value_set=_ray.get(ref))).select([key_col] + payload_cols)
+
+    hits = rows.map_batches(member, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    hit_tables = [
+        t for t in (_ray.get(r) for r in hits.materialize().to_arrow_refs()) if t.num_rows
+    ]
+    if not hit_tables:
+        return keys_tbl.slice(0, 0)
+    return pa.concat_tables(hit_tables, promote_options="none")
+
+
+def _pairs_from_buckets(dup: pa.Table, key_col: str, id_col: str) -> pd.DataFrame:
+    """Vectorized pair explosion over the (small) duplicate-bucket
+    rows: sort by (key, id), find runs, triu-index each run."""
+    order = pc.sort_indices(dup, sort_keys=[(key_col, "ascending"), (id_col, "ascending")])
+    t = dup.take(order)
+    keys = t[key_col].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    boundaries = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1], [True]]))[0]
+    id_a, id_b = [], []
+    for s, e in zip(boundaries[:-1], boundaries[1:]):
+        if e - s < 2:
+            continue
+        a, b = np.triu_indices(e - s, k=1)
+        id_a.append(ids[s:e][a])
+        id_b.append(ids[s:e][b])
+    if not id_a:
+        return pd.DataFrame({"id_a": np.array([], ids.dtype), "id_b": np.array([], ids.dtype)})
+    return pd.DataFrame({"id_a": np.concatenate(id_a), "id_b": np.concatenate(id_b)})
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
@@ -301,35 +371,31 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming:
     fps = ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def explode(b: pa.Table) -> pa.Table:
-        ids = b[id_col].to_numpy(zero_copy_only=False)
         h = b["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         outs = []
         for q in range(4):
-            block = (h >> np.uint64(16 * q)) & np.uint64(0xFFFF)
-            outs.append(
-                pa.table(
-                    {
-                        "block_idx": pa.array(np.full(len(ids), q, np.int8)),
-                        "block": pa.array(block, pa.uint64()),
-                        id_col: b[id_col],
-                        "simhash": b["simhash"],
-                    }
-                )
-            )
+            # Charikar block key: 16-bit quarter + block index, one u64
+            block = ((h >> np.uint64(16 * q)) & np.uint64(0xFFFF)) | np.uint64(q << 16)
+            outs.append(pa.table({
+                "bucket_key": pa.array(block.view(np.int64), pa.int64()),
+                id_col: b[id_col],
+                "simhash": b["simhash"],
+            }))
         return pa.concat_tables(outs)
 
     blocks = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = np.array([bin(int(hs[x]) ^ int(hs[y])).count("1") for x, y in zip(a, b)])
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[a][keep], "id_b": ids[b][keep], "hamming": ham[keep]})
-
-    cand = blocks.groupby(["block_idx", "block"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    dup = _duplicate_bucket_rows(blocks, "bucket_key", [id_col, "simhash"])
+    if dup.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+    pairs = _pairs_from_buckets(dup, "bucket_key", id_col)
+    sims = dict(zip(dup[id_col].to_pylist(), dup["simhash"].to_pylist()))
+    ham = np.array(
+        [bin(sims[a] ^ sims[b]).count("1") for a, b in zip(pairs["id_a"], pairs["id_b"])],
+        dtype=np.int64,
+    ) if len(pairs) else np.array([], dtype=np.int64)
+    pairs = pairs.assign(hamming=ham)
+    pairs = pairs[pairs["hamming"] <= max_hamming]
+    out = pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
+    return ray.data.from_pandas(out)
