@@ -95,24 +95,33 @@ def knn_brute_force(
         qids, qm = queries
     ref = ray.put((qids, qm))
 
+    # stateless tasks (fuse with the read); the broadcast query matrix
+    # is fetched zero-copy once per worker process
+    state: dict = {}
+
+    def partial_fn(b: pa.Table) -> pa.Table:
+        if "actor" not in state:
+            state["actor"] = _PartialTopK(ref, k, id_col, emb_col)
+        return state["actor"](b)
+
     partials = ds.map_batches(
-        _PartialTopK,
-        fn_constructor_args=(ref, k, id_col, emb_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=None,
-        concurrency=(1, 8),
+        partial_fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        qid = g["query_id"].iloc[0]
+    # merge partial top-ks on the driver: n_queries x (k+1) x n_blocks
+    # rows — queries are a broadcast-sized set by construction, so this
+    # is tiny; a distributed groupby would cost more than it merges
+    tables = [ray.get(r) for r in partials.materialize().to_arrow_refs()]
+    pdf = pa.concat_tables([t for t in tables if t.num_rows], promote_options="none").to_pandas()
+
+    outs = []
+    for qid, g in pdf.groupby("query_id", sort=True):
         if exclude_self:
             g = g[g["neighbor_id"] != qid]
         g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="mergesort").head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
-        return g[["query_id", "neighbor_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(topk, batch_format="pandas")
+        outs.append(g[["query_id", "neighbor_id", "rank"]])
+    return ray.data.from_pandas(pd.concat(outs, ignore_index=True))
 
 
 def lsh_bucket_assign(
