@@ -274,6 +274,20 @@ def _q_top_events(sf_dir: str):
     return ds.sort(["value", "event_id"], descending=[True, False]).limit(20)
 
 
+def _q_cumulative_delta(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sessionize import cumulative_to_delta
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("value_cents", v)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = cumulative_to_delta(ds, "user_id", "ts", "value_cents", "delta_cents")
+    return out.select_columns(["event_id", "user_id", "delta_cents"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
 
@@ -461,6 +475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": _q_log_templates,
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
+        "cumulative_delta": _q_cumulative_delta,
         "top_events": _q_top_events,
         "dedup_exact": _q_dedup_exact,
         "docs_quality": _q_docs_quality,
@@ -659,6 +674,12 @@ SELECT event_id, user_id,
   SUM(CAST(round(value * 100) AS BIGINT))
       OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS running_cents
+FROM events""",
+        "cumulative_delta": """
+SELECT event_id, user_id,
+  CAST(CAST(round(value * 100) AS BIGINT)
+       - lag(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS delta_cents
 FROM events""",
         "top_events": """
 SELECT event_id, event_type, value FROM events

@@ -43,6 +43,24 @@ def sessionize(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def cumulative_to_delta(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "delta",
+) -> ray.data.Dataset:
+    """cumulativetodeltaprocessor (processor/cumulativetodeltaprocessor):
+    per-stream difference of consecutive cumulative points; the first
+    point of a stream has no delta (null)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        return g.assign(**{out_col: g[value_col].diff()})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def cumulative_sum(
     ds: ray.data.Dataset,
     key_col: str,

@@ -165,6 +165,26 @@ class Statement:
         out = pc.cast(_val(tbl, Col(src or target)), pa.type_for_alias(to), safe=False)
         return _masked(tbl, target, out, mask)
 
+    def _op_trim(self, tbl, mask, target: str, src: str | None = None, chars: str | None = None):
+        col = _val(tbl, Col(src or target))
+        out = pc.utf8_trim(col, characters=chars) if chars else pc.utf8_trim_whitespace(col)
+        return _masked(tbl, target, out, mask)
+
+    def _op_len(self, tbl, mask, target: str, src: str):
+        return _masked(tbl, target, pc.cast(pc.utf8_length(_val(tbl, Col(src))), pa.int64()), mask)
+
+    def _op_split_index(self, tbl, mask, target: str, src: str, sep: str, index: int):
+        # Split(...)[i] — OTTL Split + Index composition; short rows
+        # yield null (pad source so list_slice stays row-aligned)
+        n = pc.list_value_length(pc.split_pattern(_val(tbl, Col(src)), pattern=sep))
+        padded = pc.binary_join_element_wise(
+            pc.fill_null(_val(tbl, Col(src)), ""), pa.scalar(sep * (index + 1)), ""
+        )
+        pparts = pc.split_pattern(padded, pattern=sep)
+        vals = pc.list_flatten(pc.list_slice(pparts, start=index, stop=index + 1))
+        vals = pc.if_else(pc.fill_null(pc.greater(n, index), False), vals, pa.nulls(tbl.num_rows, pa.string()))
+        return _masked(tbl, target, vals, mask)
+
 
 @register("transform")
 class TransformStage:
