@@ -267,6 +267,18 @@ def _q_running_total(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def _q_union_streams(sf_dir: str):
+    """Pipeline fan-in = stream union (SURVEY §2.5 set-ops note)."""
+    a = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    a = a.map_batches(lambda b: b.filter(pc.equal(b["event_type"], "error")),
+                      batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    b = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    b = b.map_batches(lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "purchase"),
+                                                 pc.greater(t["value"], 100.0))),
+                      batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return a.union(b).select_columns(["event_id", "event_type"])
+
+
 def _q_top_events(sf_dir: str):
     """Global sort + top-k (SURVEY.md §2.5: the engine adds ds.sort;
     deterministic tie-break on event_id)."""
@@ -476,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
         "cumulative_delta": _q_cumulative_delta,
+        "union_streams": _q_union_streams,
         "top_events": _q_top_events,
         "dedup_exact": _q_dedup_exact,
         "docs_quality": _q_docs_quality,
@@ -675,6 +688,11 @@ SELECT event_id, user_id,
       OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS running_cents
 FROM events""",
+        "union_streams": """
+SELECT event_id, event_type FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, event_type FROM events
+WHERE event_type = 'purchase' AND value > 100.0""",
         "cumulative_delta": """
 SELECT event_id, user_id,
   CAST(CAST(round(value * 100) AS BIGINT)
