@@ -330,6 +330,18 @@ def _q_knn(sf_dir: str):
     return knn_brute_force(ds, query_ids=list(range(10)), k=5)
 
 
+def _q_ivf_knn(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.similarity import ivf_search, ivf_train
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_centroids = 8
+    cents = ivf_train(ds, n_centroids=n_centroids)
+    # full probing == exact brute force -> SQL-checkable; the scale
+    # path sets nprobe < n_centroids (recall test in tests/)
+    return ivf_search(ds, query_ids=list(range(10)), k=5,
+                      centroids=cents, nprobe=n_centroids)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.aggregate import grouped_count_sum
 
@@ -494,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
         "knn_cosine": _q_knn,
+        "ivf_knn": _q_ivf_knn,
         "lineitem_pricing": _q_lineitem_pricing,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -545,7 +558,7 @@ f AS (SELECT conv_id, turn_idx, role, tool, ts, text, ok,
     sev_case = """
   CASE level WHEN 'TRACE' THEN 1 WHEN 'DEBUG' THEN 5 WHEN 'INFO' THEN 9
              WHEN 'WARN' THEN 13 WHEN 'ERROR' THEN 17 WHEN 'FATAL' THEN 21 END"""
-    return {
+    oracles = {
         "parse_drop": parsed_cte + """
 SELECT conv_id, turn_idx, level, actor, tool_tag, status, dur, payload
 FROM f WHERE ok""",
@@ -732,3 +745,6 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
   SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
 FROM lineitem GROUP BY 1, 2""",
     }
+    # IVF with full probing is exactly brute-force cosine top-k
+    oracles["ivf_knn"] = oracles["knn_cosine"]
+    return oracles

@@ -134,3 +134,32 @@ def test_embedding_near_dup_finds_planted_pair():
     out = embedding_near_dup(ds, threshold=0.95).to_pandas()
     pairs = {tuple(sorted((int(a), int(b)))) for a, b in zip(out["id_a"], out["id_b"])}
     assert (0, 50) in pairs
+
+
+def test_ivf_full_probe_equals_bruteforce_and_partial_has_recall():
+    from opentelemetry_collector_contrib_ray.stages.similarity import ivf_search, ivf_train
+
+    rng = np.random.default_rng(5)
+    # clustered corpus so IVF lists are meaningful
+    centers = rng.standard_normal((6, 16)) * 3
+    vecs = np.concatenate([c + rng.standard_normal((40, 16)) * 0.3 for c in centers])
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    cents = ivf_train(ds, n_centroids=6, sample_fraction=0.9, seed=9)
+
+    exact = knn_brute_force(ds, query_ids=[0, 41, 100], k=5).to_pandas()
+    full = ivf_search(ds, [0, 41, 100], 5, cents, nprobe=6).to_pandas()
+    for q in [0, 41, 100]:
+        e = list(exact[exact["query_id"] == q].sort_values("rank")["neighbor_id"])
+        f = list(full[full["query_id"] == q].sort_values("rank")["neighbor_id"])
+        assert e == f, f"full-probe IVF must equal brute force for query {q}"
+
+    approx = ivf_search(ds, [0, 41, 100], 5, cents, nprobe=1).to_pandas()
+    hits = 0
+    for q in [0, 41, 100]:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        hits += len(e & a)
+    assert hits / 15 >= 0.8  # nprobe=1 on tight clusters: high recall
