@@ -48,10 +48,16 @@ def unroll(
 
 
 def group_by_attrs(ds: ray.data.Dataset, keys: list[str], num_blocks: int | None = None) -> ray.data.Dataset:
-    """groupbyattrsprocessor: co-locate rows sharing the key columns —
-    a hash repartition, the physical premise for downstream per-key
-    stages that want locality without a full sort."""
-    return ds.repartition(num_blocks, keys=keys, shuffle=True) if num_blocks else ds.repartition(keys=keys, shuffle=True)
+    """groupbyattrsprocessor: co-locate rows sharing the key columns.
+
+    Implemented as a range partition (``ds.sort(keys)``): equal keys
+    land contiguously, straddling at most one block boundary — the
+    locality premise downstream per-key stages need. (Ray's true hash
+    repartition, ``repartition(keys=...)``, requires the session-wide
+    ``DataContext.shuffle_strategy = HASH_SHUFFLE``; flipping a global
+    knob inside an operator is not worth the stricter guarantee.)"""
+    out = ds.sort(keys)
+    return out.repartition(num_blocks) if num_blocks else out
 
 
 def round_robin(ds: ray.data.Dataset, n: int) -> list[ray.data.Dataset]:

@@ -123,3 +123,25 @@ def test_textstats_vs_python_oracle():
         assert q["n_punct"][i].as_py() == len(re.findall(r"[^\w\s]", s))
         assert tok["n_bpe_tokens"][i].as_py() == len(re.findall(r"\w+|[^\w\s]", s))
     assert q["n_stopwords"][3].as_py() == 3
+
+
+def test_unroll_and_round_robin_and_group_by_attrs():
+    from opentelemetry_collector_contrib_ray.stages.reshape import (
+        group_by_attrs,
+        round_robin,
+        unroll,
+    )
+
+    t = pa.table({"k": ["a", "b", "a", "c"], "words": ["x y", "z", "p q r", "w"]})
+    ds = ray.data.from_arrow(t)
+    out = unroll(ds, "words", out_col="word", split_pattern=" ").to_pandas()
+    assert len(out) == 7
+    assert sorted(out[out["k"] == "a"]["word"]) == ["p", "q", "r", "x", "y"]
+
+    splits = round_robin(ray.data.range(100), 4)
+    assert len(splits) == 4
+    assert sum(s.count() for s in splits) == 100
+
+    big = ray.data.from_arrow(pa.table({"k": ["a", "b"] * 500, "v": list(range(1000))}))
+    sorted_ds = group_by_attrs(big.repartition(8), ["k"], num_blocks=4)
+    assert sorted_ds.count() == 1000
