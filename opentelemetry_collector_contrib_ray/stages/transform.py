@@ -165,6 +165,26 @@ class Statement:
         out = pc.cast(_val(tbl, Col(src or target)), pa.type_for_alias(to), safe=False)
         return _masked(tbl, target, out, mask)
 
+    def _op_unquote(self, tbl, mask, target: str, src: str | None = None):
+        # stanza unquote (transformer/unquote): strip one matching pair
+        # of surrounding double or single quotes
+        col_ = _val(tbl, Col(src or target))
+        dq = pc.struct_field(pc.extract_regex(col_, pattern=r'^"(?P<q>.*)"$'), "q")
+        sq = pc.struct_field(pc.extract_regex(col_, pattern=r"^'(?P<s>.*)'$"), "s")
+        out = pc.coalesce(dq, sq, col_)
+        return _masked(tbl, target, out, mask)
+
+    def _op_sanitize_utf8(self, tbl, mask, target: str, src: str | None = None):
+        # stanza sanitizeutf8: repair invalid byte sequences (U+FFFD)
+        col_ = _val(tbl, Col(src or target))
+        if pa.types.is_string(col_.type):
+            return _masked(tbl, target, col_, mask)  # already valid UTF-8
+        import pandas as pd
+
+        s = pd.Series(col_.to_pylist())
+        fixed = s.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
+        return _masked(tbl, target, pa.array(fixed, pa.string()), mask)
+
     def _op_trim(self, tbl, mask, target: str, src: str | None = None, chars: str | None = None):
         col = _val(tbl, Col(src or target))
         out = pc.utf8_trim(col, characters=chars) if chars else pc.utf8_trim_whitespace(col)

@@ -108,3 +108,13 @@ def test_error_mode_propagate():
     )
     out = stage2.fn(t)
     assert out["s"].to_pylist() == ["abc"]
+
+
+def test_unquote_and_sanitize_utf8():
+    t = pa.table({"s": ['"hello"', "'single'", "plain", '"unbalanced', None]})
+    out = Statement("unquote", {"target": "s"})(t)
+    assert out["s"].to_pylist() == ["hello", "single", "plain", '"unbalanced', None]
+    t2 = pa.table({"b": pa.array([b"ok", b"bad\xff", None], pa.binary())})
+    out2 = Statement("sanitize_utf8", {"target": "clean", "src": "b"})(t2)
+    vals = out2["clean"].to_pylist()
+    assert vals[0] == "ok" and "�" in vals[1] and vals[2] is None
