@@ -425,6 +425,38 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_lsh_candidates(ds, "text", "doc_id")
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Full near-dup pipeline: MinHash-LSH candidates -> exact-Jaccard
+    verify (broadcast candidate docs only) -> connected components ->
+    (doc_id, cluster_rep). Rows-only: LSH is not SQL-expressible;
+    the semantics are oracle-tested in tests/test_dedup_similarity.py."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = minhash_lsh_candidates(ds, "text", "doc_id")
+    cand_pdf = cand.to_pandas()
+    if len(cand_pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "cluster_rep": pd.array([], dtype="int64")})
+    # fetch ONLY candidate documents for the exact verify (small set)
+    wanted = set(cand_pdf["id_a"]) | set(cand_pdf["id_b"])
+    docs = {r["doc_id"]: r["text"]
+            for r in ds.map_batches(
+                lambda b: b.filter(pc.is_in(b["doc_id"], value_set=pa.array(sorted(wanted)))),
+                batch_format="pyarrow", batch_size=None).take_all()}
+    verified = verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
+    clusters = connected_components(list(zip(verified["id_a"], verified["id_b"])))
+    out = pd.DataFrame(sorted(clusters.items()), columns=["doc_id", "cluster_rep"])
+    return out
+
+
 def _q_simhash_pairs(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
 
@@ -510,6 +542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
+        "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
