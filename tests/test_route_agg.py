@@ -111,3 +111,18 @@ def test_count_sum_defs_match_oracle(table):
     dsum = {(r["role"], r["tool"], r["hour"]): r["dur_sum"]
             for r in run_metric_def(ds, METRIC_DEFS[2]).take_all()}
     assert dsum == dict(sums)  # dur is multiples of 0.25 -> exact sums
+
+
+def test_metric_def_empty_result(table):
+    """Conditions matching nothing must yield an empty result, not an
+    error (exercises tree_merge_groupby's all-empty-partials path)."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.aggregate import MetricDef
+
+    parsed = TranscriptParser(on_error="send").fn(table)
+    ds = add_hour_column(ray.data.from_arrow(parsed), "ts", "hour")
+    d = MetricDef(name="never", agg="count",
+                  conditions=[("==", col("role"), "nobody")],
+                  dims=[("role", None), ("hour", None)])
+    out = run_metric_def(ds, d)
+    assert out.count() == 0
