@@ -117,7 +117,9 @@ def _q_recombine(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
 
     ds = read_transcripts(sf_dir)
-    return Recombine().apply(ds)
+    # the transcript cache is written conversation-clustered in turn
+    # order, so the shuffle-free presorted strategy applies
+    return Recombine().apply(ds, strategy="presorted")
 
 
 def _q_transform(sf_dir: str):

@@ -84,6 +84,13 @@ class Recombine:
         group (hot conv) cannot fit one task."""
         if strategy == "sort" and self.first_pred is None:
             return self._apply_sorted(ds)
+        if strategy == "presorted" and self.first_pred is None:
+            # input is already clustered+ordered by (group, order) —
+            # e.g. ingest layouts that write conversations contiguously
+            # (our transcript cache does). Skips the global sort: one
+            # partial-concat pass + a tiny merge groupby over
+            # #groups x #blocks partial rows.
+            return self._merge_partials(self._block_partials(ds))
         return ds.groupby(self.group_key).map_groups(self._combine_group, batch_format="pandas")
 
     def _apply_sorted(self, ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -96,11 +103,12 @@ class Recombine:
         #blocks partials — the Zipf-hot conversation becomes a cheap
         merge of ~#blocks strings instead of a single-task sort+join
         over millions of raw rows."""
+        return self._merge_partials(self._block_partials(ds.sort([self.group_key, self.order_key])))
+
+    def _block_partials(self, sorted_ds: ray.data.Dataset) -> ray.data.Dataset:
         group_key, order_key = self.group_key, self.order_key
         combine_field, combine_with = self.combine_field, self.combine_with
         keep_fields = self.keep_fields
-
-        sorted_ds = ds.sort([group_key, order_key])
 
         def block_partial(b) -> pd.DataFrame:
             df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
@@ -114,7 +122,12 @@ class Recombine:
                 out[f] = g[f].first()
             return out.reset_index()
 
-        partials = sorted_ds.map_batches(block_partial, batch_format="pandas", batch_size=None)
+        return sorted_ds.map_batches(block_partial, batch_format="pandas", batch_size=None)
+
+    def _merge_partials(self, partials: ray.data.Dataset) -> ray.data.Dataset:
+        group_key, order_key = self.group_key, self.order_key
+        combine_field, combine_with = self.combine_field, self.combine_with
+        keep_fields = self.keep_fields
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values("first_" + order_key, kind="mergesort")

@@ -145,3 +145,18 @@ def test_unroll_and_round_robin_and_group_by_attrs():
     big = ray.data.from_arrow(pa.table({"k": ["a", "b"] * 500, "v": list(range(1000))}))
     sorted_ds = group_by_attrs(big.repartition(8), ["k"], num_blocks=4)
     assert sorted_ds.count() == 1000
+
+
+def test_recombine_strategies_agree():
+    from opentelemetry_collector_contrib_ray.sources.transcripts import generate_transcripts
+
+    tbl = generate_transcripts(5000)  # generator writes conv-clustered order
+    ds = ray.data.from_arrow(tbl)
+    a = Recombine().apply(ds, strategy="groupby").to_pandas()
+    b = Recombine().apply(ds, strategy="presorted").to_pandas()
+    c = Recombine().apply(ds, strategy="sort").to_pandas()
+    for other in (b, c):
+        m = a.merge(other, on="conv_id", suffixes=("_a", "_b"))
+        assert len(m) == len(a) == len(other)
+        assert (m["text_a"] == m["text_b"]).all()
+        assert (m["n_turns_a"] == m["n_turns_b"]).all()
