@@ -395,6 +395,44 @@ class TraceParser:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+@register("jsonarray_parser")
+class JsonArrayParser:
+    """stanza jsonarray parser (parser/jsonarray): parse a JSON-array
+    string into positionally indexed typed columns."""
+
+    def __init__(self, parse_from: str, fields: list[tuple[str, Any]], on_error: str = "send"):
+        import json
+
+        self._loads = json.loads
+        self.parse_from = parse_from
+        self.fields = [(n, pa.type_for_alias(t) if isinstance(t, str) else t) for n, t in fields]
+        self.on_error = on_error
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        src = batch[self.parse_from].to_pylist()
+        cols: list[list] = [[] for _ in self.fields]
+        ok = []
+        for s in src:
+            try:
+                arr = self._loads(s)
+                assert isinstance(arr, list)
+                for i in range(len(self.fields)):
+                    cols[i].append(arr[i] if i < len(arr) else None)
+                ok.append(True)
+            except (TypeError, ValueError, AssertionError):
+                for c in cols:
+                    c.append(None)
+                ok.append(False)
+        for (name, typ), vals in zip(self.fields, cols):
+            batch = batch.append_column(name, pa.array(vals, type=typ))
+        if self.on_error.startswith("drop"):
+            batch = batch.filter(pa.array(ok))
+        return batch
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 @register("severity_parser")
 class SeverityParserStage:
     """Standalone severity_parser (parser/severity/parser.go:1-26):

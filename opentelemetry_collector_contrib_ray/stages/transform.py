@@ -165,6 +165,16 @@ class Statement:
         out = pc.cast(_val(tbl, Col(src or target)), pa.type_for_alias(to), safe=False)
         return _masked(tbl, target, out, mask)
 
+    def _op_flatten(self, tbl, mask, src: str, prefix: str = "", drop: bool = True):
+        # OTTL flatten / stanza flatten: promote a struct column's
+        # fields to top-level columns (one nesting level)
+        col_ = _val(tbl, Col(src))
+        for f in col_.type:
+            tbl = _set_col(tbl, (prefix or "") + f.name, pc.struct_field(col_, f.name))
+        if drop:
+            tbl = tbl.drop_columns([src])
+        return tbl
+
     def _op_unquote(self, tbl, mask, target: str, src: str | None = None):
         # stanza unquote (transformer/unquote): strip one matching pair
         # of surrounding double or single quotes

@@ -75,3 +75,25 @@ def test_json_parser_errors():
     assert send["k"].to_pylist() == [5, None, None, None]
     drop = JsonParser("j", {"k": "int64"}, on_error="drop").fn(t)
     assert drop.num_rows == 2  # valid JSON rows kept (key may be absent)
+
+
+def test_jsonarray_parser():
+    from opentelemetry_collector_contrib_ray.stages.parse import JsonArrayParser
+
+    t = pa.table({"j": ['[1, "x", 2.5]', "[7]", "notjson", None]})
+    p = JsonArrayParser("j", [("a", "int64"), ("b", "string"), ("c", "float64")])
+    out = p.fn(t)
+    assert out["a"].to_pylist() == [1, 7, None, None]
+    assert out["b"].to_pylist() == ["x", None, None, None]
+    drop = JsonArrayParser("j", [("a", "int64")], on_error="drop").fn(t)
+    assert drop.num_rows == 2
+
+
+def test_flatten_struct_editor():
+    from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+    s = pa.array([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}])
+    t = pa.table({"id": [10, 11], "nested": s})
+    out = Statement("flatten", {"src": "nested"})(t)
+    assert out.column_names == ["id", "x", "y"]
+    assert out["x"].to_pylist() == [1, 2]
