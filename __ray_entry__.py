@@ -4,9 +4,10 @@ Ray is initialised by the driver BEFORE this module is imported; no
 ray.init()/shutdown() here or in the library (see package docstring).
 
 Every `queries()` entry has a matching `oracle_sql()` ANSI-SQL string
-unless the operator is genuinely non-SQL-expressible (MinHash-LSH,
-SimHash, LSH near-dup, language-ID heuristic) — those get rows-only
-checks and pytest oracles instead (tests/).
+unless the operator is genuinely non-SQL-expressible (MinHash-LSH
+pairs/clusters, SimHash, LSH embedding near-dup, the language-ID
+heuristic, the multimodal decode stub) — those get rows-only checks
+and pytest oracles instead (tests/).
 
 Transcript queries run over the deterministic synthetic transcript
 table (FIXTURES.md F1, BASELINE.json input_hint) generated once under
