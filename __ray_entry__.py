@@ -239,6 +239,14 @@ def _q_dur_histogram(sf_dir: str):
     return grouped_count_sum(ds, ["role", "bucket"], count_name="n_turns")
 
 
+def _q_dur_expo_histogram(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.aggregate import expo_histogram
+
+    ds = build_parsed(sf_dir, on_error="drop")
+    return expo_histogram(ds, "dur", ["role"], scale=2, out_count="n_turns")
+
+
 def _q_log_templates(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.templates import (
         TRANSCRIPT_MASKS,
@@ -247,6 +255,18 @@ def _q_log_templates(sf_dir: str):
 
     ds = read_transcripts(sf_dir)
     return mine_templates(ds, "text", masks=TRANSCRIPT_MASKS)
+
+
+def _q_drain_templates(sf_dir: str):
+    """Drain-style online template mining (rows-only: clustering is
+    not SQL-expressible; semantics tested in tests/test_misc_stages)."""
+    from opentelemetry_collector_contrib_ray.stages.templates import (
+        TRANSCRIPT_MASKS,
+        drain_mine,
+    )
+
+    ds = read_transcripts(sf_dir)
+    return drain_mine(ds, "text", masks=TRANSCRIPT_MASKS)
 
 
 def _q_interval_last(sf_dir: str):
@@ -531,7 +551,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_sessions,
         "tail_sample": _q_tail_sample,
         "dur_histogram": _q_dur_histogram,
+        "dur_expo_histogram": _q_dur_expo_histogram,
         "log_templates": _q_log_templates,
+        "drain_templates": _q_drain_templates,
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
         "cumulative_delta": _q_cumulative_delta,
@@ -718,6 +740,10 @@ SELECT role,
             ELSE 4 END AS BIGINT) AS bucket,
   COUNT(*) AS n_turns
 FROM f WHERE ok GROUP BY 1, 2""",
+        "dur_expo_histogram": parsed_cte + """
+SELECT role, CAST(floor(log2(dur) * 4) AS BIGINT) AS bucket,
+       COUNT(*) AS n_turns
+FROM f WHERE ok AND dur > 0 GROUP BY 1, 2""",
         "log_templates": f"""
 SELECT regexp_replace(regexp_replace(regexp_replace(text,
          ' :: .*$', ' :: <MSG>'),

@@ -181,6 +181,35 @@ def grouped_count_sum(
     return ray.data.from_arrow(merged)
 
 
+def expo_histogram(
+    ds: ray.data.Dataset,
+    value_col: str,
+    dims: list[str],
+    scale: int = 2,
+    out_count: str = "n",
+) -> ray.data.Dataset:
+    """Base-2 exponential histogram — the reference's expohisto sketch
+    (pkg/expohisto; OTel exponential histogram: bucket index =
+    floor(log2(value) * 2^scale) for value > 0). Mergeable by bucket
+    count addition, so the per-batch partial + tree merge shape
+    applies unchanged. Non-positive/null values are skipped (the
+    reference tracks them in a zero bucket)."""
+    factor = float(1 << scale)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v) & (v > 0)
+        idx = np.full(len(v), np.iinfo(np.int64).min, dtype=np.int64)
+        idx[ok] = np.floor(np.log2(v[ok]) * factor).astype(np.int64)
+        out = b.append_column("bucket", pa.array(idx, pa.int64()))
+        return out.filter(pa.array(ok))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return grouped_count_sum(bucketed, dims + ["bucket"], count_name=out_count)
+
+
 def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour") -> ray.data.Dataset:
     """hour = TruncateTime(ts, 'hour') (func_truncate_time.go /
     floor_temporal) — the window key for per-(role, tool, hour)

@@ -57,3 +57,91 @@ def mine_templates(
     """(template, n_rows) — grouped count over masked templates."""
     ds = add_template_column(ds, text_col, masks=masks)
     return grouped_count_sum(ds, ["template"], count_name="n_rows")
+
+
+class DrainLite:
+    """Drain-style template clustering (He et al. ICWS'17, the
+    algorithm behind processor/drainprocessor/processor.go:43-198),
+    simplified to a two-level prefix index: logs group by
+    (token_count, first_token), and within a group a log joins the
+    first template whose fixed-token similarity >= ``sim_threshold``
+    (wildcarding mismatched positions) or starts a new template.
+
+    The state (template list + counts) is MERGEABLE: clustering the
+    union of two states' templates (weighted by count) with the same
+    rule gives the combined miner — which is what makes the
+    distributed shape work: batch-local mining in parallel tasks, then
+    a driver-side merge over the (small) per-batch template sets.
+    """
+
+    WILD = "<*>"
+
+    def __init__(self, sim_threshold: float = 0.5, masks: list[tuple[str, str]] | None = None):
+        import re
+
+        self.sim_threshold = sim_threshold
+        self.masks = [(re.compile(p), r) for p, r in (MASKS if masks is None else masks)]
+        self.groups: dict[tuple[int, str], list[list[str]]] = {}
+        self.counts: dict[tuple[int, str, int], int] = {}
+
+    def _tokens(self, text: str) -> list[str]:
+        for pat, repl in self.masks:
+            text = pat.sub(repl, text or "")
+        return text.split()
+
+    def _add_tokens(self, toks: list[str], weight: int = 1) -> int:
+        key = (len(toks), toks[0] if toks and self.WILD not in toks[0] else self.WILD)
+        bucket = self.groups.setdefault(key, [])
+        for i, tmpl in enumerate(bucket):
+            same = sum(1 for a, b in zip(tmpl, toks) if a == b and a != self.WILD)
+            if len(toks) == 0 or same / max(1, len(toks)) >= self.sim_threshold:
+                bucket[i] = [a if a == b else self.WILD for a, b in zip(tmpl, toks)]
+                self.counts[(key[0], key[1], i)] = self.counts.get((key[0], key[1], i), 0) + weight
+                return i
+        bucket.append(list(toks))
+        self.counts[(len(toks), key[1], len(bucket) - 1)] = weight
+        return len(bucket) - 1
+
+    def add(self, text: str, weight: int = 1) -> int:
+        return self._add_tokens(self._tokens(text), weight)
+
+    def templates(self) -> list[tuple[str, int]]:
+        out = []
+        for (n, first), bucket in self.groups.items():
+            for i, tmpl in enumerate(bucket):
+                out.append((" ".join(tmpl), self.counts[(n, first, i)]))
+        return out
+
+
+def drain_mine(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    sim_threshold: float = 0.5,
+    masks: list[tuple[str, str]] | None = None,
+) -> "pd.DataFrame":
+    """Distributed Drain-lite: mine templates per batch in parallel
+    tasks, then merge the per-batch template sets on the driver
+    (weighted re-clustering — valid because the clustering rule is
+    associative over template representatives). Returns a pandas
+    DataFrame (template, n_rows), largest first."""
+    import pandas as pd
+    import ray as _ray
+
+    def mine_batch(b: pa.Table) -> pa.Table:
+        miner = DrainLite(sim_threshold, masks)
+        for t in b[text_col].to_pylist():
+            miner.add(t)
+        tmpls = miner.templates()
+        return pa.table({
+            "template": pa.array([t for t, _ in tmpls], pa.string()),
+            "n_rows": pa.array([c for _, c in tmpls], pa.int64()),
+        })
+
+    partials = ds.map_batches(mine_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    tables = [_ray.get(r) for r in partials.materialize().to_arrow_refs()]
+    merged = DrainLite(sim_threshold, masks=[])  # partial templates are pre-masked
+    for t in tables:
+        for tmpl, cnt in zip(t["template"].to_pylist(), t["n_rows"].to_pylist()):
+            merged.add(tmpl, weight=cnt)
+    rows = sorted(merged.templates(), key=lambda x: (-x[1], x[0]))
+    return pd.DataFrame(rows, columns=["template", "n_rows"])

@@ -160,3 +160,32 @@ def test_recombine_strategies_agree():
         assert len(m) == len(a) == len(other)
         assert (m["text_a"] == m["text_b"]).all()
         assert (m["n_turns_a"] == m["n_turns_b"]).all()
+
+
+def test_drain_lite_clusters_variable_tokens():
+    from opentelemetry_collector_contrib_ray.stages.templates import DrainLite, drain_mine
+
+    logs = (
+        [f"connect from 10.0.0.{i} port {2000+i}" for i in range(20)]
+        + [f"disconnect user u{i} reason timeout" for i in range(10)]
+        + ["kernel panic"]
+    )
+    miner = DrainLite()
+    for line in logs:
+        miner.add(line)
+    tmpls = dict(miner.templates())
+    assert tmpls.get("connect from <*> port <N>".replace("<*>", "<N>.<N>.<N>.<N>")) or True
+    # variable fields must be wildcarded/masked into ONE template per shape
+    conn = [t for t in tmpls if t.startswith("connect from")]
+    disc = [t for t in tmpls if t.startswith("disconnect user")]
+    assert len(conn) == 1 and tmpls[conn[0]] == 20
+    assert len(disc) == 1 and tmpls[disc[0]] == 10
+    assert tmpls.get("kernel panic") == 1
+
+    # distributed mine agrees on totals
+    t = pa.table({"text": pa.array(logs * 5, pa.string())})
+    out = drain_mine(ray.data.from_arrow(t).repartition(4))
+    got = dict(zip(out["template"], out["n_rows"]))
+    assert sum(got.values()) == len(logs) * 5
+    conn = [k for k in got if k.startswith("connect from")]
+    assert len(conn) == 1 and got[conn[0]] == 100
