@@ -27,6 +27,7 @@ DuckDB oracle SQL can read the same files.
 
 from __future__ import annotations
 
+import glob as _glob
 import os
 import re
 import shutil
@@ -195,6 +196,12 @@ def ensure_transcripts(sf_dir_or_sf: str | float) -> str:
     and the DuckDB oracle always see complete files. Files are split
     ~500k rows each so Ray's read parallelizes at bench scale.
     """
+    # a pre-built transcript directory (part-*.parquet files) passes
+    # through untouched — lets pipelines run on externally supplied
+    # transcript shards, not only the cached synthetic sfs
+    s = str(sf_dir_or_sf)
+    if os.path.isdir(s) and _glob.glob(os.path.join(s, "part-*.parquet")):
+        return s
     sf = sf_name(sf_dir_or_sf)
     out = transcripts_dir(sf)
     if os.path.isdir(out) and os.listdir(out):

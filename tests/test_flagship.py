@@ -88,3 +88,48 @@ def test_resume_skips_done_partitions(out_root):
     assert n_files_after == n_files_before  # nothing rewritten
     # sf0.001 is a single input file -> one partition
     assert {k for k in entries} >= {"part-00000", "metrics:turn_count"}
+
+
+def test_multi_partition_resume(tmp_path):
+    """Partition-level lineage: re-running after deleting ONE
+    partition's manifest entry recomputes only that partition."""
+    import json
+
+    import pyarrow.parquet as pqt
+
+    # two-file input dir
+    tbl = generate_transcripts(2000)
+    src = tmp_path / "input"
+    src.mkdir()
+    pqt.write_table(tbl.slice(0, 1000), str(src / "part-00000.parquet"))
+    pqt.write_table(tbl.slice(1000, 1000), str(src / "part-00001.parquet"))
+
+    out = str(tmp_path / "out")
+    entries = run_flagship(str(src), out, partitions=2)
+    assert "part-00000" in entries and "part-00001" in entries
+
+    files_before = {f: os.path.getmtime(f)
+                    for f in glob.glob(os.path.join(out, "routed", "sink=*", "*.parquet"))}
+
+    # drop one partition's commit; rerun
+    man_path = os.path.join(out, "_manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    p1_inputs = set(man["entries"]["part-00001"]["inputs"])
+    del man["entries"]["part-00001"]
+    del man["entries"]["metrics:turn_count"]
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    run_flagship(str(src), out, partitions=2)
+
+    changed = {f for f, m in files_before.items()
+               if os.path.getmtime(f) != m}
+    # only files written by partition 1's tasks were rewritten; verify
+    # by checking some files survived untouched (partition 0's)
+    assert changed  # partition 1 rewrote idempotently
+    assert len(changed) < len(files_before)
+    # row totals unchanged after resume (idempotent overwrite)
+    total = sum(pqt.read_metadata(f).num_rows
+                for f in glob.glob(os.path.join(out, "routed", "sink=*", "*.parquet")))
+    want = sum(1 for _ in oracle_route(tbl.to_pylist()))
+    assert total == want
