@@ -16,9 +16,9 @@ total over a finite run equals one global grouped aggregate
 (SURVEY.md §3.3). Scale design: each batch is PRE-AGGREGATED inside
 map_batches with Arrow's hash group-by (one partial row per key per
 batch — the same partial-then-merge shape as counter.go:110-126),
-then the tiny partial stream is merged with a Ray ``groupby`` — the
-all-to-all shuffle moves only #distinct-keys x #blocks rows, never
-the input.
+then the tiny partial stream is merged with a parallel tree reduce
+(``tree_merge_groupby``) — no all-to-all shuffle at all; only
+#distinct-keys x #blocks partial rows ever move.
 """
 
 from __future__ import annotations
@@ -29,7 +29,6 @@ from typing import Any
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from ..expr import compile_predicate
 
@@ -166,8 +165,8 @@ def grouped_count_sum(
     signaltometrics generalization of count/sum connectors).
 
     ``sum_cols`` maps input column -> output name. Per-batch Arrow
-    hash group-by emits one partial row per key; the Ray groupby then
-    merges partials, so the shuffle is tiny.
+    hash group-by emits one partial row per key; a tree reduce then
+    merges the partials (bounded key cardinality assumed).
     """
     sum_cols = sum_cols or {}
 
