@@ -114,6 +114,34 @@ def _metric_query(sf_dir: str, idx: int):
     return run_metric_def(ds, d)
 
 
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation aggregate over the Zipf-hot conv_id key —
+    salted two-phase groupby (stages/skew.py): the hot conversation
+    (>20% of all rows) fans out over the salt in phase 1, so no
+    reducer sees the whole key."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.skew import salted_aggregate
+
+    ds = build_parsed(sf_dir, on_error="send")
+
+    def prep(b: pa.Table) -> pa.Table:
+        is_err = pc.cast(
+            pc.fill_null(pc.equal(b["severity_text"].combine_chunks(), "ERROR"), False),
+            pa.int64(),
+        )
+        dur = pc.fill_null(b["dur"].combine_chunks(), 0.0)
+        return pa.table({"conv_id": b["conv_id"].combine_chunks(),
+                         "is_err": is_err, "dur0": dur})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = salted_aggregate(
+        ds, ["conv_id"],
+        [("count", None, "n_turns"), ("sum", "is_err", "error_turns"), ("sum", "dur0", "dur_sum")],
+        salt=16,
+    )
+    return out
+
+
 def _q_recombine(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
 
@@ -538,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "agg_error_count": lambda sf: _metric_query(sf, 1),
         "agg_dur_sum": lambda sf: _metric_query(sf, 2),
+        "conv_stats": _q_conv_stats,
         "recombine_conv": _q_recombine,
         "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
@@ -672,6 +701,11 @@ FROM f WHERE level = 'ERROR' GROUP BY 1, 2""",
 SELECT role, CASE WHEN tool = '' THEN '-' ELSE tool END AS tool,
        date_trunc('hour', ts) AS hour, SUM(dur) AS dur_sum
 FROM f WHERE dur IS NOT NULL GROUP BY 1, 2, 3""",
+        "conv_stats": parsed_cte + """
+SELECT conv_id, COUNT(*) AS n_turns,
+       SUM(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS error_turns,
+       SUM(COALESCE(dur, 0.0)) AS dur_sum
+FROM f GROUP BY conv_id""",
         "recombine_conv": f"""
 SELECT conv_id, CAST(1 AS BIGINT) AS segment,
        string_agg(text, chr(10) ORDER BY turn_idx) AS text,

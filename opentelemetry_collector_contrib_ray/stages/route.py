@@ -37,12 +37,16 @@ DEFAULT_SINK = "default"
 
 
 class Route:
-    def __init__(self, condition: Any, sink: str, action: str = "move"):
+    def __init__(self, condition: Any, sink: str, action: str = "move",
+                 attributes: dict[str, Any] | None = None):
         if action not in ("move", "copy"):
             raise ValueError("action must be move|copy")
         self.pred = compile_predicate(condition)
         self.sink = sink
         self.action = action
+        # per-route attach attributes (stanza router optional
+        # attributes, transformer/router/config.go:55-61)
+        self.attributes = attributes or {}
 
 
 @register("router")
@@ -59,18 +63,36 @@ class Router:
         n = batch.num_rows
         remaining = pa.array([True] * n)
         sink = pa.nulls(n, pa.string())
+        attach_keys = sorted({k for r in self.routes for k in r.attributes})
+        attach: dict[str, pa.Array] = {k: pa.nulls(n, pa.string()) for k in attach_keys}
         copies: list[pa.Table] = []
+
+        def with_attrs(tbl: pa.Table, vals: dict[str, pa.Array | str | None]) -> pa.Table:
+            for k in attach_keys:
+                v = vals.get(k)
+                if isinstance(v, pa.Array):
+                    tbl = tbl.append_column(k, v)
+                else:
+                    tbl = tbl.append_column(
+                        k, pa.array([v] * tbl.num_rows, pa.string())
+                    )
+            return tbl
+
         for r in self.routes:
             m = pc.and_(r.pred(batch), remaining)
             if r.action == "move":
                 sink = pc.if_else(m, pa.scalar(r.sink, pa.string()), sink)
+                for k, v in r.attributes.items():
+                    attach[k] = pc.if_else(m, pa.scalar(str(v), pa.string()), attach[k])
                 remaining = pc.and_(remaining, pc.invert(m))
             else:
                 dup = batch.filter(m)
                 if dup.num_rows:
-                    copies.append(dup.append_column("sink", pa.array([r.sink] * dup.num_rows, pa.string())))
+                    dup = dup.append_column("sink", pa.array([r.sink] * dup.num_rows, pa.string()))
+                    copies.append(with_attrs(dup, {k: str(v) for k, v in r.attributes.items()}))
         sink = pc.if_else(remaining, pa.scalar(self.default_sink, pa.string()), sink)
         out = batch.append_column("sink", sink)
+        out = with_attrs(out, attach)
         if copies:
             out = pa.concat_tables([out] + copies, promote_options="none")
         return out

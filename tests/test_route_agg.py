@@ -126,3 +126,27 @@ def test_metric_def_empty_result(table):
                   dims=[("role", None), ("hour", None)])
     out = run_metric_def(ds, d)
     assert out.count() == 0
+
+
+def test_router_attach_attributes(table):
+    """Per-route attach attributes (stanza router,
+    transformer/router/config.go:55-61)."""
+    from opentelemetry_collector_contrib_ray.expr import col as c
+
+    parsed = TranscriptParser(on_error="send").fn(table)
+    routes = [
+        {"condition": (">=", c("status"), 500), "sink": "errors", "action": "move",
+         "attributes": {"priority": "high"}},
+        {"condition": ("==", c("role"), "tool"), "sink": "tools", "action": "copy",
+         "attributes": {"mirrored": "yes"}},
+    ]
+    out = Router(routes).fn(parsed)
+    import collections
+
+    by_sink = collections.defaultdict(list)
+    for s, p, m in zip(out["sink"].to_pylist(), out["priority"].to_pylist(),
+                       out["mirrored"].to_pylist()):
+        by_sink[s].append((p, m))
+    assert all(p == "high" and m is None for p, m in by_sink["errors"])
+    assert all(p is None and m == "yes" for p, m in by_sink["tools"])
+    assert all(p is None and m is None for p, m in by_sink["default"])
