@@ -531,6 +531,17 @@ def _q_lang_id(sf_dir: str):
     return LangId().apply(ds).select_columns(["doc_id", "pred_lang", "lang_confidence"])
 
 
+def _q_events_anomalies(sf_dir: str):
+    """Per-event-type z-score anomaly flags (rows-only: float mean/std
+    pipelines differ at the ulp level between engines; semantics
+    oracle-tested with planted outliers in tests/test_misc_stages)."""
+    from opentelemetry_collector_contrib_ray.stages.anomaly import zscore_anomalies
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = zscore_anomalies(ds, "value", ["event_type"], threshold=3.0)
+    return out.select_columns(["event_id", "event_type", "zscore", "is_anomaly"])
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data
 
@@ -600,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
         "lang_id": _q_lang_id,
+        "events_anomalies": _q_events_anomalies,
         "multimodal_decode": _q_multimodal_decode,
     }
 

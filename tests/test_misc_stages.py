@@ -189,3 +189,17 @@ def test_drain_lite_clusters_variable_tokens():
     assert sum(got.values()) == len(logs) * 5
     conn = [k for k in got if k.startswith("connect from")]
     assert len(conn) == 1 and got[conn[0]] == 100
+
+
+def test_zscore_anomalies_flags_planted_outliers():
+    from opentelemetry_collector_contrib_ray.stages.anomaly import zscore_anomalies
+
+    rng = np.random.default_rng(17)
+    vals = rng.normal(100.0, 5.0, 5000)
+    vals[[100, 2500, 4999]] = [500.0, -300.0, 900.0]  # planted outliers
+    t = pa.table({"k": pa.array(["g"] * 5000), "v": pa.array(vals, pa.float64()),
+                  "i": pa.array(range(5000), pa.int64())})
+    out = zscore_anomalies(ray.data.from_arrow(t).repartition(4), "v", ["k"]).to_pandas()
+    flagged = set(out[out["is_anomaly"]]["i"])
+    assert {100, 2500, 4999} <= flagged
+    assert len(flagged) < 20  # no mass false positives
