@@ -114,6 +114,17 @@ def _metric_query(sf_dir: str, idx: int):
     return run_metric_def(ds, d)
 
 
+def _q_guarded_tool_counts(sf_dir: str):
+    """Cardinality guardian: cap the tool label at 3 values, overflow
+    -> __other__, then count per guarded value."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import grouped_count_sum
+    from opentelemetry_collector_contrib_ray.stages.cardinality import cardinality_guard
+
+    ds = read_transcripts(sf_dir).select_columns(["tool"])
+    guarded = cardinality_guard(ds, "tool", max_values=3)
+    return grouped_count_sum(guarded, ["tool"], count_name="n_turns")
+
+
 def _q_conv_stats(sf_dir: str):
     """Per-conversation aggregate over the Zipf-hot conv_id key —
     salted two-phase groupby (stages/skew.py): the hot conversation
@@ -351,6 +362,20 @@ def _q_cumulative_delta(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_cents"])
 
 
+def _q_events_rate(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.sessionize import delta_rate
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("value_cents", v)
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = delta_rate(ds, "user_id", "ts", "value_cents", "rate_cents_per_s")
+    return out.select_columns(["event_id", "user_id", "rate_cents_per_s"])
+
+
 def _q_dedup_exact(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
 
@@ -578,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_error_count": lambda sf: _metric_query(sf, 1),
         "agg_dur_sum": lambda sf: _metric_query(sf, 2),
         "conv_stats": _q_conv_stats,
+        "guarded_tool_counts": _q_guarded_tool_counts,
         "recombine_conv": _q_recombine,
         "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
@@ -597,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_last": _q_interval_last,
         "running_total": _q_running_total,
         "cumulative_delta": _q_cumulative_delta,
+        "events_rate": _q_events_rate,
         "union_streams": _q_union_streams,
         "top_events": _q_top_events,
         "dedup_exact": _q_dedup_exact,
@@ -713,6 +740,13 @@ FROM f WHERE level = 'ERROR' GROUP BY 1, 2""",
 SELECT role, CASE WHEN tool = '' THEN '-' ELSE tool END AS tool,
        date_trunc('hour', ts) AS hour, SUM(dur) AS dur_sum
 FROM f WHERE dur IS NOT NULL GROUP BY 1, 2, 3""",
+        "guarded_tool_counts": f"""
+WITH c AS (SELECT tool, COUNT(*) AS n FROM read_parquet('{tpath}') GROUP BY tool),
+k AS (SELECT tool FROM c QUALIFY row_number() OVER (ORDER BY n DESC, tool) <= 3)
+SELECT CASE WHEN t.tool IN (SELECT tool FROM k) THEN t.tool
+            ELSE '__other__' END AS tool,
+       COUNT(*) AS n_turns
+FROM read_parquet('{tpath}') t GROUP BY 1""",
         "conv_stats": parsed_cte + """
 SELECT conv_id, COUNT(*) AS n_turns,
        SUM(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS error_turns,
@@ -809,6 +843,15 @@ SELECT event_id, user_id,
       OVER (PARTITION BY user_id ORDER BY ts
             ROWS UNBOUNDED PRECEDING) AS running_cents
 FROM events""",
+        "events_rate": """
+WITH o AS (
+  SELECT event_id, user_id,
+    CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us, ts
+  FROM events)
+SELECT event_id, user_id,
+  CAST(cents - lag(cents) OVER w AS DOUBLE)
+    / (CAST(us - lag(us) OVER w AS DOUBLE) / 1000000.0) AS rate_cents_per_s
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
         "union_streams": """
 SELECT event_id, event_type FROM events WHERE event_type = 'error'
 UNION ALL

@@ -61,6 +61,28 @@ def cumulative_to_delta(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def delta_rate(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    out_col: str = "rate_per_s",
+) -> ray.data.Dataset:
+    """deltatorateprocessor (processor/deltatorateprocessor): per-stream
+    value delta divided by the elapsed seconds between consecutive
+    points; the first point of a stream has no rate (null)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        dv = g[value_col].diff()
+        # explicit microsecond epoch (pandas datetime unit varies)
+        us = pd.Series(g[ts_col].values.astype("datetime64[us]").astype("int64"),
+                       index=g.index)
+        return g.assign(**{out_col: dv / (us.diff() / 1e6)})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def cumulative_sum(
     ds: ray.data.Dataset,
     key_col: str,
