@@ -170,6 +170,34 @@ class _WriteAndAggregate:
         return _metric_partial(orig)
 
 
+def committed_files(routed_path: str) -> set[str]:
+    """The authoritative routed-output file set: the union of all
+    part-manifest entries (write-audit-publish). Files on disk but
+    absent here are orphans from interrupted/retried tasks and must be
+    ignored by readers (and may be garbage-collected)."""
+    out: set[str] = set()
+    pdir = os.path.join(routed_path, "_parts")
+    if not os.path.isdir(pdir):
+        return out
+    for mf in _glob.glob(os.path.join(pdir, "*.json")):
+        with open(mf) as f:
+            for e in json.load(f)["files"]:
+                out.add(e["file"])
+    return out
+
+
+def sweep_orphans(routed_path: str) -> list[str]:
+    """Delete data files not named by any part-manifest; returns the
+    removed paths."""
+    good = committed_files(routed_path)
+    removed = []
+    for f in _glob.glob(os.path.join(routed_path, "sink=*", "*.parquet")):
+        if f not in good:
+            os.remove(f)
+            removed.append(f)
+    return removed
+
+
 def _fused_pass(input_files: list[str], routed_path: str) -> pa.Table:
     """read -> parse -> enrich -> route -> write+partial -> tree merge.
     One streaming consumption; returns the merged metric partial.

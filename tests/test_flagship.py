@@ -133,3 +133,25 @@ def test_multi_partition_resume(tmp_path):
                 for f in glob.glob(os.path.join(out, "routed", "sink=*", "*.parquet")))
     want = sum(1 for _ in oracle_route(tbl.to_pylist()))
     assert total == want
+
+
+def test_orphan_sweep(tmp_path):
+    """Write-audit-publish: files outside the part-manifests are
+    orphans; sweep_orphans removes exactly them."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        committed_files,
+        sweep_orphans,
+    )
+
+    out = str(tmp_path / "o")
+    run_flagship(SF, out)
+    routed = os.path.join(out, "routed")
+    good = committed_files(routed)
+    assert good == set(glob.glob(os.path.join(routed, "sink=*", "*.parquet")))
+
+    orphan = os.path.join(routed, "sink=errors", "part-deadbeef.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet")
+    removed = sweep_orphans(routed)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
