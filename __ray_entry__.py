@@ -749,7 +749,8 @@ SELECT CASE WHEN t.tool IN (SELECT tool FROM k) THEN t.tool
 FROM read_parquet('{tpath}') t GROUP BY 1""",
         "conv_stats": parsed_cte + """
 SELECT conv_id, COUNT(*) AS n_turns,
-       SUM(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS error_turns,
+       CAST(SUM(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS BIGINT)
+           AS error_turns,
        SUM(COALESCE(dur, 0.0)) AS dur_sum
 FROM f GROUP BY conv_id""",
         "recombine_conv": f"""
@@ -792,7 +793,7 @@ SELECT conv_id, turn_idx,
 FROM f WHERE ok""",
         "events_hourly": """
 SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2""",
         "events_json": """
 SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events""",
@@ -839,9 +840,9 @@ QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
                            ORDER BY ts DESC) = 1""",
         "running_total": """
 SELECT event_id, user_id,
-  SUM(CAST(round(value * 100) AS BIGINT))
+  CAST(SUM(CAST(round(value * 100) AS BIGINT))
       OVER (PARTITION BY user_id ORDER BY ts
-            ROWS UNBOUNDED PRECEDING) AS running_cents
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events""",
         "events_rate": """
 WITH o AS (
@@ -892,8 +893,9 @@ SELECT query_id, neighbor_id,
 FROM s QUALIFY rank <= 5""",
         "lineitem_pricing": """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
-  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS price_cents
 FROM lineitem GROUP BY 1, 2""",
     }
     # IVF with full probing is exactly brute-force cosine top-k

@@ -29,11 +29,27 @@ def to_pandas(result) -> pd.DataFrame:
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
+        # Width-normalize only; NEVER unify int<->float — the driver's
+        # value hash distinguishes 5 from 5.0 (round-1 lesson: DuckDB
+        # SUM(BIGINT) -> HUGEINT -> float64 vs engine int64 slipped past
+        # the old np.allclose compare here and failed the driver gate).
         if pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
 
 
 def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
@@ -44,13 +60,18 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"ROWCOUNT mismatch: ray={len(a)} sql={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-12, equal_nan=True)
+        ka, kb = _kind(av), _kind(bv)
+        if ka != kb:
+            return (f"DTYPE mismatch col={c}: ray={av.dtype} sql={bv.dtype} "
+                    f"(driver exact-value hash WILL diverge)")
+        if ka == "float":
+            # exact, like the driver's value hash; NaN == NaN
+            ok = np.array_equal(av.to_numpy(), bv.to_numpy(), equal_nan=True)
         else:
             ok = av.equals(bv) or (av.astype(str).equals(bv.astype(str)))
         if not ok:
             mism = (av.astype(str) != bv.astype(str))
-            i = int(np.argmax(mism.to_numpy()))
+            i = int(np.argmax(mism.to_numpy())) if mism.any() else 0
             return f"VALUE mismatch col={c} row={i}: ray={av.iloc[i]!r} sql={bv.iloc[i]!r}"
     return "OK"
 
