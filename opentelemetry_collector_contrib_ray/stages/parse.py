@@ -372,23 +372,60 @@ class TraceParser:
         self.trace_col = trace_col
         self.span_col = span_col
 
-    def fn(self, batch: pa.Table) -> pa.Table:
-        import binascii
+    _NIBBLE = None  # lazy 256-entry hex-char -> nibble lookup
 
+    @classmethod
+    def _hex_decode(cls, arr: pa.Array, width: int) -> pa.Array:
+        """Vectorized fixed-width hex decode: regex validity mask, then
+        a nibble lookup over the raw utf8 buffer — no Python per row."""
+        import numpy as np
+
+        if cls._NIBBLE is None:
+            t = np.zeros(256, dtype=np.uint8)
+            for i, c in enumerate(b"0123456789abcdef"):
+                t[c] = i
+            for i, c in enumerate(b"ABCDEF"):
+                t[c] = 10 + i
+            cls._NIBBLE = t
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = pc.match_substring_regex(
+            pc.fill_null(pc.cast(arr, pa.string()), ""), rf"^[0-9a-fA-F]{{{2 * width}}}$"
+        )
+        hexes = pc.fill_null(arr, "").combine_chunks() if isinstance(arr, pa.ChunkedArray) else pc.fill_null(arr, "")
+        good = pc.filter(hexes, valid)
+        n_good = len(good)
+        if n_good:
+            bufs = good.buffers()
+            offs = np.frombuffer(bufs[1], "<i4", count=n_good + 1, offset=good.offset * 4)
+            data = np.frombuffer(bufs[2], np.uint8)
+            idx = offs[:-1, None] + np.arange(2 * width)[None, :]
+            nib = cls._NIBBLE[data[idx]]
+            raw = (nib[:, 0::2] << 4 | nib[:, 1::2]).tobytes()
+        else:
+            raw = b""
+        valid_np = valid.to_numpy(zero_copy_only=False).astype(bool)
+        n = len(valid_np)
+        # scatter decoded bytes into a fixed_size_binary buffer
+        out_buf = np.zeros((n, width), dtype=np.uint8)
+        if n_good:
+            out_buf[valid_np] = np.frombuffer(raw, np.uint8).reshape(n_good, width)
+        bitmap = np.packbits(valid_np, bitorder="little")
+        fsb = pa.Array.from_buffers(
+            pa.binary(width), n,
+            [pa.py_buffer(bitmap.tobytes()), pa.py_buffer(out_buf.tobytes())],
+            null_count=int((~valid_np).sum()),
+        )
+        return fsb.cast(pa.binary())
+
+    def fn(self, batch: pa.Table) -> pa.Table:
         for col_name, width, out in [
             (self.trace_col, 16, "trace_id"),
             (self.span_col, 8, "span_id"),
         ]:
             if col_name is None:
                 continue
-            vals = []
-            for s in batch[col_name].to_pylist():
-                try:
-                    b = binascii.unhexlify(s) if s else None
-                    vals.append(b if b is not None and len(b) == width else None)
-                except (binascii.Error, TypeError):
-                    vals.append(None)
-            batch = batch.append_column(out, pa.array(vals, pa.binary()))
+            batch = batch.append_column(out, self._hex_decode(batch[col_name], width))
         return batch
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -23,7 +23,7 @@ import ray
 import ray.data
 
 from ..expr import compile_predicate
-from ..functions.hashing import md5_number_lower_np
+from ..functions.hashing import md5_number_lower_arrow
 
 
 def tail_sample(
@@ -61,7 +61,7 @@ def tail_sample(
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         always = pc.is_in(keys, value_set=ray.get(keep_ref))
-        h = md5_number_lower_np([s + seed for s in keys.to_pylist()])
+        h = md5_number_lower_arrow(keys, suffix=seed).to_numpy(zero_copy_only=False)
         sampled = pa.array((h % 10_000) < threshold)
         return b.filter(pc.or_(always, sampled))
 

@@ -125,28 +125,46 @@ class LangId:
 
 @register("fingerprint")
 class Fingerprint:
-    """Rolling/content hash per document: 64-bit FNV-1a of the full
-    text plus a shingle-min rolling fingerprint (cheap near-dup
-    pre-key). Mirrors the role of logdedup's body+attrs hash
-    (processor/logdedupprocessor/processor.go:242-295)."""
+    """Rolling/content hash per document: md5-u64 of the full text
+    plus a chunk-min rolling fingerprint (cheap near-dup pre-key).
+    Mirrors the role of logdedup's body+attrs hash
+    (processor/logdedupprocessor/processor.go:242-295).
+
+    Fully vectorized (round-1 VERDICT #8): content hash = one
+    md5_number_lower_arrow pass; rolling = min over non-overlapping
+    ``shingle``-char chunks, each chunk column sliced with Arrow
+    utf8_slice_codeunits and hashed as a batch. md5-u64 (not FNV) so
+    DuckDB can replay it: ``md5_number_lower(text[j:j+k-1])``.
+    """
 
     def __init__(self, text_col: str = "text", shingle: int = 8):
         self.text_col = text_col
         self.shingle = shingle
 
     def fn(self, b: pa.Table) -> pa.Table:
-        texts = b[self.text_col].to_pylist()
-        full = np.empty(len(texts), dtype=np.uint64)
-        rolling = np.empty(len(texts), dtype=np.uint64)
+        from ..functions.hashing import md5_number_lower_arrow
+
         k = self.shingle
-        for i, s in enumerate(texts):
-            data = (s or "").encode()
-            full[i] = fnv1a64_bytes(data)
-            if len(data) <= k:
-                rolling[i] = full[i]
-            else:
-                mv = memoryview(data)
-                rolling[i] = min(fnv1a64_bytes(bytes(mv[j:j + k])) for j in range(0, len(data) - k + 1, k))
+        texts = b[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        full = md5_number_lower_arrow(texts).to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+        rolling = full.copy()  # len <= k keeps the full hash
+        long = lens > k
+        if long.any():
+            max_len = int(lens.max())
+            rmin = np.full(len(lens), np.iinfo(np.uint64).max, dtype=np.uint64)
+            for start in range(0, max_len - k + 1, k):
+                # docs whose chunk [start, start+k) is fully in range
+                valid = lens - k >= start
+                if not valid.any():
+                    break
+                chunk = pc.utf8_slice_codeunits(texts, start, start + k)
+                h = md5_number_lower_arrow(chunk).to_numpy(zero_copy_only=False)
+                np.minimum(rmin, np.where(valid, h, rmin), out=rmin)
+            rolling[long] = rmin[long]
         out = b.append_column("content_hash", pa.array(full, pa.uint64()))
         out = out.append_column("rolling_min_hash", pa.array(rolling, pa.uint64()))
         return out
