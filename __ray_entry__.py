@@ -243,8 +243,9 @@ def _q_events_json(sf_dir: str):
 def _q_sessions(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sessionize import sessionize
 
-    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
-    return sessionize(ds, "user_id", "ts", 30.0)
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    return sessionize(ds, "user_id", "ts", 30.0, tiebreak_col="event_id").select_columns(
+        ["user_id", "session_idx", "n_events", "session_start", "session_end"])
 
 
 def _q_tail_sample(sf_dir: str):
@@ -325,7 +326,8 @@ def _q_running_total(sf_dir: str):
         return b.append_column("value_cents", v)
 
     ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = cumulative_sum(ds, "user_id", "ts", "value_cents", "running_cents")
+    out = cumulative_sum(ds, "user_id", "ts", "value_cents", "running_cents",
+                         tiebreak_col="event_id")
     return out.select_columns(["event_id", "user_id", "running_cents"])
 
 
@@ -358,7 +360,8 @@ def _q_cumulative_delta(sf_dir: str):
         return b.append_column("value_cents", v)
 
     ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = cumulative_to_delta(ds, "user_id", "ts", "value_cents", "delta_cents")
+    out = cumulative_to_delta(ds, "user_id", "ts", "value_cents", "delta_cents",
+                              tiebreak_col="event_id")
     return out.select_columns(["event_id", "user_id", "delta_cents"])
 
 
@@ -372,7 +375,8 @@ def _q_events_rate(sf_dir: str):
         return b.append_column("value_cents", v)
 
     ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    out = delta_rate(ds, "user_id", "ts", "value_cents", "rate_cents_per_s")
+    out = delta_rate(ds, "user_id", "ts", "value_cents", "rate_cents_per_s",
+                     tiebreak_col="event_id")
     return out.select_columns(["event_id", "user_id", "rate_cents_per_s"])
 
 
@@ -841,7 +845,7 @@ QUALIFY row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
         "running_total": """
 SELECT event_id, user_id,
   CAST(SUM(CAST(round(value * 100) AS BIGINT))
-      OVER (PARTITION BY user_id ORDER BY ts
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
 FROM events""",
         "events_rate": """
@@ -851,8 +855,9 @@ WITH o AS (
   FROM events)
 SELECT event_id, user_id,
   CAST(cents - lag(cents) OVER w AS DOUBLE)
-    / (CAST(us - lag(us) OVER w AS DOUBLE) / 1000000.0) AS rate_cents_per_s
-FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+    / NULLIF(CAST(us - lag(us) OVER w AS DOUBLE) / 1000000.0, 0.0)
+    AS rate_cents_per_s
+FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
         "union_streams": """
 SELECT event_id, event_type FROM events WHERE event_type = 'error'
 UNION ALL
@@ -862,7 +867,7 @@ WHERE event_type = 'purchase' AND value > 100.0""",
 SELECT event_id, user_id,
   CAST(CAST(round(value * 100) AS BIGINT)
        - lag(CAST(round(value * 100) AS BIGINT))
-           OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS delta_cents
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta_cents
 FROM events""",
         "top_events": """
 SELECT event_id, event_type, value FROM events

@@ -140,15 +140,26 @@ class _WriteAndAggregate:
         sinks = b["sink"]
         if isinstance(sinks, pa.ChunkedArray):
             sinks = sinks.combine_chunks()
-        # Deterministic per-block id (blocks are disjoint contiguous row
-        # ranges, so the first key identifies the block): task retries
-        # and lineage re-executions overwrite the SAME files instead of
-        # duplicating them — the write is idempotent.
+        # Deterministic per-block id: md5 of the block's FULL
+        # (conv_id, turn_idx) key-column content. Task retries and
+        # lineage re-executions reproduce identical content -> the same
+        # id -> they overwrite the SAME files (idempotent), while two
+        # distinct blocks that happen to share first row + row count
+        # (e.g. external shards all starting at turn 0 of a shared
+        # conv) get different ids. The joined array is freshly computed
+        # so its buffers are canonical (offset 0, exactly sized).
         import hashlib
 
-        tid = hashlib.md5(
-            f"{b['conv_id'][0].as_py()}|{b['turn_idx'][0].as_py()}|{b.num_rows}".encode()
-        ).hexdigest()[:16]
+        joined = pc.binary_join_element_wise(
+            b["conv_id"].combine_chunks() if isinstance(b["conv_id"], pa.ChunkedArray) else b["conv_id"],
+            pc.cast(b["turn_idx"].combine_chunks() if isinstance(b["turn_idx"], pa.ChunkedArray) else b["turn_idx"], pa.string()),
+            "|",
+        )
+        h = hashlib.md5()
+        for buf in joined.buffers():
+            if buf is not None:
+                h.update(buf)
+        tid = h.hexdigest()[:16]
         written = []
         for s in pc.unique(sinks).to_pylist():
             sub = b.filter(pc.equal(sinks, s))

@@ -124,19 +124,24 @@ def tree_merge_groupby(
         g = merged.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
         return g.rename_columns(keys + sum_cols)
 
+    return tree_reduce(partials, combine, fan_in=fan_in)
+
+
+def tree_reduce(partials: ray.data.Dataset, combine, fan_in: int = 64) -> pa.Table:
+    """Parallel tree reduce of a partial-table stream with an arbitrary
+    associative+commutative ``combine(list[pa.Table]) -> pa.Table``.
+
+    The Dataset API has no tree-reduce and a full ``ds.groupby``
+    sort-shuffle is overkill for a commutative merge; raw Ray tasks
+    combine ``fan_in`` tables per round until one driver-side combine
+    finishes. materialize() pins the (small) partial blocks so the
+    refs below cannot trigger lineage re-execution of upstream tasks
+    (which may have side effects, e.g. sink writes in the fused
+    flagship pass)."""
     import ray as _ray
 
     combine_task = _ray.remote(num_cpus=1)(lambda *ts: combine(list(ts)))
-
-    # materialize() pins the (small) partial blocks in the object
-    # store so the refs below cannot trigger lineage re-execution of
-    # the upstream tasks (which may have side effects, e.g. sink
-    # writes in the fused flagship pass)
     refs = partials.materialize().to_arrow_refs()
-    # parallel tree reduce with raw Ray tasks (the Dataset API has no
-    # tree-reduce; a full ds.groupby sort-shuffle is overkill for a
-    # commutative merge): each round combines fan_in tables in
-    # parallel until one driver-side combine finishes the job.
     while len(refs) > fan_in:
         refs = [
             combine_task.remote(*refs[i : i + fan_in])

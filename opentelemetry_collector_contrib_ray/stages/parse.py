@@ -54,10 +54,36 @@ def _extract_columns(
         col = pc.struct_field(result, field.name)
         want = types.get(field.name)
         if want is not None and want != pa.string():
-            # cast failures also count as parse errors for the row
-            col = pc.cast(col, want, safe=False)
+            col, ok = _cast_or_null(col, want, ok)
         out = out.append_column(prefix + field.name, col)
     return out, ok
+
+
+def _cast_or_null(col: pa.Array, want: pa.DataType, ok: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Cast failures count as PER-ROW parse errors (folded into ``ok``),
+    never batch aborts — the whole-batch ArrowInvalid would break the
+    on_error contract (helper/transformer.go:214-224). Fast path is the
+    plain vectorized cast; the row-wise salvage only runs for batches
+    that actually contain an uncastable capture (e.g. a >int64 digit
+    run through grok %{INT})."""
+    try:
+        return pc.cast(col, want, safe=False), ok
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        vals = col.to_pylist()
+        casted: list = []
+        valid = []
+        for v in vals:
+            if v is None:
+                casted.append(None)
+                valid.append(True)  # already-null rows are not NEW errors
+                continue
+            try:
+                casted.append(pa.scalar(v).cast(want).as_py())
+                valid.append(True)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError, OverflowError):
+                casted.append(None)
+                valid.append(False)
+        return pa.array(casted, type=want), pc.and_(ok, pa.array(valid))
 
 
 @register("regex_parser")

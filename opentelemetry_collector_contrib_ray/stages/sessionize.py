@@ -1,19 +1,26 @@
-"""Event sessionization / windowed aggregates over the events table.
+"""Event sessionization / per-stream delta family over the events table.
 
-The reference's time-state processors (intervalprocessor,
-deltatocumulative, tailsampling decision_wait) are timer-flushed
-per-key state machines; on a finite table their semantics collapse to
-per-key ordered scans (SURVEY.md §2.5 windows note). Implemented as
-``groupby(key).map_groups`` over ts-sorted groups — the ordering
-assumption (all events of a key in one group, sorted here) is
-guaranteed by the shuffle, not by arrival order.
+The reference's time-state processors (deltatocumulative,
+cumulativetodelta, deltatorate) are timer-flushed per-key state
+machines; on a finite table their semantics collapse to per-key
+ordered scans (SURVEY.md §2.5). Round 1 ran them as
+``groupby(key).map_groups`` — a pandas frame per key, billions of
+~100us frames at 100 TB. They now delegate to stages/scan.py: ONE
+sort by (key, ts, tiebreak), then segmented numpy kernels per block
+with O(blocks) boundary carry — no per-group Python.
+
+``tiebreak_col`` makes duplicate (key, ts) ordering deterministic and
+SQL-replayable (ORDER BY ts, tiebreak) — ADVICE round-1.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from .scan import keyed_cumsum, keyed_delta, keyed_rate, keyed_session_index
 
 
 def sessionize(
@@ -21,26 +28,57 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
-    """Assign session ids per key with a inactivity-gap rule; one row
-    per session: (key, session_idx, n_events, session_start,
-    session_end). Session boundaries: gap > gap_minutes."""
-    gap = pd.Timedelta(minutes=gap_minutes)
+    """One row per session: (key, session_idx, n_events, session_start,
+    session_end). Session boundaries: inactivity gap > gap_minutes.
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        new_sess = g[ts_col].diff() > gap
-        sess_idx = new_sess.cumsum().astype(np.int64)
-        out = g.assign(session_idx=sess_idx).groupby("session_idx", sort=True).agg(
-            n_events=(ts_col, "size"),
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-        )
-        out = out.reset_index()
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    Shape: distributed session-index scan (stages/scan.py), then a
+    per-block partial collapse to one row per session slice (sessions
+    are contiguous runs in the sorted blocks) and a grouped merge of
+    only the partial rows — the merge shuffle moves one row per
+    session per block, not the event stream."""
+    idx = keyed_session_index(ds, key_col, ts_col, gap_minutes, tiebreak_col)
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def partial(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], b.schema.field(key_col).type),
+                "session_idx": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+                "session_start": pa.array([], b.schema.field(ts_col).type),
+                "session_end": pa.array([], b.schema.field(ts_col).type),
+            })
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        sidx = b["session_idx"].to_numpy(zero_copy_only=False)
+        change = np.concatenate([[True], (keys[1:] != keys[:-1]) | (sidx[1:] != sidx[:-1])])
+        starts = np.nonzero(change)[0]
+        ends = np.append(starts[1:], len(keys)) - 1
+        lens = np.append(starts[1:], len(keys)) - starts
+        t = b[ts_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        k = b[key_col]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        starts_idx = pa.array(starts)
+        return pa.table({
+            key_col: k.take(starts_idx),
+            "session_idx": pa.array(sidx[starts], pa.int64()),
+            "n_events": pa.array(lens, pa.int64()),
+            "session_start": t.take(starts_idx),
+            "session_end": t.take(pa.array(ends)),
+        })
+
+    partials = idx.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    merged = partials.groupby([key_col, "session_idx"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Min("session_start", alias_name="session_start"),
+        Max("session_end", alias_name="session_end"),
+    )
+    return merged
 
 
 def cumulative_to_delta(
@@ -49,16 +87,12 @@ def cumulative_to_delta(
     ts_col: str,
     value_col: str,
     out_col: str = "delta",
+    tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
     """cumulativetodeltaprocessor (processor/cumulativetodeltaprocessor):
     per-stream difference of consecutive cumulative points; the first
     point of a stream has no delta (null)."""
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        return g.assign(**{out_col: g[value_col].diff()})
-
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return keyed_delta(ds, key_col, ts_col, value_col, out_col, tiebreak_col)
 
 
 def delta_rate(
@@ -67,20 +101,12 @@ def delta_rate(
     ts_col: str,
     value_col: str,
     out_col: str = "rate_per_s",
+    tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
     """deltatorateprocessor (processor/deltatorateprocessor): per-stream
-    value delta divided by the elapsed seconds between consecutive
-    points; the first point of a stream has no rate (null)."""
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        dv = g[value_col].diff()
-        # explicit microsecond epoch (pandas datetime unit varies)
-        us = pd.Series(g[ts_col].values.astype("datetime64[us]").astype("int64"),
-                       index=g.index)
-        return g.assign(**{out_col: dv / (us.diff() / 1e6)})
-
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    value delta / elapsed seconds; first point of a stream and
+    0-second gaps yield null."""
+    return keyed_rate(ds, key_col, ts_col, value_col, out_col, tiebreak_col)
 
 
 def cumulative_sum(
@@ -89,14 +115,10 @@ def cumulative_sum(
     ts_col: str,
     value_col: str,
     out_col: str = "running_total",
+    tiebreak_col: str | None = None,
 ) -> ray.data.Dataset:
     """deltatocumulative semantics (processor/deltatocumulativeprocessor
     /config.go:21-29: running sums per stream identity) — per-key
     ordered cumulative sum; eviction (max_stale/max_streams) is
     unnecessary on finite input."""
-
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        return g.assign(**{out_col: g[value_col].cumsum()})
-
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return keyed_cumsum(ds, key_col, ts_col, value_col, out_col, tiebreak_col)

@@ -149,10 +149,21 @@ class Statement:
     def _op_coalesce(self, tbl, mask, target: str, sources: list[Any], default: Any = None):
         acc = None
         for s in sources:
+            # a missing source column reads as all-null (so attributes
+            # `insert` CREATES absent keys — its whole purpose,
+            # attraction.go INSERT — instead of KeyError-cancelling the
+            # statement under error_mode='ignore')
+            if isinstance(s, Col) and s.name not in tbl.column_names:
+                continue
             v = _val(tbl, s)
             if not isinstance(v, (pa.Array, pa.ChunkedArray)):
                 v = pa.array([v] * tbl.num_rows)
             acc = v if acc is None else pc.coalesce(acc, v)
+        if acc is None:
+            acc = pa.nulls(tbl.num_rows)
+            if default is not None:
+                acc = pa.array([default] * tbl.num_rows)
+            return _masked(tbl, target, acc, mask)
         if default is not None:
             acc = pc.fill_null(acc, default)
         return _masked(tbl, target, acc, mask)

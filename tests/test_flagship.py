@@ -80,8 +80,6 @@ def test_part_manifests_cover_all_files(out_root):
 
 
 def test_resume_skips_done_partitions(out_root):
-    man_path = os.path.join(out_root, "_manifest.json")
-    before = os.path.getmtime(man_path)
     n_files_before = len(glob.glob(os.path.join(out_root, "routed", "sink=*", "*.parquet")))
     entries = run_flagship(SF, out_root, partitions=2)
     n_files_after = len(glob.glob(os.path.join(out_root, "routed", "sink=*", "*.parquet")))
@@ -111,15 +109,13 @@ def test_multi_partition_resume(tmp_path):
     files_before = {f: os.path.getmtime(f)
                     for f in glob.glob(os.path.join(out, "routed", "sink=*", "*.parquet"))}
 
-    # drop one partition's commit; rerun
-    man_path = os.path.join(out, "_manifest.json")
-    with open(man_path) as f:
-        man = json.load(f)
-    p1_inputs = set(man["entries"]["part-00001"]["inputs"])
-    del man["entries"]["part-00001"]
-    del man["entries"]["metrics:turn_count"]
-    with open(man_path, "w") as f:
-        json.dump(man, f)
+    # drop one partition's commit (per-key entry files); rerun
+    from opentelemetry_collector_contrib_ray.state.manifest import Manifest
+
+    man = Manifest(out)
+    assert man.is_done("part-00001")
+    os.remove(man._key_path("part-00001"))
+    os.remove(man._key_path("metrics:turn_count"))
     run_flagship(str(src), out, partitions=2)
 
     changed = {f for f, m in files_before.items()
