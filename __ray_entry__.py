@@ -571,6 +571,128 @@ def _q_events_anomalies(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "zscore", "is_anomaly"])
 
 
+def _render_syslog5424(sf_dir: str):
+    """Deterministic RFC 5424 lines from the events table (FIXTURES
+    render rule R-SYSLOG): every 20th row is garbage (on_error=send),
+    every 5th msgid and 7th procid are '-', every 3rd row carries one
+    SD group. The oracle recomputes the expected parsed fields from
+    the SAME source columns — a parse(render(x)) == x round trip."""
+    import pandas as pd
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        pri = (df["user_id"] % 192).astype(str)
+        ts = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        host = "h" + (df["user_id"] % 20).astype(str)
+        proc = (df["event_id"] % 1000).astype(str).where(df["event_id"] % 7 != 0, "-")
+        msgid = ("m" + (df["event_id"] % 50).astype(str)).where(df["event_id"] % 5 != 0, "-")
+        sd = pd.Series("-", index=df.index)
+        with_sd = df["event_id"] % 3 == 0
+        sd[with_sd] = ('[ex@32473 k="v' + (df["event_id"] % 10).astype(str)
+                       + '" user="u' + (df["user_id"] % 100).astype(str) + '"]')[with_sd]
+        line = ("<" + pri + ">1 " + ts + " " + host + " " + df["event_type"]
+                + " " + proc + " " + msgid + " " + sd + " evt " + df["event_id"].astype(str))
+        line[df["event_id"] % 20 == 0] = "this is not a syslog line"
+        return df[["event_id"]].assign(text=line)
+
+    return ds.map_batches(render, batch_format="pandas", batch_size=None)
+
+
+def _q_syslog_parse(sf_dir: str):
+    from opentelemetry_collector_contrib_ray.stages.syslog import SyslogParser
+
+    ds = _render_syslog5424(sf_dir)
+    out = SyslogParser(protocol="rfc5424", parse_from="text", on_error="send").apply(ds)
+
+    def naive_ts(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("timestamp")
+        return b.set_column(i, "timestamp", pc.cast(b["timestamp"], pa.timestamp("us")))
+
+    out = out.map_batches(naive_ts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return out.select_columns(
+        ["event_id", "priority", "facility", "facility_text", "severity",
+         "severity_text", "timestamp", "hostname", "appname", "proc_id",
+         "msg_id", "structured_data", "message"]
+    )
+
+
+def _q_container_parse(sf_dir: str):
+    """Mixed docker/containerd/crio lines rendered deterministically
+    from events (every 20th row garbage), parsed with format
+    autodetect + k8s path metadata — parse(render(x)) == x."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.container import ContainerParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        e, u = df["event_id"], df["user_id"]
+        iso = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        crio_iso = (df["ts"] - pd.Timedelta(hours=5)).dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "-05:00"
+        stream = pd.Series("stdout", index=df.index).where(u % 2 == 0, "stderr")
+        tag = pd.Series("F", index=df.index).where(e % 5 != 0, "P")
+        body = "evt " + e.astype(str)
+        docker = '{"log":"' + body + '","stream":"' + stream + '","time":"' + iso + '"}'
+        ctd = iso + " " + stream + " " + tag + " " + body
+        crio = crio_iso + " " + stream + " F " + body
+        kind = e % 3
+        line = docker.where(kind == 0, ctd.where(kind == 1, crio))
+        line[e % 20 == 0] = "not a container line"
+        path = ("/var/log/pods/ns" + (u % 5).astype(str) + "_pod" + (u % 10).astype(str)
+                + "_" + (e % 100).astype(str) + "/c" + (e % 4).astype(str)
+                + "/" + (e % 3).astype(str) + ".log")
+        return pd.DataFrame({"event_id": e, "text": line, "log.file.path": path})
+
+    ds = ds.map_batches(render, batch_format="pandas", batch_size=None)
+    out = ContainerParser(parse_from="text", add_metadata_from_filepath=True).apply(ds)
+
+    def naive_ts(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("event_ts")
+        return b.set_column(i, "event_ts", pc.cast(b["event_ts"], pa.timestamp("us")))
+
+    out = out.map_batches(naive_ts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return out.select_columns(
+        ["event_id", "format", "body", "log.iostream", "logtag", "event_ts",
+         "k8s.namespace.name", "k8s.pod.name", "k8s.pod.uid",
+         "k8s.container.name", "k8s.container.restart_count"]
+    )
+
+
+def _q_raw_lines_parse(sf_dir: str):
+    """The filelog receiver's real job (fileconsumer/design.md:55-130):
+    raw .log text files -> ordered lines -> multiline recombine ->
+    regex parse. The fixture renders the transcript cache to text
+    files (every turn_idx%7==3 entry gets an indented continuation
+    line); the oracle recomputes the expected joined entries directly
+    from the parquet source of truth, so the whole
+    parquet -> file -> lines -> join -> parse loop must round-trip."""
+    from opentelemetry_collector_contrib_ray.sources.rawtext import (
+        ensure_raw_log,
+        read_log_lines,
+    )
+    from opentelemetry_collector_contrib_ray.stages.parse import RegexParser
+    from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
+
+    log_dir = ensure_raw_log(sf_dir)
+    lines = read_log_lines(os.path.join(log_dir, "*.log"))
+    entries = Recombine(
+        group_key="path", order_key="line_no", combine_field="line",
+        combine_with="\n", is_first_entry=("match", col("line"), r"^[A-Z]+ "),
+    ).apply(lines)
+    # multiline-aware payload: (?s:.*) spans the joined continuation
+    ml_regex = TEXT_REGEX.replace("(?P<payload>.*)$", "(?P<payload>(?s:.*))$")
+    parsed = RegexParser(
+        regex=ml_regex, parse_from="line", on_error="send",
+        types={"status": "int64", "dur": "float64"},
+    ).apply(entries)
+    return parsed.select_columns(
+        ["line", "n_turns", "level", "time", "actor", "tool_tag",
+         "status", "dur", "payload"]
+    )
+
+
 def _q_multimodal_decode(sf_dir: str):
     import ray.data
 
@@ -636,6 +758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "ivf_knn": _q_ivf_knn,
         "lineitem_pricing": _q_lineitem_pricing,
+        "syslog_parse": _q_syslog_parse,
+        "container_parse": _q_container_parse,
+        "raw_lines_parse": _q_raw_lines_parse,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -902,6 +1027,83 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
       AS price_cents
 FROM lineitem GROUP BY 1, 2""",
+        "syslog_parse": """
+WITH src AS (
+  SELECT event_id AS e, user_id AS u, event_type AS et, ts,
+         event_id % 20 = 0 AS garbage, user_id % 192 AS pri
+  FROM events)
+SELECT e AS event_id,
+  CASE WHEN garbage THEN NULL ELSE pri END AS priority,
+  CASE WHEN garbage THEN NULL ELSE pri // 8 END AS facility,
+  CASE WHEN garbage THEN NULL ELSE
+    (['kern','user','mail','daemon','auth','syslog','lpr','news','uucp',
+      'cron','authpriv','ftp','ntp','logaudit','logalert','cron2',
+      'local0','local1','local2','local3','local4','local5','local6',
+      'local7'])[pri // 8 + 1] END AS facility_text,
+  CASE WHEN garbage THEN NULL ELSE pri % 8 END AS severity,
+  CASE WHEN garbage THEN NULL ELSE
+    (['emerg','alert','crit','err','warning','notice','info','debug'])[pri % 8 + 1]
+    END AS severity_text,
+  CASE WHEN garbage THEN NULL ELSE ts END AS timestamp,
+  CASE WHEN garbage THEN NULL ELSE 'h' || (u % 20) END AS hostname,
+  CASE WHEN garbage THEN NULL ELSE et END AS appname,
+  CASE WHEN garbage OR e % 7 = 0 THEN NULL ELSE CAST(e % 1000 AS VARCHAR) END AS proc_id,
+  CASE WHEN garbage OR e % 5 = 0 THEN NULL ELSE 'm' || (e % 50) END AS msg_id,
+  CASE WHEN garbage OR e % 3 <> 0 THEN NULL ELSE
+    '{"ex@32473":{"k":"v' || (e % 10) || '","user":"u' || (u % 100) || '"}}'
+    END AS structured_data,
+  CASE WHEN garbage THEN NULL ELSE 'evt ' || e END AS message
+FROM src""",
+        "raw_lines_parse": f"""
+WITH s AS (
+  SELECT text, turn_idx,
+    regexp_extract(text, ':: (.*)$', 1) AS p0,
+    turn_idx % 7 = 3 AS hascont
+  FROM read_parquet('{tpath}')),
+e AS (
+  SELECT CASE WHEN hascont THEN text || chr(10) || '    ... ' || p0
+         ELSE text END AS line,
+         CAST(CASE WHEN hascont THEN 2 ELSE 1 END AS BIGINT) AS n_turns,
+         hascont, p0, text
+  FROM s),
+m AS (
+  SELECT line, n_turns, p0, hascont,
+    regexp_matches(text, '^[A-Z]+ \\[[^\\]]+\\] [a-z]+@[^ ]+ status=\\d+ dur=[\\d.]+ms :: ') AS ok,
+    text
+  FROM e)
+SELECT line, n_turns,
+  CASE WHEN ok THEN regexp_extract(text, '^([A-Z]+) ', 1) END AS level,
+  CASE WHEN ok THEN regexp_extract(text, '^[A-Z]+ \\[([^\\]]+)\\]', 1) END AS time,
+  CASE WHEN ok THEN regexp_extract(text, '\\] ([a-z]+)@', 1) END AS actor,
+  CASE WHEN ok THEN regexp_extract(text, '@([^ ]+) status=', 1) END AS tool_tag,
+  CASE WHEN ok THEN CAST(regexp_extract(text, 'status=(\\d+)', 1) AS BIGINT) END AS status,
+  CASE WHEN ok THEN CAST(regexp_extract(text, 'dur=([\\d.]+)ms', 1) AS DOUBLE) END AS dur,
+  CASE WHEN ok THEN
+    CASE WHEN hascont THEN p0 || chr(10) || '    ... ' || p0 ELSE p0 END
+  END AS payload
+FROM m""",
+        "container_parse": """
+WITH src AS (
+  SELECT event_id AS e, user_id AS u, ts, event_id % 20 = 0 AS garbage,
+         event_id % 3 AS kind
+  FROM events)
+SELECT e AS event_id,
+  CASE WHEN garbage THEN NULL
+       WHEN kind = 0 THEN 'docker' WHEN kind = 1 THEN 'containerd'
+       ELSE 'crio' END AS format,
+  CASE WHEN garbage THEN NULL ELSE 'evt ' || e END AS body,
+  CASE WHEN garbage THEN NULL
+       WHEN u % 2 = 0 THEN 'stdout' ELSE 'stderr' END AS "log.iostream",
+  CASE WHEN garbage OR kind = 0 THEN NULL
+       WHEN kind = 1 AND e % 5 = 0 THEN 'P'
+       ELSE 'F' END AS logtag,
+  CASE WHEN garbage THEN NULL ELSE ts END AS event_ts,
+  'ns' || (u % 5) AS "k8s.namespace.name",
+  'pod' || (u % 10) AS "k8s.pod.name",
+  CAST(e % 100 AS VARCHAR) AS "k8s.pod.uid",
+  'c' || (e % 4) AS "k8s.container.name",
+  CAST(e % 3 AS VARCHAR) AS "k8s.container.restart_count"
+FROM src""",
     }
     # IVF with full probing is exactly brute-force cosine top-k
     oracles["ivf_knn"] = oracles["knn_cosine"]
