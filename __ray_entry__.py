@@ -506,35 +506,53 @@ def _q_minhash_pairs(sf_dir: str):
 
 
 def _q_near_dup_clusters(sf_dir: str):
-    """Full near-dup pipeline: MinHash-LSH candidates -> exact-Jaccard
-    verify (broadcast candidate docs only) -> connected components ->
+    """Full near-dup pipeline, distributed end-to-end: MinHash-LSH
+    candidates (sorted-run pair explosion) -> exact-Jaccard verify
+    via Dataset.join hash joins of the candidate texts -> connected
+    components over the verified (small) edge set ->
     (doc_id, cluster_rep). Rows-only: LSH is not SQL-expressible;
     the semantics are oracle-tested in tests/test_dedup_similarity.py."""
     import pandas as pd
-    import ray.data
 
     from opentelemetry_collector_contrib_ray.stages.dedup import (
         connected_components,
         minhash_lsh_candidates,
-        verify_pairs_jaccard,
+        verify_pairs_jaccard_distributed,
     )
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     cand = minhash_lsh_candidates(ds, "text", "doc_id")
-    cand_pdf = cand.to_pandas()
-    if len(cand_pdf) == 0:
+    verified = verify_pairs_jaccard_distributed(
+        cand, ds, "doc_id", "text", threshold=0.5, num_partitions=4
+    ).to_pandas()
+    if len(verified) == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "cluster_rep": pd.array([], dtype="int64")})
-    # fetch ONLY candidate documents for the exact verify (small set)
-    wanted = set(cand_pdf["id_a"]) | set(cand_pdf["id_b"])
-    docs = {r["doc_id"]: r["text"]
-            for r in ds.map_batches(
-                lambda b: b.filter(pc.is_in(b["doc_id"], value_set=pa.array(sorted(wanted)))),
-                batch_format="pyarrow", batch_size=None).take_all()}
-    verified = verify_pairs_jaccard(cand, docs, threshold=0.5).to_pandas()
     clusters = connected_components(list(zip(verified["id_a"], verified["id_b"])))
     out = pd.DataFrame(sorted(clusters.items()), columns=["doc_id", "cluster_rep"])
     return out
+
+
+def _q_dup_pairs_exact(sf_dir: str):
+    """SQL-checked surrogate for the distributed pair-explosion core
+    (stages/dedup.sorted_run_pairs): all (id_a < id_b) pairs of docs
+    whose md5 bucket (mod a prime — coarse enough to guarantee
+    collisions) matches. Drives the same sorted-run machinery the LSH
+    family uses, against a DuckDB self-join oracle."""
+    from opentelemetry_collector_contrib_ray.functions.hashing import md5_number_lower_arrow
+    from opentelemetry_collector_contrib_ray.stages.dedup import sorted_run_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(b: pa.Table) -> pa.Table:
+        h = md5_number_lower_arrow(b["text"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket_key": pa.array((h % 211).astype("int64"), pa.int64()),
+            "doc_id": b["doc_id"],
+        })
+
+    rows = ds.map_batches(key, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return sorted_run_pairs(rows, "bucket_key", "doc_id").select_columns(["id_a", "id_b"])
 
 
 def _q_simhash_pairs(sf_dir: str):
@@ -761,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syslog_parse": _q_syslog_parse,
         "container_parse": _q_container_parse,
         "raw_lines_parse": _q_raw_lines_parse,
+        "dup_pairs_exact": _q_dup_pairs_exact,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1082,6 +1101,11 @@ SELECT line, n_turns,
     CASE WHEN hascont THEN p0 || chr(10) || '    ... ' || p0 ELSE p0 END
   END AS payload
 FROM m""",
+        "dup_pairs_exact": """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b
+  ON md5_number_lower(a.text) % 211 = md5_number_lower(b.text) % 211
+ AND a.doc_id < b.doc_id""",
         "container_parse": """
 WITH src AS (
   SELECT event_id AS e, user_id AS u, ts, event_id % 20 = 0 AS garbage,

