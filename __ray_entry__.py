@@ -555,6 +555,47 @@ def _q_dup_pairs_exact(sf_dir: str):
     return sorted_run_pairs(rows, "bucket_key", "doc_id").select_columns(["id_a", "id_b"])
 
 
+def _q_docs_fingerprint(sf_dir: str):
+    """Content + chunk-min rolling fingerprint (stages/textstats
+    Fingerprint), SQL-checked via DuckDB md5_number_lower replay."""
+    from opentelemetry_collector_contrib_ray.stages.textstats import Fingerprint
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = Fingerprint(text_col="text", shingle=8).apply(ds)
+    return out.select_columns(["doc_id", "content_hash", "rolling_min_hash"])
+
+
+def _q_list_ops(sf_dir: str):
+    """OTTL collection + hash/encode editors over a LIST column,
+    SQL-checked: split text into words, then Sort/Index/Len/Filter
+    (func_sort/index/len.go semantics) plus SHA256/MD5/Base64."""
+    from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def words(b: pa.Table) -> pa.Table:
+        w = pc.split_pattern_regex(b["text"].combine_chunks()
+                                   if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+                                   pattern=r"\s+")
+        return b.append_column("w", w)
+
+    ds = ds.map_batches(words, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    stage = TransformStage([
+        {"editor": "list_len", "args": {"target": "n_words", "src": "w"}},
+        {"editor": "list_index", "args": {"target": "w_first", "src": "w", "index": 0}},
+        {"editor": "list_sort", "args": {"target": "w_sorted", "src": "w"}},
+        {"editor": "list_index", "args": {"target": "w_alpha_first", "src": "w_sorted", "index": 0}},
+        {"editor": "list_filter", "args": {"target": "big", "src": "w", "op": "match", "value": "^.{5,}"}},
+        {"editor": "list_len", "args": {"target": "n_big", "src": "big"}},
+        {"editor": "sha256", "args": {"target": "h256", "src": "text"}},
+        {"editor": "md5_hex", "args": {"target": "hmd5", "src": "text"}},
+        {"editor": "base64_encode", "args": {"target": "b64", "src": "text"}},
+    ], error_mode="propagate")
+    out = stage.apply(ds)
+    return out.select_columns(
+        ["doc_id", "n_words", "w_first", "w_alpha_first", "n_big", "h256", "hmd5", "b64"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
 
@@ -780,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "container_parse": _q_container_parse,
         "raw_lines_parse": _q_raw_lines_parse,
         "dup_pairs_exact": _q_dup_pairs_exact,
+        "list_ops": _q_list_ops,
+        "docs_fingerprint": _q_docs_fingerprint,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1101,6 +1144,24 @@ SELECT line, n_turns,
     CASE WHEN hascont THEN p0 || chr(10) || '    ... ' || p0 ELSE p0 END
   END AS payload
 FROM m""",
+        "docs_fingerprint": """
+SELECT doc_id, md5_number_lower(text) AS content_hash,
+  CASE WHEN length(text) <= 8 THEN md5_number_lower(text)
+  ELSE (SELECT min(md5_number_lower(t.text[j + 1:j + 8]))
+        FROM (SELECT unnest(range(0, length(text) - 8 + 1, 8)) AS j)
+        WHERE j + 8 <= length(text)) END AS rolling_min_hash
+FROM documents t""",
+        "list_ops": r"""
+WITH s AS (SELECT doc_id, text, str_split_regex(text, '\s+') AS w FROM documents)
+SELECT doc_id,
+  CAST(len(w) AS BIGINT) AS n_words,
+  w[1] AS w_first,
+  list_sort(w)[1] AS w_alpha_first,
+  CAST(len(list_filter(w, x -> length(x) >= 5)) AS BIGINT) AS n_big,
+  sha256(text) AS h256,
+  md5(text) AS hmd5,
+  to_base64(text::BLOB) AS b64
+FROM s""",
         "dup_pairs_exact": """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b

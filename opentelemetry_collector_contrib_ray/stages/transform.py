@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -213,6 +214,177 @@ class Statement:
 
     def _op_len(self, tbl, mask, target: str, src: str):
         return _masked(tbl, target, pc.cast(pc.utf8_length(_val(tbl, Col(src))), pa.int64()), mask)
+
+    # --- hash / encode converters (pkg/ottl/ottlfuncs func_sha*/md5/
+    #     base64/hex/uuid) — vectorized kernels in functions/encode ---
+
+    def _op_sha1(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import sha1_hex
+
+        return _masked(tbl, target, sha1_hex(_val(tbl, Col(src))), mask)
+
+    def _op_sha256(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import sha256_hex
+
+        return _masked(tbl, target, sha256_hex(_val(tbl, Col(src))), mask)
+
+    def _op_sha512(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import sha512_hex
+
+        return _masked(tbl, target, sha512_hex(_val(tbl, Col(src))), mask)
+
+    def _op_md5_hex(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import md5_hex
+
+        return _masked(tbl, target, md5_hex(_val(tbl, Col(src))), mask)
+
+    def _op_base64_encode(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import base64_encode
+
+        return _masked(tbl, target, base64_encode(_val(tbl, Col(src))), mask)
+
+    def _op_base64_decode(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import base64_decode
+
+        return _masked(tbl, target, base64_decode(_val(tbl, Col(src))), mask)
+
+    def _op_hex_encode(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import hex_encode
+
+        return _masked(tbl, target, hex_encode(_val(tbl, Col(src))), mask)
+
+    def _op_uuid(self, tbl, mask, target: str):
+        from ..functions.encode import uuid4_strings
+
+        return _masked(tbl, target, uuid4_strings(tbl.num_rows), mask)
+
+    # --- collection converters (func_sort/keys/values/index/
+    #     slice_to_map/delete_index/flatten on LIST columns) ---
+
+    @staticmethod
+    def _list_parts(col_) -> tuple[np.ndarray, pa.Array]:
+        """(int64 offsets, flat values) of a list column."""
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        return offs, col_.flatten()
+
+    def _op_list_sort(self, tbl, mask, target: str, src: str, order: str = "asc"):
+        # func_sort.go: Sort(target, "asc"|"desc") element sort per row
+        col_ = _val(tbl, Col(src))
+        offs, flat = self._list_parts(col_)
+        vals = flat.to_numpy(zero_copy_only=False)
+        n_rows = len(offs) - 1
+        row_of = np.repeat(np.arange(n_rows), np.diff(offs))
+        order_idx = np.lexsort((vals, row_of))
+        if order == "desc":
+            # reverse each row's run of the ascending order
+            starts = offs[:-1]
+            lens = np.diff(offs)
+            pos = np.arange(len(vals)) - np.repeat(starts, lens)
+            order_idx = order_idx[np.repeat(starts, lens) + np.repeat(lens - 1, lens) - pos]
+        sorted_flat = flat.take(pa.array(order_idx))
+        out = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), sorted_flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_list_index(self, tbl, mask, target: str, src: str, index: int):
+        # func_index.go: out-of-range yields null
+        col_ = _val(tbl, Col(src))
+        n = pc.list_value_length(col_)
+        sliced = pc.list_flatten(pc.list_slice(col_, start=index, stop=index + 1,
+                                               return_fixed_size_list=True))
+        ok = pc.fill_null(pc.greater(n, index), False)
+        out = pc.if_else(ok, sliced, pa.nulls(tbl.num_rows, sliced.type))
+        return _masked(tbl, target, out, mask)
+
+    def _op_list_len(self, tbl, mask, target: str, src: str):
+        out = pc.cast(pc.list_value_length(_val(tbl, Col(src))), pa.int64())
+        return _masked(tbl, target, out, mask)
+
+    def _op_list_filter(self, tbl, mask, target: str, src: str, op: str, value: Any):
+        # OTTL Filter-like element predicate: keep elements where
+        # <element> <op> <value>
+        cmp = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+               ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+               "match": lambda a, v: pc.match_substring_regex(a, pattern=v)}[op]
+        col_ = _val(tbl, Col(src))
+        offs, flat = self._list_parts(col_)
+        keep = pc.fill_null(cmp(flat, value), False).to_numpy(zero_copy_only=False)
+        new_flat = flat.filter(pa.array(keep))
+        kept_per_row = np.add.reduceat(keep.astype(np.int64), offs[:-1]) \
+            if len(keep) else np.zeros(len(offs) - 1, np.int64)
+        kept_per_row[np.diff(offs) == 0] = 0  # reduceat artifacts on empty rows
+        new_offs = np.zeros(len(offs), dtype=np.int64)
+        np.cumsum(kept_per_row, out=new_offs[1:])
+        out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_delete_index(self, tbl, mask, target: str, src: str, index: int):
+        # func_delete_index.go: drop the element at index per row
+        col_ = _val(tbl, Col(src))
+        offs, flat = self._list_parts(col_)
+        lens = np.diff(offs)
+        pos = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
+        keep = pos != index
+        new_flat = flat.filter(pa.array(keep))
+        new_lens = lens - ((lens > index).astype(np.int64))
+        new_offs = np.zeros(len(offs), dtype=np.int64)
+        np.cumsum(new_lens, out=new_offs[1:])
+        out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_list_flatten_one(self, tbl, mask, target: str, src: str):
+        # func_flatten.go depth=1 for list<list<T>> -> list<T>
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        inner = col_.flatten()  # list<T> array
+        inner_offs = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        outer_offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        new_offs = inner_offs[outer_offs]
+        out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), inner.flatten())
+        return _masked(tbl, target, out, mask)
+
+    def _op_keys(self, tbl, mask, target: str, src: str):
+        # func_keys.go: map/struct keys as list<string>
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        if pa.types.is_map(col_.type):
+            out = pa.ListArray.from_arrays(col_.offsets, col_.keys)
+        else:  # struct: fixed schema keys, same list per row
+            names = [f.name for f in col_.type]
+            out = pa.array([names] * tbl.num_rows, pa.list_(pa.string()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_values(self, tbl, mask, target: str, src: str):
+        # func_values.go: map/struct values as a list column
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        if pa.types.is_map(col_.type):
+            out = pa.ListArray.from_arrays(col_.offsets, col_.items)
+        else:
+            fields = [pc.cast(pc.struct_field(col_, f.name), pa.string()) for f in col_.type]
+            n = tbl.num_rows
+            k = len(fields)
+            flat = pa.concat_arrays([f.combine_chunks() if isinstance(f, pa.ChunkedArray) else f for f in fields])
+            # interleave column-major -> row-major via take
+            idx = (np.arange(n * k).reshape(n, k) % k) * n + np.arange(n * k).reshape(n, k) // k
+            flat = flat.take(pa.array(idx.reshape(-1)))
+            offs = pa.array(np.arange(n + 1, dtype=np.int64) * k, pa.int32())
+            out = pa.ListArray.from_arrays(offs, flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_slice_to_map(self, tbl, mask, target: str, src: str, key_field: str):
+        # func_slice_to_map.go: list<struct> -> map keyed by a field
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        flat = col_.flatten()
+        keys = pc.cast(pc.struct_field(flat, key_field), pa.string())
+        out = pa.MapArray.from_arrays(col_.offsets, keys, flat)
+        return _masked(tbl, target, out, mask)
 
     def _op_split_index(self, tbl, mask, target: str, src: str, sep: str, index: int):
         # Split(...)[i] — OTTL Split + Index composition; short rows

@@ -33,7 +33,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         # value hash distinguishes 5 from 5.0 (round-1 lesson: DuckDB
         # SUM(BIGINT) -> HUGEINT -> float64 vs engine int64 slipped past
         # the old np.allclose compare here and failed the driver gate).
-        if pd.api.types.is_integer_dtype(df[c]):
+        if pd.api.types.is_unsigned_integer_dtype(df[c]):
+            df[c] = df[c].astype("UInt64")
+        elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("Int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
