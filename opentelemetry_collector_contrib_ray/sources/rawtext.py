@@ -66,6 +66,96 @@ def read_log_lines(path_or_glob: str | list[str]) -> ray.data.Dataset:
     return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def join_multiline(ds: ray.data.Dataset, is_first_regex: str,
+                   line_col: str = "line", path_col: str = "path",
+                   order_col: str = "line_no",
+                   combine_with: str = "\n") -> ray.data.Dataset:
+    """Join continuation lines to their entry, fully vectorized.
+
+    Works per batch because ``read_log_lines`` emits each file's lines
+    contiguously and in order (one read task per file), so a multiline
+    entry never spans batches — the same invariant the reference's
+    per-file reader provides (fileconsumer/design.md:55-130). The join
+    itself is Arrow ``binary_join`` over a ListArray built from the
+    entry-start boundaries: no per-segment Python (the round-2 bench
+    caught the per-segment loop at 70s/5M rows; this path is ~1s)."""
+    def per_batch(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({
+                path_col: pa.array([], pa.string()),
+                "line": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "first_line_no": pa.array([], pa.int64()),
+            })
+        return _join_lines_table(b, is_first_regex, combine_with)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def read_multiline_entries(path_or_glob: str | list[str], is_first_regex: str,
+                           combine_with: str = "\n") -> ray.data.Dataset:
+    """Fused file -> lines -> multiline-joined entries in ONE stage
+    over whole files. Safe even when a single file's line table would
+    exceed the dynamic block-split threshold (a split between a
+    continuation and its entry would mis-join in the two-stage
+    composition); here the join happens before the executor can split
+    the output."""
+    paths = (sorted(_glob.glob(path_or_glob))
+             if isinstance(path_or_glob, str) else list(path_or_glob))
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def split_join(batch: pa.Table) -> pa.Table:
+        out = []
+        for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
+            text = data.decode("utf-8", errors="replace").replace("\r\n", "\n")
+            lines = text.split("\n")
+            if lines and lines[-1] == "":
+                lines.pop()
+            if not lines:
+                continue
+            t = pa.table({
+                "path": pa.array(np.full(len(lines), path, dtype=object), pa.string()),
+                "line_no": pa.array(np.arange(len(lines), dtype=np.int64)),
+                "line": pa.array(np.array(lines, dtype=object), pa.string()),
+            })
+            out.append(_join_lines_table(t, is_first_regex, combine_with))
+        if not out:
+            return pa.table({
+                "path": pa.array([], pa.string()), "line": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "first_line_no": pa.array([], pa.int64()),
+            })
+        return pa.concat_tables(out, promote_options="none")
+
+    return ds.map_batches(split_join, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def _join_lines_table(b: pa.Table, is_first_regex: str, combine_with: str) -> pa.Table:
+    import pyarrow.compute as pc
+
+    n = b.num_rows
+    lines = b["line"]
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    starts_mask = pc.match_substring_regex(lines, pattern=is_first_regex) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    paths = b["path"].to_numpy(zero_copy_only=False)
+    starts_mask[0] = True
+    starts_mask |= np.concatenate([[True], paths[1:] != paths[:-1]])
+    starts = np.nonzero(starts_mask)[0]
+    offs = np.append(starts, n).astype(np.int32)
+    lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), lines)
+    joined = pc.binary_join(lists, combine_with)
+    lens = np.diff(offs).astype(np.int64)
+    return pa.table({
+        "path": pa.array(paths[starts], pa.string()),
+        "line": joined,
+        "n_turns": pa.array(lens, pa.int64()),
+        "first_line_no": pa.array(
+            b["line_no"].to_numpy(zero_copy_only=False)[starts], pa.int64()),
+    })
+
+
 def ensure_raw_log(sf_dir_or_sf) -> str:
     """Render the transcript cache to ``.log`` text files (one per
     cache parquet, same row order). Rows with ``turn_idx % 7 == 3``
