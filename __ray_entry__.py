@@ -555,6 +555,71 @@ def _q_dup_pairs_exact(sf_dir: str):
     return sorted_run_pairs(rows, "bucket_key", "doc_id").select_columns(["id_a", "id_b"])
 
 
+def _q_metrics_rename_scale(sf_dir: str):
+    """metricstransformprocessor: rename a metric + scale its values
+    (processor/metricstransformprocessor update/experimental_scale_value
+    operations) expressed as transform statements over the grouped
+    metric table — proving the 'metricstransform = transform
+    statements' equivalence with a real fixture."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        grouped_count_sum,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+    ds = build_parsed(sf_dir, on_error="drop")
+
+    def keep_dur(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b["dur"].combine_chunks()
+                                    if isinstance(b["dur"], pa.ChunkedArray) else b["dur"]))
+
+    ds = ds.map_batches(keep_dur, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    ds = add_hour_column(ds, "ts", "hour")
+    g = grouped_count_sum(ds, ["role", "hour"], sum_cols={"dur": "dur_sum"}, count_name="n")
+    stage = TransformStage([
+        {"editor": "scale", "args": {"target": "dur_sum", "factor": 1000.0}},
+        {"editor": "rename", "args": {"src": "dur_sum", "dst": "duration_ms_sum"}},
+    ], error_mode="propagate")
+    return stage.apply(g)
+
+
+def _q_service_graph(sf_dir: str):
+    """servicegraphconnector shape: pair each user turn with the
+    assistant turn that answers it ((conv_id, turn_idx+1) equijoin —
+    the reference's (trace_id, span_id) two-sided store on a finite
+    table) and emit per-tool edge metrics (count + latency sum)."""
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import service_graph_edges
+
+    t = read_transcripts(sf_dir)
+
+    def client_side(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["role"], "user")
+        f = b.filter(m)
+        return pa.table({
+            "conv_id": f["conv_id"],
+            "match_idx": pc.add(pc.cast(f["turn_idx"], pa.int64()), 1),
+            "ts": f["ts"],
+        })
+
+    def server_side(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["role"], "assistant")
+        f = b.filter(m)
+        return pa.table({
+            "conv_id": f["conv_id"],
+            "match_idx": pc.cast(f["turn_idx"], pa.int64()),
+            "tool": f["tool"],
+            "ts": f["ts"],
+        })
+
+    client = t.map_batches(client_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    server = t.map_batches(server_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return service_graph_edges(
+        client, server, on=["conv_id", "match_idx"], edge_dims=["tool"],
+        num_partitions=8,
+    )
+
+
 def _q_docs_fingerprint(sf_dir: str):
     """Content + chunk-min rolling fingerprint (stages/textstats
     Fingerprint), SQL-checked via DuckDB md5_number_lower replay."""
@@ -822,6 +887,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_pairs_exact": _q_dup_pairs_exact,
         "list_ops": _q_list_ops,
         "docs_fingerprint": _q_docs_fingerprint,
+        "service_graph": _q_service_graph,
+        "metrics_rename_scale": _q_metrics_rename_scale,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1143,6 +1210,17 @@ SELECT line, n_turns,
     CASE WHEN hascont THEN p0 || chr(10) || '    ... ' || p0 ELSE p0 END
   END AS payload
 FROM m""",
+        "metrics_rename_scale": parsed_cte + """
+SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       SUM(dur) * 1000.0 AS duration_ms_sum
+FROM f WHERE dur IS NOT NULL GROUP BY 1, 2""",
+        "service_graph": f"""
+SELECT a.tool AS tool, COUNT(*) AS n_calls,
+  CAST(SUM(epoch_us(a.ts) - epoch_us(u.ts)) AS BIGINT) AS latency_us_sum
+FROM read_parquet('{tpath}') u JOIN read_parquet('{tpath}') a
+  ON a.conv_id = u.conv_id AND a.turn_idx = u.turn_idx + 1
+WHERE u.role = 'user' AND a.role = 'assistant'
+GROUP BY 1""",
         "docs_fingerprint": """
 SELECT doc_id, md5_number_lower(text) AS content_hash,
   CASE WHEN length(text) <= 8 THEN md5_number_lower(text)

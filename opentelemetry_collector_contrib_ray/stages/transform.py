@@ -386,6 +386,65 @@ class Statement:
         out = pa.MapArray.from_arrays(col_.offsets, keys, flat)
         return _masked(tbl, target, out, mask)
 
+    def _op_assign_keys(self, tbl, mask, target: str, src: str, keys: list[str]):
+        # stanza assignkeys (transformer/assignkeys/transformer.go:30-52):
+        # a list whose length == len(keys) becomes a struct with those
+        # keys; mismatched rows yield a null struct (per-row error)
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        n = tbl.num_rows
+        lens = pc.list_value_length(col_)
+        ok = pc.fill_null(pc.equal(lens, len(keys)), False)
+        fields = []
+        for i in range(len(keys)):
+            v = pc.list_flatten(pc.list_slice(col_, start=i, stop=i + 1,
+                                              return_fixed_size_list=True))
+            fields.append(pc.if_else(ok, v, pa.nulls(n, v.type)))
+        struct = pa.StructArray.from_arrays(fields, names=list(keys))
+        # null-out whole struct for mismatched rows
+        struct = pc.if_else(ok, struct, pa.nulls(n, struct.type))
+        return _masked(tbl, target, struct, mask)
+
+    def _op_scale(self, tbl, mask, target: str, factor: float, src: str | None = None):
+        # metricstransformprocessor experimental_scale_value
+        # (processor/metricstransformprocessor: operation action
+        # 'experimental_scale_value' multiplies datapoint values)
+        out = pc.multiply(pc.cast(_val(tbl, Col(src or target)), pa.float64()),
+                          pa.scalar(float(factor)))
+        return _masked(tbl, target, out, mask)
+
+    def _op_parse_xml(self, tbl, mask, target: str, src: str):
+        # func_parse_xml.go: XML document -> {tag, content?,
+        # attributes{..}, children[..]} recursively; emitted as a
+        # deterministic JSON string column (arbitrary-depth nesting is
+        # not a fixed Arrow schema). Per-row ElementTree parse — this
+        # editor is for attr-sized XML payloads, not the hot row path.
+        import json as _json
+        from xml.etree import ElementTree
+
+        def conv(el) -> dict:
+            m: dict = {"tag": el.tag}
+            text = (el.text or "").strip()
+            if text:
+                m["content"] = text
+            if el.attrib:
+                m["attributes"] = dict(el.attrib)
+            kids = [conv(c) for c in el]
+            if kids:
+                m["children"] = kids
+            return m
+
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            try:
+                outs.append(_json.dumps(conv(ElementTree.fromstring(s)),
+                                        sort_keys=True, separators=(",", ":")))
+            except (ElementTree.ParseError, TypeError):
+                outs.append(None)
+        return _masked(tbl, target, pa.array(outs, pa.string()), mask)
+
     def _op_split_index(self, tbl, mask, target: str, src: str, sep: str, index: int):
         # Split(...)[i] — OTTL Split + Index composition; short rows
         # yield null (pad source so list_slice stays row-aligned)

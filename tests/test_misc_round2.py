@@ -1,0 +1,120 @@
+"""Round-2 coverage tests: assignkeys, metricstransform scale,
+ParseXML (cases from pkg/ottl/ottlfuncs/func_parse_xml_test.go),
+roundrobin split, failover fall-through, servicegraph pairing."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+
+def _one(tbl, statements):
+    return TransformStage(statements, error_mode="propagate").fn(tbl)
+
+
+def test_assign_keys():
+    # transformer/assignkeys: list -> keyed map; wrong-arity rows null
+    t = pa.table({"xs": pa.array([[1, 2, 3], [4, 5], [6, 7, 8]], pa.list_(pa.int64()))})
+    out = _one(t, [{"editor": "assign_keys",
+                    "args": {"target": "m", "src": "xs", "keys": ["a", "b", "c"]}}])
+    got = out["m"].to_pylist()
+    assert got[0] == {"a": 1, "b": 2, "c": 3}
+    assert got[1] is None  # arity mismatch = per-row error
+    assert got[2] == {"a": 6, "b": 7, "c": 8}
+
+
+def test_scale_editor():
+    t = pa.table({"v": [1.5, 2.0, None]})
+    out = _one(t, [{"editor": "scale", "args": {"target": "v", "factor": 1000.0}}])
+    assert out["v"].to_pylist() == [1500.0, 2000.0, None]
+
+
+def test_parse_xml_reference_cases():
+    # func_parse_xml_test.go canonical cases
+    cases = {
+        "<Log><User><ID>00001</ID><Name>Joe</Name></User><Text>User did a thing</Text></Log>":
+            {"tag": "Log", "children": [
+                {"tag": "User", "children": [
+                    {"tag": "ID", "content": "00001"},
+                    {"tag": "Name", "content": "Joe"}]},
+                {"tag": "Text", "content": "User did a thing"}]},
+        '<HostInfo hostname="example.com" zone="east-1" />':
+            {"tag": "HostInfo",
+             "attributes": {"hostname": "example.com", "zone": "east-1"}},
+        '<?xml version="1.0" encoding="UTF-8" ?><Log>Log content</Log>':
+            {"tag": "Log", "content": "Log content"},
+        "not xml at all": None,
+    }
+    t = pa.table({"x": list(cases)})
+    out = _one(t, [{"editor": "parse_xml", "args": {"target": "p", "src": "x"}}])
+    for got, want in zip(out["p"].to_pylist(), cases.values()):
+        assert (json.loads(got) if got is not None else None) == want
+
+
+def test_round_robin_split():
+    from opentelemetry_collector_contrib_ray.stages.reshape import round_robin
+
+    ds = ray.data.range(100)
+    parts = round_robin(ds, 4)
+    counts = [p.count() for p in parts]
+    assert sum(counts) == 100
+    assert max(counts) - min(counts) <= 1  # even split
+
+
+def test_failover_fall_through():
+    from opentelemetry_collector_contrib_ray.stages.failover import Failover
+
+    def flaky(b: pa.Table) -> pa.Table:
+        # primary rejects the batch containing id 40 (one of 4 blocks)
+        if 40 in b["id"].to_pylist():
+            raise RuntimeError("primary down")
+        return b
+
+    def backup(b: pa.Table) -> pa.Table:
+        return b
+
+    ds = ray.data.from_arrow(pa.table({"id": list(range(1, 41))})).repartition(4)
+    out = Failover([flaky, backup]).apply(ds).to_pandas()
+    assert len(out) == 40  # nothing lost
+    assert set(out["failover_level"]) == {0, 1}
+    # the failing batch went to the backup; the rest stayed primary
+    served_by_backup = set(out[out["failover_level"] == 1]["id"])
+    assert 40 in served_by_backup
+    assert len(out[out["failover_level"] == 0]) >= 20
+
+    def always_fail(b):
+        raise RuntimeError("boom")
+
+    with pytest.raises(Exception):
+        Failover([always_fail]).apply(ds).to_pandas()
+
+
+def test_service_graph_edges_pairing():
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import service_graph_edges
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    client = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c2", "c3"],
+        "match_idx": pa.array([1, 3, 1, 1], pa.int64()),
+        "ts": pa.array([base, base + 10, base, base], pa.timestamp("us")),
+    }))
+    server = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c1", "c2", "c9"],
+        "match_idx": pa.array([1, 3, 1, 1], pa.int64()),
+        "tool": ["search", "bash", "search", "editor"],
+        "ts": pa.array([base + 1_000_000, base + 2_000_010, base + 500_000,
+                        base], pa.timestamp("us")),
+    }))
+    out = service_graph_edges(client, server, on=["conv_id", "match_idx"],
+                              edge_dims=["tool"], num_partitions=2).to_pandas()
+    out = out.set_index("tool")
+    assert out.loc["search", "n_calls"] == 2
+    assert out.loc["search", "latency_us_sum"] == 1_000_000 + 500_000
+    assert out.loc["bash", "n_calls"] == 1
+    assert out.loc["bash", "latency_us_sum"] == 2_000_000
+    assert "editor" not in out.index  # unmatched server span pairs nothing
