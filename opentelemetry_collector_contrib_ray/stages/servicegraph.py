@@ -42,9 +42,15 @@ def service_graph_edges(
     (trace_id, span_id) pairing key) and emit one row per edge dim set
     with request count + summed latency in microseconds
     (server ts - client ts)."""
-    # suffix server columns to avoid collisions on shared names
-    server_cols = server.columns()
-    clashes = [c for c in server_cols if c in client.columns() and c not in on]
+    # Ray 2.49's hash join crashes (ArrowInvalid on the key FieldRef)
+    # when one side has NO blocks at all; a fan-in side emptied by its
+    # filter is legitimate, so guard with a short-circuit limit(1)
+    # probe (streaming executor stops the upstream after one row)
+    if client.limit(1).count() == 0 or server.limit(1).count() == 0:
+        cols = {d: pa.array([], pa.string()) for d in edge_dims}
+        cols[count_name] = pa.array([], pa.int64())
+        cols[latency_name] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
     joined = client.join(
         server, join_type="inner", num_partitions=num_partitions,
         on=tuple(on), right_on=tuple(on), right_suffix="_srv",

@@ -420,6 +420,8 @@ class Statement:
         # deterministic JSON string column (arbitrary-depth nesting is
         # not a fixed Arrow schema). Per-row ElementTree parse — this
         # editor is for attr-sized XML payloads, not the hot row path.
+        # Divergence: namespaced tags render as ElementTree's
+        # "{uri}local" where the Go decoder keeps only xml.Name.Local.
         import json as _json
         from xml.etree import ElementTree
 
