@@ -5,9 +5,11 @@ ray.init()/shutdown() here or in the library (see package docstring).
 
 Every `queries()` entry has a matching `oracle_sql()` ANSI-SQL string
 unless the operator is genuinely non-SQL-expressible (MinHash-LSH
-pairs/clusters, SimHash, LSH embedding near-dup, the language-ID
-heuristic, the multimodal decode stub) — those get rows-only checks
-and pytest oracles instead (tests/).
+pairs/clusters, SimHash, LSH embedding near-dup, Drain clustering,
+the z-score anomaly two-pass, the multimodal decode stub) — those get
+rows-only checks and pytest oracles instead (tests/), plus
+SQL-checked surrogates where one exists (dup_pairs_exact drives the
+same pair-explosion core as the LSH family).
 
 Transcript queries run over the deterministic synthetic transcript
 table (FIXTURES.md F1, BASELINE.json input_hint) generated once under
@@ -1210,6 +1212,24 @@ SELECT line, n_turns,
     CASE WHEN hascont THEN p0 || chr(10) || '    ... ' || p0 ELSE p0 END
   END AS payload
 FROM m""",
+        "lang_id": r"""
+WITH s AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS DOUBLE) AS s_en,
+    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS DOUBLE) AS s_es,
+    CAST(len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS DOUBLE) AS s_de,
+    CAST(len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS DOUBLE) AS s_fr,
+    CAST(len(regexp_extract_all(lower(text), '[一-鿿]')) * 3 AS DOUBLE) AS s_zh
+  FROM documents),
+t AS (SELECT *, s_en + s_es + s_de + s_fr + s_zh AS total,
+             greatest(s_en, s_es, s_de, s_fr, s_zh) AS mx FROM s)
+SELECT doc_id,
+  CASE WHEN total = 0 THEN 'und'
+       WHEN s_en = mx THEN 'en' WHEN s_es = mx THEN 'es'
+       WHEN s_de = mx THEN 'de' WHEN s_fr = mx THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  CASE WHEN total = 0 THEN 0.0 ELSE mx / total END AS lang_confidence
+FROM t""",
         "metrics_rename_scale": parsed_cte + """
 SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
        SUM(dur) * 1000.0 AS duration_ms_sum

@@ -319,6 +319,48 @@ class Statement:
         out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
         return _masked(tbl, target, out, mask)
 
+    def _list_elem_mask(self, tbl, src: str, op: str, value: Any):
+        cmp = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+               ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal,
+               "match": lambda a, v: pc.match_substring_regex(a, pattern=v)}[op]
+        col_ = _val(tbl, Col(src))
+        offs, flat = self._list_parts(col_)
+        keep = pc.fill_null(cmp(flat, value), False).to_numpy(zero_copy_only=False)
+        return offs, flat, keep
+
+    def _op_list_any(self, tbl, mask, target: str, src: str, op: str, value: Any):
+        # OTTL Any(): true when ANY element matches the predicate
+        offs, _, keep = self._list_elem_mask(tbl, src, op, value)
+        hits = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(keep) \
+            else np.zeros(len(offs) - 1, np.int64)
+        hits[np.diff(offs) == 0] = 0
+        return _masked(tbl, target, pa.array(hits > 0), mask)
+
+    def _op_list_all(self, tbl, mask, target: str, src: str, op: str, value: Any):
+        # OTTL All(): true when EVERY element matches (true for empty)
+        offs, _, keep = self._list_elem_mask(tbl, src, op, value)
+        lens = np.diff(offs)
+        hits = np.add.reduceat(keep.astype(np.int64), offs[:-1]) if len(keep) \
+            else np.zeros(len(offs) - 1, np.int64)
+        hits[lens == 0] = 0
+        return _masked(tbl, target, pa.array(hits == lens), mask)
+
+    def _op_list_find(self, tbl, mask, target: str, src: str, op: str, value: Any):
+        # OTTL Find(): the FIRST matching element, null when none
+        offs, flat, keep = self._list_elem_mask(tbl, src, op, value)
+        lens = np.diff(offs)
+        pos = np.arange(len(keep)) - np.repeat(offs[:-1], lens)
+        # first matching position per row: min over matching positions
+        big = np.where(keep, pos, np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(big, offs[:-1]) if len(keep) \
+            else np.full(len(offs) - 1, np.iinfo(np.int64).max)
+        first[lens == 0] = np.iinfo(np.int64).max
+        found = first != np.iinfo(np.int64).max
+        idx = np.where(found, offs[:-1] + np.where(found, first, 0), 0)
+        vals = flat.take(pa.array(idx)) if len(flat) else pa.nulls(len(lens), flat.type)
+        out = pc.if_else(pa.array(found), vals, pa.nulls(len(lens), vals.type))
+        return _masked(tbl, target, out, mask)
+
     def _op_delete_index(self, tbl, mask, target: str, src: str, index: int):
         # func_delete_index.go: drop the element at index per row
         col_ = _val(tbl, Col(src))
@@ -384,6 +426,20 @@ class Statement:
         flat = col_.flatten()
         keys = pc.cast(pc.struct_field(flat, key_field), pa.string())
         out = pa.MapArray.from_arrays(col_.offsets, keys, flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_value_map(self, tbl, mask, target: str, mapping: dict, src: str | None = None,
+                      default_keep: bool = True):
+        # value-fold table (genainormalizer value_mappings): values in
+        # ``mapping`` rewrite; others keep (default_keep) or null out
+        col_ = _val(tbl, Col(src or target))
+        keys = pa.array(list(mapping.keys()), type=col_.type)
+        vals = pa.array(list(mapping.values()))
+        idx = pc.index_in(col_, value_set=keys)
+        mapped = vals.take(pc.fill_null(idx, 0))
+        hit = pc.is_valid(idx)
+        fallback = col_ if default_keep else pa.nulls(tbl.num_rows, vals.type)
+        out = pc.if_else(hit, mapped, fallback)
         return _masked(tbl, target, out, mask)
 
     def _op_assign_keys(self, tbl, mask, target: str, src: str, keys: list[str]):

@@ -151,3 +151,16 @@ def test_editors_compose_in_one_stage():
     assert out["top"].to_pylist() == [3, 7]
     assert out["h"].to_pylist() == [hashlib.sha256(b"3").hexdigest(),
                                     hashlib.sha256(b"7").hexdigest()]
+
+
+def test_list_any_all_find():
+    # OTTL Any/All/Find over list elements
+    t = pa.table({"xs": pa.array([[3, 1, 2], [], [9], [5, 5]], pa.list_(pa.int64()))})
+    out = _one(t, [
+        {"editor": "list_any", "args": {"target": "any3", "src": "xs", "op": ">=", "value": 3}},
+        {"editor": "list_all", "args": {"target": "all3", "src": "xs", "op": ">=", "value": 3}},
+        {"editor": "list_find", "args": {"target": "f3", "src": "xs", "op": ">=", "value": 3}},
+    ])
+    assert out["any3"].to_pylist() == [True, False, True, True]
+    assert out["all3"].to_pylist() == [False, True, True, True]  # empty = vacuous true
+    assert out["f3"].to_pylist() == [3, None, 9, 5]

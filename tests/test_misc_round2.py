@@ -118,3 +118,29 @@ def test_service_graph_edges_pairing():
     assert out.loc["bash", "n_calls"] == 1
     assert out.loc["bash", "latency_us_sum"] == 2_000_000
     assert "editor" not in out.index  # unmatched server span pairs nothing
+
+
+def test_genai_normalizer():
+    from opentelemetry_collector_contrib_ray.stages.genai import genai_normalizer
+
+    t = pa.table({
+        "llm.request.model": ["gpt-x", None, "m3"],
+        "llm.usage.prompt_tokens": pa.array([10, 20, None], pa.int64()),
+        # pre-existing target value must survive (overwrite=False)
+        "gen_ai.request.model": [None, "already-set", None],
+        "op": ["completion", "chat", "embedding"],
+    })
+    stage = genai_normalizer([
+        {"name": "openllmetry", "remove_originals": True},
+        {"name": "ops", "mappings": {"op": "gen_ai.operation.name"},
+         "value_mappings": {"gen_ai.operation.name": {"completion": "chat"}}},
+    ])
+    out = stage.fn(t)
+    assert out["gen_ai.request.model"].to_pylist() == ["gpt-x", "already-set", "m3"]
+    assert out["gen_ai.usage.input_tokens"].to_pylist() == [10, 20, None]
+    assert "llm.request.model" not in out.column_names  # remove_originals
+    assert out["gen_ai.operation.name"].to_pylist() == ["chat", "chat", "embedding"]
+
+    # built-in sources reject custom mappings (README Source table)
+    with pytest.raises(ValueError):
+        genai_normalizer([{"name": "openllmetry", "mappings": {"a": "b"}}])
