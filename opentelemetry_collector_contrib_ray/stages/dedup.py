@@ -232,10 +232,12 @@ def sorted_run_pairs(
     then each block explodes its INTERIOR runs with a fully
     vectorized repeat/arange expansion. A sorted block shares at most
     its FIRST and LAST run with neighbours, so only those boundary
-    runs (capped at ``max_run`` members each) are completed on the
-    driver: <= 2 x blocks x max_run rows regardless of corpus size.
-    Pairs of runs split across blocks are generated exactly once (the
-    boundary path owns the whole run; interior explosion skips it).
+    runs (capped at ``max_run`` members each) need completion — done
+    with a DISTRIBUTED groupby over the boundary rows (<= 2 capped
+    runs per block feed it, so the shuffle is O(blocks)-sized and
+    NOTHING is collected to the driver). Pairs of runs split across
+    blocks are generated exactly once (the boundary path owns the
+    whole run; interior explosion skips it).
     """
     payload_cols = payload_cols or []
     srt = rows.sort([key_col, id_col]).materialize()
@@ -275,28 +277,26 @@ def sorted_run_pairs(
     interior = srt.map_batches(
         interior_pairs, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    # boundary completion: <= 2 capped runs per block (Arrow end-to-end
-    # so uint64 keys/payloads survive the driver hop)
-    import ray as _ray
+    # boundary completion: a distributed groupby over ONLY the
+    # boundary rows (<= 2 capped runs per block). Group counts are
+    # O(blocks) and each group holds one run's (capped) members —
+    # the per-group overhead is paid on boundary keys only, never the
+    # corpus. pyarrow group format keeps payload types exact (uint64
+    # fingerprints, list<float32> embeddings) for the union below.
+    bnd = srt.map_batches(
+        boundary_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
-    btables = [
-        t for t in (
-            _ray.get(r) for r in srt.map_batches(
-                boundary_rows, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-            ).materialize().to_arrow_refs()
-        ) if t.num_rows
-    ]
-    if btables:
-        btbl = pa.concat_tables(btables, promote_options="none").combine_chunks()
-        order = pc.sort_indices(
-            btbl, sort_keys=[(key_col, "ascending"), (id_col, "ascending")])
-        btbl = _truncate_runs(btbl.take(order), key_col, max_run)
-        keys = btbl[key_col].to_numpy(zero_copy_only=False)
-        ia, ib = _explode_runs_vectorized(_seg_starts_np(keys), len(keys))
-        bpairs = _pairs_from_indices(btbl, ia, ib, id_col, payload_cols)
-        if bpairs.num_rows:
-            return interior.union(ray.data.from_arrow(bpairs))
-    return interior
+    def explode_group(g: pa.Table) -> pa.Table:
+        g = g.sort_by(id_col).slice(0, max_run)
+        n = g.num_rows
+        if n < 2:
+            return _pair_schema_table(g, id_col, payload_cols)
+        ia, ib = np.triu_indices(n, k=1)
+        return _pairs_from_indices(g, ia.astype(np.int64), ib.astype(np.int64),
+                                   id_col, payload_cols)
+
+    bpairs = bnd.groupby(key_col).map_groups(explode_group, batch_format="pyarrow")
+    return interior.union(bpairs)
 
 
 def _pair_schema_table(b: pa.Table, id_col: str, payload_cols: list[str]) -> pa.Table:
