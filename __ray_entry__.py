@@ -586,6 +586,33 @@ def _q_metrics_rename_scale(sf_dir: str):
     return stage.apply(g)
 
 
+def _q_metrics_generation(sf_dir: str):
+    """metricsgenerationprocessor 'calculate': derive a NEW metric
+    from two existing ones (avg duration = dur_sum / turn count per
+    (role, hour)) with the arith editor over the grouped table."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        grouped_count_sum,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import TransformStage
+
+    ds = build_parsed(sf_dir, on_error="drop")
+
+    def keep_dur(b: pa.Table) -> pa.Table:
+        d = b["dur"].combine_chunks() if isinstance(b["dur"], pa.ChunkedArray) else b["dur"]
+        return b.filter(pc.is_valid(d))
+
+    ds = ds.map_batches(keep_dur, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    ds = add_hour_column(ds, "ts", "hour")
+    g = grouped_count_sum(ds, ["role", "hour"], sum_cols={"dur": "dur_sum"}, count_name="n")
+    stage = TransformStage([
+        {"editor": "arith", "args": {"target": "avg_dur", "op": "div",
+                                     "a": col("dur_sum"), "b": col("n")}},
+    ], error_mode="propagate")
+    return stage.apply(g)
+
+
 def _q_service_graph(sf_dir: str):
     """servicegraphconnector shape: pair each user turn with the
     assistant turn that answers it ((conv_id, turn_idx+1) equijoin —
@@ -891,6 +918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "service_graph": _q_service_graph,
         "metrics_rename_scale": _q_metrics_rename_scale,
+        "metrics_generation": _q_metrics_generation,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1233,6 +1261,11 @@ FROM t""",
         "metrics_rename_scale": parsed_cte + """
 SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
        SUM(dur) * 1000.0 AS duration_ms_sum
+FROM f WHERE dur IS NOT NULL GROUP BY 1, 2""",
+        "metrics_generation": parsed_cte + """
+SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+       SUM(dur) AS dur_sum,
+       SUM(dur) / CAST(COUNT(*) AS DOUBLE) AS avg_dur
 FROM f WHERE dur IS NOT NULL GROUP BY 1, 2""",
         "service_graph": f"""
 SELECT a.tool AS tool, COUNT(*) AS n_calls,

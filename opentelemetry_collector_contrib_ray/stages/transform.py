@@ -470,6 +470,22 @@ class Statement:
                           pa.scalar(float(factor)))
         return _masked(tbl, target, out, mask)
 
+    def _op_arith(self, tbl, mask, target: str, op: str, a: Any, b: Any):
+        # metricsgenerationprocessor 'calculate' (new metric = metric1
+        # <op> metric2/scale) and OTTL arithmetic expressions
+        fn = {"add": pc.add, "sub": pc.subtract, "mul": pc.multiply,
+              "div": pc.divide}[op]
+        va = pc.cast(_val(tbl, a), pa.float64()) if isinstance(a, Col) else a
+        vb = pc.cast(_val(tbl, b), pa.float64()) if isinstance(b, Col) else b
+        if op == "div":
+            # null on divide-by-zero, matching SQL NULLIF semantics
+            zb = pc.equal(vb, 0.0) if isinstance(vb, (pa.Array, pa.ChunkedArray)) else (vb == 0)
+            if isinstance(vb, (pa.Array, pa.ChunkedArray)):
+                vb = pc.if_else(zb, pa.nulls(tbl.num_rows, pa.float64()), vb)
+            elif zb:
+                return _masked(tbl, target, pa.nulls(tbl.num_rows, pa.float64()), mask)
+        return _masked(tbl, target, fn(va, vb), mask)
+
     def _op_parse_xml(self, tbl, mask, target: str, src: str):
         # func_parse_xml.go: XML document -> {tag, content?,
         # attributes{..}, children[..]} recursively; emitted as a

@@ -144,3 +144,17 @@ def test_genai_normalizer():
     # built-in sources reject custom mappings (README Source table)
     with pytest.raises(ValueError):
         genai_normalizer([{"name": "openllmetry", "mappings": {"a": "b"}}])
+
+
+def test_arith_editor():
+    from opentelemetry_collector_contrib_ray.expr import col as C
+
+    t = pa.table({"a": [10.0, 6.0, 1.0], "b": [2.0, 0.0, 4.0]})
+    out = _one(t, [
+        {"editor": "arith", "args": {"target": "r", "op": "div", "a": C("a"), "b": C("b")}},
+        {"editor": "arith", "args": {"target": "s", "op": "add", "a": C("a"), "b": C("b")}},
+        {"editor": "arith", "args": {"target": "m", "op": "mul", "a": C("a"), "b": 3.0}},
+    ])
+    assert out["r"].to_pylist() == [5.0, None, 0.25]  # div-by-zero -> null
+    assert out["s"].to_pylist() == [12.0, 6.0, 5.0]
+    assert out["m"].to_pylist() == [30.0, 18.0, 3.0]
