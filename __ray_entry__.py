@@ -857,6 +857,25 @@ def _q_multimodal_decode(sf_dir: str):
     return decode_images(ds).select_columns(["item_id", "byte_size", "mean_intensity"])
 
 
+def _q_multimodal_pipeline(sf_dir: str):
+    """Full multimodal chain: binary -> decode (actor pool) -> resize
+    (tensor-in/tensor-out) -> frame-sample; rows-only (codec faked,
+    plumbing real — tests/test_misc_round2.py asserts the kernels)."""
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        decode_images,
+        resize_images,
+        sample_frames,
+        synth_binary_table,
+    )
+
+    ds = ray.data.from_arrow(synth_binary_table(200))
+    ds = sample_frames(ds, frame_bytes=64, every_k=4)
+    ds = resize_images(decode_images(ds), out_h=4, out_w=4)
+    return ds.select_columns(["item_id", "byte_size", "mean_intensity", "n_sampled_frames"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -927,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "events_anomalies": _q_events_anomalies,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_pipeline": _q_multimodal_pipeline,
     }
 
 

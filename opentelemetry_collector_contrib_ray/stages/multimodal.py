@@ -84,6 +84,87 @@ def decode_images(
     )
 
 
+class ImageResize:
+    """Actor stage: fixed-shape pixel tensor -> (out_h, out_w) tensor
+    via nearest-neighbor sampling. Real: the sampling IS the resize
+    algorithm (vectorized gather over the whole batch); only the
+    upstream codec is faked. Demonstrates the tensor-in/tensor-out
+    stage shape for preprocessing pipelines."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4,
+                 in_shape: tuple[int, int, int] = FAKE_DECODE_SHAPE,
+                 pixels_col: str = "pixels"):
+        self.out_h, self.out_w = out_h, out_w
+        self.in_shape = in_shape
+        self.pixels_col = pixels_col
+        h, w, _ = in_shape
+        # nearest-neighbor index grid built once per actor
+        ys = (np.arange(out_h) * h // out_h)
+        xs = (np.arange(out_w) * w // out_w)
+        self.gather = (ys[:, None] * w + xs[None, :]).reshape(-1)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        h, w, c = self.in_shape
+        col = b[self.pixels_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        px = flat.reshape(n, h * w, c)
+        small = px[:, self.gather, :]  # (n, out_h*out_w, c) one gather
+        out_flat = small.reshape(n, -1)
+        tensor = pa.FixedSizeListArray.from_arrays(
+            pa.array(out_flat.reshape(-1), pa.uint8()), self.out_h * self.out_w * c)
+        return b.append_column("pixels_small", tensor)
+
+
+class FrameSample:
+    """Actor stage: video-like binary column -> every k-th frame's
+    bytes as a list<binary> column. The frame SPLIT (fixed frame_bytes
+    stride) and sampling are real vectorized slicing; only a real
+    container demuxer is faked by the fixed stride."""
+
+    def __init__(self, data_col: str = "data", frame_bytes: int = 64, every_k: int = 4):
+        self.data_col = data_col
+        self.frame_bytes = frame_bytes
+        self.every_k = every_k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        col = b[self.data_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        frames_out = []
+        n_frames = np.empty(len(col), dtype=np.int64)
+        for i, v in enumerate(col.to_pylist()):
+            data = v or b""
+            total = len(data) // self.frame_bytes
+            picks = range(0, total, self.every_k)
+            frames_out.append([data[j * self.frame_bytes:(j + 1) * self.frame_bytes]
+                               for j in picks])
+            n_frames[i] = len(frames_out[-1])
+        out = b.append_column("frames", pa.array(frames_out, pa.list_(pa.binary())))
+        return out.append_column("n_sampled_frames", pa.array(n_frames, pa.int64()))
+
+
+def resize_images(ds: ray.data.Dataset, out_h: int = 4, out_w: int = 4,
+                  batch_size: int = 256,
+                  concurrency: int | tuple[int, int] = (1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        ImageResize, fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_frames(ds: ray.data.Dataset, frame_bytes: int = 64, every_k: int = 4,
+                  batch_size: int = 128,
+                  concurrency: int | tuple[int, int] = (1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"frame_bytes": frame_bytes, "every_k": every_k},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
 def synth_binary_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake multimodal table for tests: (item_id, mime,
     data:binary) — stands in for an image shard."""

@@ -158,3 +158,29 @@ def test_arith_editor():
     assert out["r"].to_pylist() == [5.0, None, 0.25]  # div-by-zero -> null
     assert out["s"].to_pylist() == [12.0, 6.0, 5.0]
     assert out["m"].to_pylist() == [30.0, 18.0, 3.0]
+
+
+def test_multimodal_resize_and_frame_sample():
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        FAKE_DECODE_SHAPE,
+        decode_images,
+        resize_images,
+        sample_frames,
+        synth_binary_table,
+    )
+
+    tbl = synth_binary_table(50)
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    decoded = decode_images(ds)
+    resized = resize_images(decoded, out_h=4, out_w=4).to_pandas()
+    h, w, c = FAKE_DECODE_SHAPE
+    assert all(len(p) == 4 * 4 * c for p in resized["pixels_small"])
+    # nearest-neighbor: the (0,0) output pixel equals the (0,0) input pixel
+    assert all(p[0] == q[0] for p, q in zip(resized["pixels_small"], resized["pixels"]))
+
+    frames = sample_frames(ray.data.from_arrow(tbl), frame_bytes=64, every_k=4).to_pandas()
+    for raw, fs, nf in zip(tbl["data"].to_pylist(), frames["frames"], frames["n_sampled_frames"]):
+        total = len(raw) // 64
+        want = [raw[j * 64:(j + 1) * 64] for j in range(0, total, 4)]
+        assert [bytes(x) for x in fs] == want
+        assert nf == len(want)
