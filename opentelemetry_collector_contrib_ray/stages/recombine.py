@@ -75,13 +75,25 @@ class Recombine:
             rows.append(row)
         return pd.DataFrame(rows)
 
-    def apply(self, ds: ray.data.Dataset, strategy: str = "groupby") -> ray.data.Dataset:
+    def apply(self, ds: ray.data.Dataset, strategy: str = "groupby",
+              merge: str = "stream") -> ray.data.Dataset:
         """strategy='groupby' (default): shuffle whole groups and scan
         each once — measured faster here (ray's sort costs more than
         its groupby shuffle at these sizes). strategy='sort': the
         sort + per-block-partial variant, which bounds per-task memory
         by block size instead of group size — use it when a single
-        group (hot conv) cannot fit one task."""
+        group (hot conv) cannot fit one task.
+
+        merge='stream' (default): the partial stream feeds ONE merge
+        groupby while partials are still being produced — fastest on
+        one node (phases overlap), but the shuffle moves every
+        conversation's text once. merge='bypass': detect the keys that
+        actually span blocks via each block's first/last key (no
+        shuffle), let singleton groups skip the merge entirely, and
+        shuffle only the boundary conversations' text — the 100 TB
+        shape (shuffled bytes are O(block boundaries), not O(corpus));
+        costs a materialize + extra pass locally."""
+        self._merge_mode = merge
         if strategy == "sort" and self.first_pred is None:
             return self._apply_sorted(ds)
         if strategy == "presorted" and self.first_pred is None:
@@ -110,36 +122,165 @@ class Recombine:
         combine_field, combine_with = self.combine_field, self.combine_with
         keep_fields = self.keep_fields
 
-        def block_partial(b) -> pd.DataFrame:
-            df = b if isinstance(b, pd.DataFrame) else b.to_pandas()
-            g = df.groupby(group_key, sort=False)
-            out = pd.DataFrame({
-                combine_field: g[combine_field].agg(lambda s: combine_with.join(s.astype(str))),
-                "n_turns": g.size(),
-                "first_" + order_key: g[order_key].first(),
-            })
-            for f in keep_fields:
-                out[f] = g[f].first()
-            return out.reset_index()
+        def block_partial(b: "pa.Table") -> "pa.Table":
+            # groups are contiguous within a (pre)sorted block, so the
+            # join is ONE Arrow binary_join over a boundary-built
+            # ListArray — no Python join per group (was a pandas
+            # lambda per group; recombine is the bench's slowest query)
+            import numpy as np
+            import pyarrow as pa
+            import pyarrow.compute as pc
 
-        return sorted_ds.map_batches(block_partial, batch_format="pandas", batch_size=None)
+            n = b.num_rows
+            if n == 0:
+                cols = {
+                    group_key: pa.array([], b.schema.field(group_key).type),
+                    combine_field: pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "first_" + order_key: pa.array([], b.schema.field(order_key).type),
+                }
+                for f in keep_fields:
+                    cols[f] = pa.array([], b.schema.field(f).type)
+                return pa.table(cols)
+            keys = b[group_key].to_numpy(zero_copy_only=False)
+            starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+            offs = pa.array(np.append(starts, n).astype(np.int32), pa.int32())
+            texts = b[combine_field]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            if not pa.types.is_string(texts.type):
+                texts = pc.cast(texts, pa.string())
+            joined = pc.binary_join(pa.ListArray.from_arrays(offs, texts), combine_with)
+            idx = pa.array(starts)
+            cols = {
+                group_key: (b[group_key].combine_chunks()
+                            if isinstance(b[group_key], pa.ChunkedArray)
+                            else b[group_key]).take(idx),
+                combine_field: joined,
+                "n_turns": pa.array(np.diff(np.append(starts, n)).astype(np.int64)),
+                "first_" + order_key: (b[order_key].combine_chunks()
+                                       if isinstance(b[order_key], pa.ChunkedArray)
+                                       else b[order_key]).take(idx),
+            }
+            for f in keep_fields:
+                c = b[f].combine_chunks() if isinstance(b[f], pa.ChunkedArray) else b[f]
+                cols[f] = c.take(idx)
+            return pa.table(cols)
+
+        return sorted_ds.map_batches(
+            block_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     def _merge_partials(self, partials: ray.data.Dataset) -> ray.data.Dataset:
+        if getattr(self, "_merge_mode", "stream") == "bypass":
+            return self._merge_partials_bypass(partials)
         group_key, order_key = self.group_key, self.order_key
         combine_field, combine_with = self.combine_field, self.combine_with
         keep_fields = self.keep_fields
+        first_key = "first_" + order_key
 
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values("first_" + order_key, kind="mergesort")
+        import pandas as _pd
+
+        def merge(g: _pd.DataFrame) -> _pd.DataFrame:
+            g = g.sort_values(first_key, kind="mergesort")
             row = {
                 group_key: g[group_key].iloc[0],
                 "segment": 1,
                 combine_field: combine_with.join(g[combine_field]),
                 "n_turns": int(g["n_turns"].sum()),
-                "first_" + order_key: g["first_" + order_key].iloc[0],
+                first_key: g[first_key].iloc[0],
+            }
+            for f in keep_fields:
+                row[f] = g[f].iloc[0]
+            return _pd.DataFrame([row])
+
+        return partials.groupby(group_key).map_groups(merge, batch_format="pandas")
+
+    def _merge_partials_bypass(self, partials: ray.data.Dataset) -> ray.data.Dataset:
+        group_key, order_key = self.group_key, self.order_key
+        combine_field, combine_with = self.combine_field, self.combine_with
+        keep_fields = self.keep_fields
+        first_key = "first_" + order_key
+
+        # Only groups SPLIT across blocks need the merge shuffle — and
+        # partial rows carry WHOLE-conversation strings, so shuffling
+        # all of them moves the full corpus text again (measured 2x the
+        # partial phase). Detection costs NO shuffle: a block's partial
+        # already collapsed within-block duplicates, so a key with >1
+        # partial must span blocks — i.e. be some block's FIRST or
+        # LAST key. Collect just those (2 keys per block, any scale),
+        # keep the ones seen twice, broadcast, and let singleton
+        # groups bypass the merge shuffle entirely.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        # pin the partials once — the consumers below (edge-key scan,
+        # single bypass, multi merge) must not re-run the upstream
+        partials = partials.materialize()
+
+        def edge_keys(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({group_key: pa.array([], b.schema.field(group_key).type)})
+            idx = pa.array([0, b.num_rows - 1]) if b.num_rows > 1 else pa.array([0])
+            ks = b[group_key]
+            if isinstance(ks, pa.ChunkedArray):
+                ks = ks.combine_chunks()
+            return pa.table({group_key: ks.take(idx)})
+
+        edges = partials.map_batches(
+            edge_keys, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).take_all()
+        seen: dict = {}
+        for r in edges:
+            seen[r[group_key]] = seen.get(r[group_key], 0) + 1
+        multi = [k for k, c in seen.items() if c > 1]
+        key_type = partials.schema().base_schema.field(group_key).type
+        multi_keys = pa.array(multi, key_type)
+        ref = _ray.put(multi_keys)
+
+        def finalize_single(b: pa.Table) -> pa.Table:
+            ks = b[group_key]
+            if isinstance(ks, pa.ChunkedArray):
+                ks = ks.combine_chunks()
+            keep = pc.invert(pc.is_in(ks, value_set=_ray.get(ref)))
+            f = b.filter(keep)
+            cols = {
+                group_key: f[group_key],
+                "segment": pa.array([1] * f.num_rows, pa.int64()),
+                combine_field: f[combine_field],
+                "n_turns": pc.cast(f["n_turns"], pa.int64()),
+                first_key: f[first_key],
+            }
+            for fld in keep_fields:
+                cols[fld] = f[fld]
+            return pa.table(cols)
+
+        def keep_multi(b: pa.Table) -> pa.Table:
+            ks = b[group_key]
+            if isinstance(ks, pa.ChunkedArray):
+                ks = ks.combine_chunks()
+            return b.filter(pc.is_in(ks, value_set=_ray.get(ref)))
+
+        singles = partials.map_batches(
+            finalize_single, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(first_key, kind="mergesort")
+            row = {
+                group_key: g[group_key].iloc[0],
+                "segment": 1,
+                combine_field: combine_with.join(g[combine_field]),
+                "n_turns": int(g["n_turns"].sum()),
+                first_key: g[first_key].iloc[0],
             }
             for f in keep_fields:
                 row[f] = g[f].iloc[0]
             return pd.DataFrame([row])
 
-        return partials.groupby(group_key).map_groups(merge, batch_format="pandas")
+        # the multi stream holds <= 2 rows per block boundary; a small
+        # partition count avoids the default shuffle's fixed fan-out
+        n_parts = max(2, min(16, (len(multi) // 8) or 2))
+        multis = partials.map_batches(
+            keep_multi, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).groupby(group_key, num_partitions=n_parts).map_groups(merge, batch_format="pandas")
+        return singles.union(multis)

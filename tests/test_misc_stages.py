@@ -203,3 +203,20 @@ def test_zscore_anomalies_flags_planted_outliers():
     flagged = set(out[out["is_anomaly"]]["i"])
     assert {100, 2500, 4999} <= flagged
     assert len(flagged) < 20  # no mass false positives
+
+
+def test_recombine_bypass_merge_equals_stream():
+    """merge='bypass' (scale shape: only boundary conversations
+    shuffle) must produce exactly the stream-merge result."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.transcripts import generate_transcripts
+    from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
+
+    ds = ray.data.from_arrow(generate_transcripts(5000)).repartition(6)
+    a = Recombine().apply(ds, strategy="sort", merge="stream").to_pandas()
+    b = Recombine().apply(ds, strategy="sort", merge="bypass").to_pandas()
+    key = ["conv_id", "segment"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
