@@ -357,6 +357,59 @@ def base64_decode(arr) -> pa.Array:
         pa.binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
 
 
+def murmur3_32_hex(arr) -> pa.Array:
+    """func_murmur3_hash.go: murmur3 Sum32 (seed 0) as the hex of its
+    LITTLE-ENDIAN bytes ("Hello World" -> "ce837619", "" ->
+    "00000000"). Vectorized: 4-byte blocks iterate to the batch max
+    with an active-row mask; tail + fmix are pure array ops."""
+    data, starts, lens = _flat_utf8(arr)
+    n = len(lens)
+    if n == 0:
+        return pa.array([], pa.string())
+    c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
+    nblocks = (lens // 4).astype(np.int64)
+    maxb = int(nblocks.max())
+    width = maxb * 4 + 4  # room so tail reads stay in-bounds (zero pad)
+    buf = np.zeros((n, width), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(n), lens)
+        head = np.cumsum(lens) - lens
+        within = np.arange(total) - np.repeat(head, lens)
+        buf[rows, within] = data[np.repeat(starts, lens) + within]
+    blocks = buf[:, : maxb * 4].reshape(n, maxb, 4).view("<u4").reshape(n, maxb) \
+        if maxb else np.zeros((n, 0), np.uint32)
+
+    def rotl(x, s):
+        return (x << np.uint32(s)) | (x >> np.uint32(32 - s))
+
+    h = np.zeros(n, np.uint32)
+    for j in range(maxb):
+        k = blocks[:, j].copy()
+        k *= c1
+        k = rotl(k, 15)
+        k *= c2
+        hx = h ^ k
+        hx = rotl(hx, 13)
+        hx = hx * np.uint32(5) + np.uint32(0xE6546B64)
+        h = np.where(nblocks > j, hx, h)
+    tail_start = nblocks * 4
+    t = (buf[np.arange(n), tail_start].astype(np.uint32)
+         | (buf[np.arange(n), tail_start + 1].astype(np.uint32) << np.uint32(8))
+         | (buf[np.arange(n), tail_start + 2].astype(np.uint32) << np.uint32(16)))
+    t *= c1
+    t = rotl(t, 15)
+    t *= c2
+    h = np.where(lens % 4 > 0, h ^ t, h)
+    h ^= lens.astype(np.uint32)
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    return _hex_of(h.astype("<u4").view(np.uint8).reshape(n, 4))
+
+
 def uuid4_strings(n: int, rng: np.random.Generator | None = None) -> pa.Array:
     """func_uuid.go: one random RFC-4122 v4 UUID string per row."""
     rng = rng or np.random.default_rng()

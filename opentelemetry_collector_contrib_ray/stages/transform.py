@@ -253,6 +253,11 @@ class Statement:
 
         return _masked(tbl, target, hex_encode(_val(tbl, Col(src))), mask)
 
+    def _op_murmur3(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import murmur3_32_hex
+
+        return _masked(tbl, target, murmur3_32_hex(_val(tbl, Col(src))), mask)
+
     def _op_uuid(self, tbl, mask, target: str):
         from ..functions.encode import uuid4_strings
 

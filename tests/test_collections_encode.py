@@ -49,6 +49,13 @@ def test_base64_and_hex_editors():
     assert [bytes(x).decode() for x in out2["raw"].to_pylist()] == vals
 
 
+def test_murmur3_editor_reference_vectors():
+    # func_murmur3_hash_test.go: LE-hex of Sum32
+    t = pa.table({"v": ["Hello World", ""]})
+    out = _one(t, [{"editor": "murmur3", "args": {"target": "h", "src": "v"}}])
+    assert out["h"].to_pylist() == ["ce837619", "00000000"]
+
+
 def test_uuid_editor_format_and_uniqueness():
     t = pa.table({"v": ["a"] * 50})
     out = _one(t, [{"editor": "uuid", "args": {"target": "id"}}])
