@@ -45,11 +45,17 @@ _SHINGLE_MIX = np.array(
 )
 
 
-def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def _word_hashes_batch(texts: "list[str] | pa.Array | pa.ChunkedArray") -> tuple[np.ndarray, np.ndarray]:
     """(flat uint64 word hashes, doc offsets) — one vectorized pass:
     Arrow lowercase/normalize/split over the whole batch, ONE
-    pandas hash_array call over the flat token array."""
-    arr = pa.array([t or "" for t in texts], pa.string())
+    pandas hash_array call over the flat token array. Accepts an
+    Arrow string array directly (no pylist round trip)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if isinstance(texts, pa.Array):
+        arr = pc.fill_null(texts, "")
+    else:
+        arr = pa.array([t or "" for t in texts], pa.string())
     norm = pc.utf8_trim_whitespace(
         pc.replace_substring_regex(pc.utf8_lower(arr), pattern=r"\W+", replacement=" ")
     )
@@ -64,7 +70,7 @@ def _word_hashes_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return hashes, offsets
 
 
-def _shingle_hashes_batch(texts: list[str], n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+def _shingle_hashes_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """uint64 word-n-gram shingle hashes for a whole batch.
 
     Shingle hash = order-sensitive mix of the n word hashes (no
@@ -129,7 +135,7 @@ class MinHasher:
 
     _CHUNK = 1 << 15  # shingles per chunk: 16 MB work buffer, reused
 
-    def signatures(self, texts: list[str]) -> np.ndarray:
+    def signatures(self, texts) -> np.ndarray:
         """(n_docs, k) uint64 signature matrix.
 
         Chunked so the (shingles x k) product reuses ONE small buffer
@@ -361,9 +367,8 @@ def minhash_lsh_candidates(
     hasher = MinHasher(k=k, ngram=ngram, seed=seed)
 
     def to_bands(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
         ids = b[id_col].to_numpy(zero_copy_only=False)
-        sigs = hasher.signatures(texts)
+        sigs = hasher.signatures(b[text_col])
         return _band_rows(ids, sigs, bands)
 
     band_rows = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
@@ -518,8 +523,7 @@ def simhash_dedup(ds: ray.data.Dataset, text_col: str, id_col: str, max_hamming:
         # ONE vectorized tokenize+hash pass for the whole batch, then
         # segment-summed bit votes (round-1 VERDICT flagged the old
         # per-document _shingle_hashes call).
-        texts = b[text_col].to_pylist()
-        flat, off = _word_hashes_batch(texts)
+        flat, off = _word_hashes_batch(b[text_col])
         fps = simhash64_segments(flat, off)
         return pa.table({id_col: b[id_col], "simhash": pa.array(fps, pa.uint64())})
 
