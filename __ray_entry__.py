@@ -185,6 +185,29 @@ def _q_transform(sf_dir: str):
     )
 
 
+def _q_ottl_text(sf_dir: str):
+    """The transformprocessor driven from TEXTUAL OTTL statement
+    strings (ottl.py front-end) — a reference user's statements pasted
+    unchanged, SQL-checked."""
+    from opentelemetry_collector_contrib_ray.ottl import transform_from_ottl
+    from opentelemetry_collector_contrib_ray.stages.parse import TranscriptParser
+
+    ds = read_transcripts(sf_dir)
+    ds = TranscriptParser(on_error="drop").apply(ds)
+    stage = transform_from_ottl([
+        'set(attributes["payload_upper"], Upper(attributes["payload"])) where role == "assistant"',
+        'set(attributes["redacted"], attributes["text"])',
+        'replace_pattern(attributes["redacted"], "[0-9]+", "#")',
+        'set(attributes["actor_key"], Concat([attributes["role"], attributes["tool_tag"]], ":"))',
+        'set(attributes["text_head"], Substring(attributes["text"], 0, 16))',
+        'set(attributes["conv_sha"], SHA256(attributes["conv_id"]))',
+    ], error_mode="propagate")
+    return stage.apply(ds).select_columns(
+        ["conv_id", "turn_idx", "payload_upper", "redacted", "actor_key",
+         "text_head", "conv_sha"]
+    )
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -904,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recombine_conv": _q_recombine,
         "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
+        "ottl_text": _q_ottl_text,
         "unroll_payload": _q_unroll,
         "grok_parse": _q_grok_parse,
         "kv_parse": _q_kv_parse,
@@ -1075,6 +1099,14 @@ FROM f WHERE ok""",
         "sample_10pct": f"""
 SELECT conv_id, turn_idx FROM read_parquet('{tpath}')
 WHERE md5_number_lower(conv_id) % 10000 < 1000""",
+        "ottl_text": parsed_cte + """
+SELECT conv_id, turn_idx,
+  CASE WHEN role = 'assistant' THEN upper(payload) END AS payload_upper,
+  regexp_replace(text, '[0-9]+', '#', 'g') AS redacted,
+  role || ':' || tool_tag AS actor_key,
+  substr(text, 1, 16) AS text_head,
+  sha256(conv_id) AS conv_sha
+FROM f WHERE ok""",
         "unroll_payload": parsed_cte + """
 SELECT conv_id, turn_idx, unnest(str_split(payload, ' ')) AS word
 FROM f WHERE ok""",

@@ -1,0 +1,346 @@
+"""Textual OTTL statement front-end — parse the reference's statement
+strings into this engine's Statement dicts.
+
+The reference's transformprocessor takes statements as TEXT
+(pkg/ottl/parser.go grammar; e2e corpus in pkg/ottl/e2e/e2e_test.go):
+
+    set(attributes["test"], "pass") where body == "operationA"
+    delete_key(attributes, "http.method")
+    keep_matching_keys(attributes, "^http")
+    set(attributes["sha"], SHA256(attributes["user"]))
+
+A reference user should be able to paste those statements unchanged,
+so this module implements a recursive-descent parser for the
+columnar-expressible SUBSET and compiles each statement to the
+registry's editor dicts (stages/transform.Statement):
+
+  * paths: ``attributes["k"]``, ``resource.attributes["k"]``,
+    ``body``, ``cache["k"]`` and bare names — all map to COLUMNS
+    (``body`` -> the ``body`` column; attribute keys -> their name);
+  * editors: set, delete_key, delete_matching_keys, keep_keys,
+    keep_matching_keys, truncate_all, replace_pattern, flatten;
+  * converters as set() values: Upper, Lower, Trim, Len, Concat,
+    Substring, SHA1, SHA256, SHA512, MD5, FNV->hash, Murmur3Hash,
+    Base64Encode, Base64Decode, Hex, UUID, Sort, Keys, Values,
+    ParseXML, Int, Double, String (cast family);
+  * where-clauses: ==, !=, <, <=, >, >=, and/or/not (with parens),
+    IsMatch(path, "re"), nil, true/false, string/number literals.
+
+Unsupported syntax (nested indexing like ``attributes["a"]["b"]``,
+arithmetic in paths, multi-context paths) raises ``OTTLParseError``
+naming the offending token — fail loud, never mis-compile.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from .expr import Col
+from .stages.transform import Statement
+
+
+class OTTLParseError(ValueError):
+    pass
+
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<number>-?\d+\.\d+|-?\d+)
+  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.)
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise OTTLParseError(f"unexpected character {s[i]!r} at {i} in {s!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append((kind, m.group()))
+    out.append(("eof", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = _tokenize(text)
+        self.pos = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.pos]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.pos]
+        self.pos += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        kind, tok = self.next()
+        if tok != val:
+            raise OTTLParseError(f"expected {val!r}, got {tok!r} in {self.text!r}")
+
+    # ---------------------------------------------------------- values
+
+    def parse_value(self) -> Any:
+        """literal | path | Converter(args...)"""
+        kind, tok = self.peek()
+        if kind == "string":
+            self.next()
+            return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        if kind == "number":
+            self.next()
+            return float(tok) if "." in tok else int(tok)
+        if kind == "name":
+            if tok == "nil":
+                self.next()
+                return None
+            if tok in ("true", "false"):
+                self.next()
+                return tok == "true"
+            # converter call or path
+            if self.toks[self.pos + 1][1] == "(" and tok[0].isupper():
+                return self.parse_converter()
+            return self.parse_path()
+        if tok == "[":
+            return self.parse_list()
+        raise OTTLParseError(f"unexpected {tok!r} in value position in {self.text!r}")
+
+    def parse_list(self) -> list:
+        self.expect("[")
+        items = []
+        while self.peek()[1] != "]":
+            items.append(self.parse_value())
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("]")
+        return items
+
+    def parse_path(self) -> Col:
+        """attributes["k"] | resource.attributes["k"] | cache["k"] |
+        body | bare_name — all to a column reference."""
+        kind, tok = self.next()
+        segments = [tok]
+        while self.peek()[1] == ".":
+            self.next()
+            _, nxt = self.next()
+            segments.append(nxt)
+        # resource.attributes / span.attributes etc: the context prefix
+        # vanishes in the columnar model; a plain dotted name
+        # (http.method) IS the column name
+        contexts = {"resource", "instrumentation_scope", "span", "spanevent",
+                    "log", "metric", "datapoint", "scope"}
+        if segments[0] in contexts:
+            base = segments[-1]
+        else:
+            base = ".".join(segments)
+        if self.peek()[1] == "[":
+            self.next()
+            k, key = self.next()
+            if k != "string":
+                raise OTTLParseError(
+                    f"only string keys are supported in paths, got {key!r} in {self.text!r}")
+            self.expect("]")
+            if self.peek()[1] == "[":
+                raise OTTLParseError(
+                    f"nested path indexing is not supported: {self.text!r}")
+            return Col(key[1:-1])
+        return Col(base)
+
+    # ------------------------------------------------------- converters
+
+    _CONVERTER_EDITORS = {
+        "Upper": ("upper", "src"), "Lower": ("lower", "src"),
+        "Trim": ("trim", "src"), "Len": ("len", "src"),
+        "SHA1": ("sha1", "src"), "SHA256": ("sha256", "src"),
+        "SHA512": ("sha512", "src"), "MD5": ("md5_hex", "src"),
+        "FNV": ("hash", "src"), "Murmur3Hash": ("murmur3", "src"),
+        "Base64Encode": ("base64_encode", "src"),
+        "Base64Decode": ("base64_decode", "src"),
+        "Hex": ("hex_encode", "src"),
+        "ParseXML": ("parse_xml", "src"),
+        "Keys": ("keys", "src"), "Values": ("values", "src"),
+    }
+
+    def parse_converter(self) -> dict:
+        """Returns {'__converter__': editor_name, 'args': {...}} for
+        the compile step to attach a target."""
+        _, name = self.next()
+        self.expect("(")
+        args: list[Any] = []
+        while self.peek()[1] != ")":
+            args.append(self.parse_value())
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        if name in self._CONVERTER_EDITORS:
+            editor, src_key = self._CONVERTER_EDITORS[name]
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"{name}() takes one path argument: {self.text!r}")
+            return {"__converter__": editor, "args": {src_key: args[0].name}}
+        if name == "UUID":
+            if args:
+                raise OTTLParseError(f"UUID() takes no arguments: {self.text!r}")
+            return {"__converter__": "uuid", "args": {}}
+        if name == "Concat":
+            if len(args) != 2 or not isinstance(args[0], list) or not isinstance(args[1], str):
+                raise OTTLParseError(f"Concat([parts], sep) expected: {self.text!r}")
+            return {"__converter__": "concat", "args": {"parts": args[0], "sep": args[1]}}
+        if name == "Substring":
+            if len(args) != 3 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"Substring(path, start, len) expected: {self.text!r}")
+            return {"__converter__": "substring",
+                    "args": {"src": args[0].name, "start": args[1], "length": args[2]}}
+        if name == "Sort":
+            order = args[1] if len(args) > 1 else "asc"
+            return {"__converter__": "list_sort", "args": {"src": args[0].name, "order": order}}
+        if name in ("Int", "Double", "String"):
+            to = {"Int": "int64", "Double": "float64", "String": "str"}[name]
+            return {"__converter__": "cast", "args": {"src": args[0].name, "to": to}}
+        raise OTTLParseError(f"unsupported converter {name}() in {self.text!r}")
+
+    # ------------------------------------------------------- conditions
+
+    def parse_condition(self) -> Any:
+        return self._parse_or()
+
+    def _parse_or(self) -> Any:
+        left = self._parse_and()
+        while self.peek() == ("name", "or"):
+            self.next()
+            left = ("or", left, self._parse_and())
+        return left
+
+    def _parse_and(self) -> Any:
+        left = self._parse_not()
+        while self.peek() == ("name", "and"):
+            self.next()
+            left = ("and", left, self._parse_not())
+        return left
+
+    def _parse_not(self) -> Any:
+        if self.peek() == ("name", "not"):
+            self.next()
+            return ("not", self._parse_not())
+        if self.peek()[1] == "(":
+            self.next()
+            c = self.parse_condition()
+            self.expect(")")
+            return c
+        return self._parse_comparison()
+
+    def _parse_comparison(self) -> Any:
+        if self.peek() == ("name", "IsMatch"):
+            self.next()
+            self.expect("(")
+            path = self.parse_path()
+            self.expect(",")
+            k, pat = self.next()
+            if k != "string":
+                raise OTTLParseError(f"IsMatch pattern must be a string: {self.text!r}")
+            self.expect(")")
+            return ("match", path, pat[1:-1])
+        left = self.parse_value()
+        kind, op = self.next()
+        if op == "==" and self.peek() == ("name", "nil"):
+            self.next()
+            return ("is_null", left)
+        if op == "!=" and self.peek() == ("name", "nil"):
+            self.next()
+            return ("not_null", left)
+        if op not in ("==", "!=", "<", "<=", ">", ">="):
+            raise OTTLParseError(f"expected comparison, got {op!r} in {self.text!r}")
+        right = self.parse_value()
+        return (op, left, right)
+
+    # ------------------------------------------------------- statements
+
+    def parse_statement(self) -> Statement:
+        if self.peek()[0] == "eof":
+            raise OTTLParseError("empty statement")
+        _, editor = self.next()
+        self.expect("(")
+        args: list[Any] = []
+        raw_tokens_ok = True
+        # first arg may be a bare context name (attributes) for
+        # delete_key/flatten-style editors
+        while self.peek()[1] != ")":
+            args.append(self.parse_value())
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        where = None
+        if self.peek() == ("name", "where"):
+            self.next()
+            where = self.parse_condition()
+        return self._compile(editor, args, where)
+
+    def _compile(self, editor: str, args: list[Any], where: Any) -> Statement:
+        if editor == "set":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"set(path, value) expected: {self.text!r}")
+            target = args[0].name
+            v = args[1]
+            if isinstance(v, dict) and "__converter__" in v:
+                return Statement(v["__converter__"],
+                                 {"target": target, **v["args"]}, where)
+            if isinstance(v, Col):
+                return Statement("copy", {"src": v.name, "dst": target}, where)
+            return Statement("set", {"target": target, "value": v}, where)
+        if editor == "delete_key":
+            # delete_key(attributes, "k")
+            if len(args) != 2 or not isinstance(args[1], str):
+                raise OTTLParseError(f"delete_key(ctx, key) expected: {self.text!r}")
+            return Statement("delete_keys", {"keys": [args[1]]}, where)
+        if editor == "delete_matching_keys":
+            return Statement("delete_matching_keys", {"pattern": args[1]}, where)
+        if editor == "keep_matching_keys":
+            return Statement("keep_matching_keys", {"pattern": args[1]}, where)
+        if editor == "keep_keys":
+            if len(args) != 2 or not isinstance(args[1], list):
+                raise OTTLParseError(f"keep_keys(ctx, [keys]) expected: {self.text!r}")
+            return Statement("keep_keys", {"keys": list(args[1])}, where)
+        if editor == "truncate_all":
+            # truncate_all(attributes, N): keys=None = every string col
+            return Statement("truncate_all", {"keys": None, "limit": args[1]}, where)
+        if editor == "replace_pattern":
+            if len(args) != 3 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"replace_pattern(path, re, repl) expected: {self.text!r}")
+            return Statement("replace_pattern",
+                             {"target": args[0].name, "pattern": args[1],
+                              "replacement": args[2]}, where)
+        if editor == "flatten":
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"flatten(path) expected: {self.text!r}")
+            return Statement("flatten", {"src": args[0].name}, where)
+        raise OTTLParseError(f"unsupported editor {editor!r} in {self.text!r}")
+
+
+def parse_statement(text: str) -> Statement:
+    """One OTTL statement string -> a compiled Statement."""
+    p = _Parser(text)
+    st = p.parse_statement()
+    if p.peek()[0] != "eof":
+        raise OTTLParseError(f"trailing tokens after statement: {text!r}")
+    return st
+
+
+def parse_statements(texts: list[str]) -> list[Statement]:
+    return [parse_statement(t) for t in texts]
+
+
+def transform_from_ottl(texts: list[str], error_mode: str = "ignore"):
+    """The transformprocessor entry point: OTTL statement strings ->
+    one fused TransformStage."""
+    from .stages.transform import TransformStage
+
+    return TransformStage(parse_statements(texts), error_mode=error_mode)

@@ -93,13 +93,29 @@ class Statement:
     def _op_keep_keys(self, tbl, mask, keys: list[str]):
         return tbl.select([k for k in keys if k in tbl.column_names])
 
+    def _op_delete_matching_keys(self, tbl, mask, pattern: str):
+        # func_delete_matching_keys.go: drop columns whose NAME matches
+        import re as _re
+
+        rx = _re.compile(pattern)
+        drop = [c for c in tbl.column_names if rx.search(c)]
+        return tbl.drop_columns(drop) if drop else tbl
+
+    def _op_keep_matching_keys(self, tbl, mask, pattern: str):
+        # func_keep_matching_keys.go: keep only matching columns
+        import re as _re
+
+        rx = _re.compile(pattern)
+        keep = [c for c in tbl.column_names if rx.search(c)]
+        return tbl.select(keep)
+
     def _op_rename(self, tbl, mask, src: str, dst: str):
         # stanza move (transformer/move/transformer.go:31-37)
         names = [dst if n == src else n for n in tbl.column_names]
         return tbl.rename_columns(names)
 
     def _op_copy(self, tbl, mask, src: str, dst: str):
-        return _set_col(tbl, dst, tbl[src])
+        return _masked(tbl, dst, _val(tbl, Col(src)), mask)
 
     def _op_concat(self, tbl, mask, target: str, parts: list[Any], sep: str = ""):
         arrs = []
@@ -140,8 +156,12 @@ class Statement:
         out = pc.utf8_slice_codeunits(_val(tbl, Col(src)), start=start, stop=start + length)
         return _masked(tbl, target, out, mask)
 
-    def _op_truncate_all(self, tbl, mask, keys: list[str], limit: int):
-        # func_truncate_all.go: cap string lengths
+    def _op_truncate_all(self, tbl, mask, keys: list[str] | None, limit: int):
+        # func_truncate_all.go: cap string lengths; keys=None = every
+        # string column (context-wide truncate_all(attributes, N))
+        if keys is None:
+            keys = [c for c in tbl.column_names
+                    if pa.types.is_string(tbl.schema.field(c).type)]
         for k in keys:
             if k in tbl.column_names and pa.types.is_string(tbl.schema.field(k).type):
                 tbl = _masked(tbl, k, pc.utf8_slice_codeunits(_val(tbl, Col(k)), start=0, stop=limit), mask)
