@@ -338,6 +338,30 @@ def parse_statements(texts: list[str]) -> list[Statement]:
     return [parse_statement(t) for t in texts]
 
 
+def parse_condition_text(text: str) -> Any:
+    """One OTTL/stanza-expr condition string -> the engine's predicate
+    tuple DSL (expr.py). Used by the filterprocessor config (OTTL
+    conditions) and stanza ``if:``/router ``expr:`` strings."""
+    p = _Parser(text)
+    cond = p.parse_condition()
+    if p.peek()[0] != "eof":
+        raise OTTLParseError(f"trailing tokens after condition: {text!r}")
+    return cond
+
+
+def filter_from_ottl(conditions: list[str], drop: bool = True):
+    """filterprocessor config shape: records matching ANY condition
+    are dropped (logs: log_record: [...] semantics,
+    processor/filterprocessor README)."""
+    from .stages.transform import FilterStage
+
+    conds = [parse_condition_text(c) for c in conditions]
+    combined = conds[0]
+    for c in conds[1:]:
+        combined = ("or", combined, c)
+    return FilterStage(condition=combined, mode="drop" if drop else "keep")
+
+
 def transform_from_ottl(texts: list[str], error_mode: str = "ignore"):
     """The transformprocessor entry point: OTTL statement strings ->
     one fused TransformStage."""

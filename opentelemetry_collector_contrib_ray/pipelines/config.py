@@ -31,6 +31,23 @@ def _normalize(cfg: dict[str, Any]) -> Any:
             from ..ottl import parse_statements
 
             cfg["statements"] = parse_statements(stmts)
+    elif cfg.get("type") == "router":
+        # stanza router routes carry expr STRINGS (transformer/router):
+        #   routes: [{expr: 'level == "ERROR"', sink: errors}]
+        from ..ottl import parse_condition_text
+
+        routes = []
+        for r in cfg.get("routes") or []:
+            r = dict(r)
+            cond = r.pop("expr", None) or r.get("condition")
+            if isinstance(cond, str):
+                r["condition"] = parse_condition_text(cond)
+            routes.append(r)
+        cfg["routes"] = routes
+    elif cfg.get("type") == "filter" and isinstance(cfg.get("condition"), str):
+        from ..ottl import parse_condition_text
+
+        cfg["condition"] = parse_condition_text(cfg["condition"])
     return cfg
 
 

@@ -135,3 +135,45 @@ def test_pipeline_from_yaml_unknown_type():
 
     with pytest.raises(ValueError, match="unknown operator types"):
         pipeline_from_yaml("operators:\n  - type: not_a_real_operator\n")
+
+
+def test_filter_from_ottl_conditions():
+    from opentelemetry_collector_contrib_ray.ottl import filter_from_ottl
+
+    stage = filter_from_ottl(['body == "operationA"', 'IsMatch(user, "^b")'])
+    out = stage.fn(_tbl())
+    # rows matching ANY condition dropped: operationA (row0), bob (row1)
+    assert out["user"].to_pylist() == ["carol"]
+
+
+def test_router_yaml_with_expr_strings():
+    from opentelemetry_collector_contrib_ray.pipelines.config import pipeline_from_yaml
+
+    pipe = pipeline_from_yaml("""
+operators:
+  - type: router
+    routes:
+      - expr: 'level == "ERROR"'
+        sink: errors
+      - expr: 'IsMatch(msg, "slow")'
+        sink: slow
+""")
+    ds = ray.data.from_arrow(pa.table({
+        "level": ["ERROR", "INFO", "INFO"],
+        "msg": ["boom", "slow query", "fine"]}))
+    out = pipe(ds).to_pandas().sort_values("msg").reset_index(drop=True)
+    got = dict(zip(out["msg"], out["sink"]))
+    assert got["boom"] == "errors" and got["slow query"] == "slow"
+    assert got["fine"] not in ("errors", "slow")
+
+
+def test_filter_yaml_with_condition_string():
+    from opentelemetry_collector_contrib_ray.pipelines.config import pipeline_from_yaml
+
+    pipe = pipeline_from_yaml("""
+operators:
+  - type: filter
+    condition: 'level == "DEBUG"'
+""")
+    ds = ray.data.from_arrow(pa.table({"level": ["DEBUG", "INFO", "DEBUG"]}))
+    assert pipe(ds).to_pandas()["level"].tolist() == ["INFO"]
