@@ -643,7 +643,9 @@ def _q_service_graph(sf_dir: str):
     table) and emit per-tool edge metrics (count + latency sum)."""
     from opentelemetry_collector_contrib_ray.stages.servicegraph import service_graph_edges
 
-    t = read_transcripts(sf_dir)
+    # the pairing needs only the key/label columns — prune at the read
+    # (the text column is ~90% of the table's bytes)
+    t = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
 
     def client_side(b: pa.Table) -> pa.Table:
         m = pc.equal(b["role"], "user")

@@ -126,6 +126,12 @@ def _run_bench() -> dict:
         "list_ops",
         "docs_fingerprint",
         "events_anomalies",
+        "ottl_text",
+        "service_graph",
+        "metrics_rename_scale",
+        "metrics_generation",
+        "lang_id",
+        "multimodal_pipeline",
     ]
     qs = e.queries()
     qtimes = {}

@@ -37,16 +37,21 @@ def service_graph_edges(
     num_partitions: int = 16,
     latency_name: str = "latency_us_sum",
     count_name: str = "n_calls",
+    guard_empty: bool = False,
 ) -> ray.data.Dataset:
     """Join the client and server streams on ``on`` (the reference's
     (trace_id, span_id) pairing key) and emit one row per edge dim set
     with request count + summed latency in microseconds
-    (server ts - client ts)."""
-    # Ray 2.49's hash join crashes (ArrowInvalid on the key FieldRef)
-    # when one side has NO blocks at all; a fan-in side emptied by its
-    # filter is legitimate, so guard with a short-circuit limit(1)
-    # probe (streaming executor stops the upstream after one row)
-    if client.limit(1).count() == 0 or server.limit(1).count() == 0:
+    (server ts - client ts).
+
+    ``guard_empty``: Ray 2.49's hash join crashes (ArrowInvalid on the
+    key FieldRef) when one side dataset is COMPLETELY empty. The guard
+    probes each side with limit(1) — but that costs a full extra pass
+    through each side's upstream (limit does not early-stop through a
+    fused task chain in 2.49), so it is opt-in: enable it when a side
+    can legitimately filter to nothing; without it an empty side fails
+    LOUD (never wrong data)."""
+    if guard_empty and (client.limit(1).count() == 0 or server.limit(1).count() == 0):
         cols = {d: pa.array([], pa.string()) for d in edge_dims}
         cols[count_name] = pa.array([], pa.int64())
         cols[latency_name] = pa.array([], pa.int64())

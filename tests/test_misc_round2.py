@@ -111,7 +111,8 @@ def test_service_graph_edges_pairing():
                         base], pa.timestamp("us")),
     }))
     out = service_graph_edges(client, server, on=["conv_id", "match_idx"],
-                              edge_dims=["tool"], num_partitions=2).to_pandas()
+                              edge_dims=["tool"], num_partitions=2,
+                              guard_empty=True).to_pandas()
     out = out.set_index("tool")
     assert out.loc["search", "n_calls"] == 2
     assert out.loc["search", "latency_us_sum"] == 1_000_000 + 500_000
