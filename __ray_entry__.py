@@ -719,7 +719,9 @@ def _q_simhash_pairs(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_dedup(ds, "text", "doc_id", max_hamming=3)
+    # n_blocks=6: C(6,3)=20 ~32-bit band keys — the scale setting
+    # (16-bit quarter bands hit the bucket cap by ~10^5 docs)
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=3, n_blocks=6)
 
 
 def _q_embedding_near_dup(sf_dir: str):

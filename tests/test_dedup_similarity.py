@@ -252,3 +252,17 @@ def test_ivf_train_driver_sample_is_capped():
     # sampled fraction is min(0.9, 500/5000)=0.1 -> ~500 expected rows;
     # generous bound: never anywhere near the 0.9 fraction (4500)
     assert seen["rows"] < 1200
+
+
+def test_simhash_block_banding_scales(corpus):
+    """n_blocks=6 (C(6,3)=20 x ~32-bit band keys — the web-scale
+    setting) must find EXACTLY the same verified pairs as the default
+    n_blocks=4: the pigeonhole guarantee is exact for any valid
+    n_blocks > max_hamming."""
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    a = simhash_dedup(ds, "text", "doc_id", max_hamming=4).to_pandas()
+    b = simhash_dedup(ds, "text", "doc_id", max_hamming=4, n_blocks=6).to_pandas()
+    pa_ = {(int(x), int(y), int(h)) for x, y, h in zip(a["id_a"], a["id_b"], a["hamming"])}
+    pb_ = {(int(x), int(y), int(h)) for x, y, h in zip(b["id_a"], b["id_b"], b["hamming"])}
+    assert pa_ == pb_
+    assert (1, 45, 0) in pa_  # planted exact dup still found
