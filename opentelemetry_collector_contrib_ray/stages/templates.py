@@ -128,9 +128,22 @@ def drain_mine(
     import ray as _ray
 
     def mine_batch(b: pa.Table) -> pa.Table:
+        # vectorized mask + tokenize for the whole batch (Arrow regex
+        # kernels); only the Drain join itself — inherently a
+        # per-record stateful tree walk, as in the reference — is a
+        # Python loop over pre-tokenized lists
         miner = DrainLite(sim_threshold, masks)
-        for t in b[text_col].to_pylist():
-            miner.add(t)
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        for pat, repl in (MASKS if masks is None else masks):
+            t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+        token_lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t), pattern=r"\s+").to_pylist()
+        for toks in token_lists:
+            # "" splits to [""] — normalize to the old str.split() []
+            miner._add_tokens([] if toks == [""] else toks)
         tmpls = miner.templates()
         return pa.table({
             "template": pa.array([t for t, _ in tmpls], pa.string()),
