@@ -418,6 +418,31 @@ def verify_pairs_jaccard(
     return cand.map_batches(Verify, batch_format="pandas", batch_size=None, concurrency=(1, 4))
 
 
+def normalize_empty_blocks(ds: ray.data.Dataset, fields: dict[str, pa.DataType]) -> ray.data.Dataset:
+    """Ray 2.49's groupby Aggregate (and hash joins) emit ZERO-COLUMN
+    empty blocks; a downstream hash join then fails with 'No match for
+    FieldRef' on the schema-less partition — and ``map_batches`` SKIPS
+    empty blocks entirely, so they cannot be rewritten in-stream.
+    Materialize, DROP the empty blocks at the ref level (per-ref
+    num_rows probes are tiny zero-copy tasks), project survivors to
+    the expected columns, and fall back to one typed empty block when
+    nothing survives."""
+    import ray as _ray
+
+    count_rows = _ray.remote(num_cpus=0)(lambda t: t.num_rows)
+    refs = ds.materialize().to_arrow_refs()
+    nrows = _ray.get([count_rows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, nrows) if n > 0]
+    if not keep:
+        return ray.data.from_arrow(pa.table({k: pa.array([], t) for k, t in fields.items()}))
+    out = ray.data.from_arrow_refs(keep)
+
+    def project(b: pa.Table) -> pa.Table:
+        return b.select(list(fields))
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def _jaccard_batch(texts_a: list[str], texts_b: list[str], ngram: int) -> np.ndarray:
     """Exact word-shingle Jaccard for a batch of pairs — fully
     vectorized: both sides tokenize in one pass each; per-row UNIQUE
@@ -474,9 +499,13 @@ def verify_pairs_jaccard_distributed(
     docs-by-id dict, which grows with the candidate set). Two
     ``Dataset.join`` hash joins fetch text_a/text_b, then the
     vectorized jaccard kernel scores each batch."""
+    id_type = docs.schema().base_schema.field(id_col).type
+    cand = normalize_empty_blocks(cand, {"id_a": id_type, "id_b": id_type})
     docs_a = docs.select_columns([id_col, text_col])
     j = cand.join(docs_a, join_type="inner", num_partitions=num_partitions,
                   on=("id_a",), right_on=(id_col,), right_suffix="_ra")
+    j = normalize_empty_blocks(
+        j, {"id_a": id_type, "id_b": id_type, text_col: pa.string()})
     j = j.join(docs_a, join_type="inner", num_partitions=num_partitions,
                on=("id_b",), right_on=(id_col,), right_suffix="_rb")
 

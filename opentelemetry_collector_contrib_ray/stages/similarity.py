@@ -269,7 +269,8 @@ def embedding_near_dup(
     n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
-    target_bucket: int = 32,
+    target_bucket: int = 4,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs by cosine >= threshold, random-hyperplane
     LSH with MULTI-TABLE banding (round-1 VERDICT #6: a fixed 2^8
@@ -277,16 +278,25 @@ def embedding_near_dup(
     all-pairs check inside each explodes).
 
     ``n_planes`` defaults to log2(count / target_bucket) so the
-    expected bucket occupancy stays ~``target_bucket`` regardless of
-    corpus size; ``n_tables`` independent plane sets recover the
+    expected bucket occupancy stays ~``target_bucket`` (small — for
+    PAIR generation occupancy directly multiplies candidate count, a
+    500k-vector run at occupancy 32 produced ~28M mostly-false
+    candidates); ``n_tables`` independent plane sets recover the
     recall a deeper single code loses (candidate iff ANY table
-    collides — the classic banding trade, Charikar '02). Candidate
-    pairs come from the DISTRIBUTED sorted-run pair explosion
-    (stages/dedup.sorted_run_pairs) carrying both embeddings; exact
-    cosine verifies each batch vectorized; a distributed groupby
-    dedupes pairs found by several tables."""
+    collides — the classic banding trade, Charikar '02).
+
+    Scale shape: bucket rows carry ONLY (bucket, id) — no embedding
+    payload rides the candidate sort (2 x dim floats per pair is the
+    dominant byte volume otherwise); after the distributed pair
+    explosion (stages/dedup.sorted_run_pairs) and a pair-dedupe
+    groupby, two hash joins fetch each side's vector ONCE per unique
+    pair and the exact cosine verifies per batch."""
     from .dedup import sorted_run_pairs
 
+    if num_partitions is None:
+        # each hash-join partition is an aggregator ACTOR needing a
+        # CPU slot; oversubscribing a small session deadlocks
+        num_partitions = max(2, int(ray.available_resources().get("CPU", 8) // 2))
     if n_planes is None:
         n = max(ds.count(), 2)
         n_planes = max(8, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
@@ -307,32 +317,76 @@ def embedding_near_dup(
             outs.append(pa.table({
                 "bucket": pa.array(bucket, pa.int64()),
                 id_col: b[id_col],
-                emb_col: b[emb_col],
             }))
         return pa.concat_tables(outs)
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    cand = sorted_run_pairs(bucketed, "bucket", id_col, payload_cols=[emb_col])
+    cand = sorted_run_pairs(bucketed, "bucket", id_col)
+    # dedupe pairs found by several tables BEFORE fetching vectors;
+    # normalize_empty_blocks guards the join against the groupby's
+    # zero-column empty blocks (dedup.py)
+    from .dedup import normalize_empty_blocks
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    dedup = normalize_empty_blocks(
+        cand.groupby(["id_a", "id_b"]).count(),
+        {"id_a": id_type, "id_b": id_type})
+
+    # Acero (Ray's hash-join executor) rejects list<float> non-key
+    # fields — ship each vector as a packed float32 BINARY blob and
+    # decode after the join (both directions are flat-buffer ops)
+    def pack(b: pa.Table) -> pa.Table:
+        m = _stack(b[emb_col]).astype(np.float32)
+        n, dim = m.shape
+        offs = np.arange(n + 1, dtype=np.int32) * (4 * dim)
+        blob = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(m.tobytes())])
+        return pa.table({id_col: b[id_col], "embin": blob})
+
+    # a corpus with NO candidate pairs is legitimate — Ray 2.49's hash
+    # join crashes on an empty side, and normalize_empty_blocks has
+    # already pinned the (small) pair stream, so the count is free
+    if dedup.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+
+    vecs = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    j = dedup.join(vecs, join_type="inner", num_partitions=num_partitions,
+                   on=("id_a",), right_on=(id_col,))
+    # join outputs ALSO carry zero-column empty partitions — normalize
+    # before they become the next join's left side
+    j = normalize_empty_blocks(
+        j, {"id_a": id_type, "id_b": id_type, "embin": pa.binary()})
+    j = j.join(vecs, join_type="inner", num_partitions=num_partitions,
+               on=("id_b",), right_on=(id_col,), right_suffix="_b")
+
+    def _unpack(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.frombuffer(col.buffers()[2], np.float32) if col.buffers()[2] is not None \
+            else np.empty(0, np.float32)
+        offs = np.frombuffer(col.buffers()[1], "<i4", count=len(col) + 1,
+                             offset=col.offset * 4)
+        dim = (offs[1] - offs[0]) // 4 if len(col) else 1
+        start = offs[0] // 4
+        return flat[start:start + len(col) * dim].reshape(len(col), dim).astype(np.float64)
 
     def cosine_filter(b: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], b.schema.field("id_a").type),
-                          "id_b": pa.array([], b.schema.field("id_b").type),
-                          "cosine": pa.array([], pa.float64())})
-        if b.num_rows == 0:
-            return empty
-        ma = _normalize(_stack(b[emb_col + "_a"]))
-        mb = _normalize(_stack(b[emb_col + "_b"]))
+        a_col = "embin"
+        b_col = "embin_b" if "embin_b" in b.column_names else "embin"
+        if b.num_rows == 0:  # may be a zero-COLUMN join partition
+            return pa.table({"id_a": pa.array([], id_type),
+                             "id_b": pa.array([], id_type),
+                             "cosine": pa.array([], pa.float64())})
+        ma = _normalize(_unpack(b[a_col]))
+        mb = _normalize(_unpack(b[b_col]))
         cos = np.einsum("ij,ij->i", ma, mb)
         keep = cos >= threshold
         out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
                         "cosine": pa.array(cos, pa.float64())})
         return out.filter(pa.array(keep))
 
-    scored = cand.map_batches(
+    return j.map_batches(
         cosine_filter, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    merged = scored.groupby(["id_a", "id_b"]).max("cosine")
-
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns(["id_a", "id_b", "cosine"])
-
-    return merged.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

@@ -43,9 +43,57 @@ def synth_docs(n: int, dup_frac: float, seed: int = 7) -> pa.Table:
                      "text": pa.array(texts, pa.string())})
 
 
+def synth_vectors(n: int, dup_frac: float, dim: int = 64, seed: int = 9) -> pa.Table:
+    """Unit-ish vectors; dup_frac rows are tiny perturbations of an
+    earlier NON-dup row (cosine ~0.999)."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    is_dup = rng.random(n) < dup_frac
+    src = rng.integers(0, np.maximum(np.arange(n), 1))
+    rows = np.nonzero(is_dup & (src < np.arange(n)))[0]
+    m[rows] = m[src[rows]] + 0.01 * rng.standard_normal((len(rows), dim)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+    })
+
+
+def _simhash_mode(ds, n, dup_frac):
+    from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
+
+    t0 = time.perf_counter()
+    pairs = simhash_dedup(ds, "text", "doc_id", max_hamming=3, n_blocks=6).count()
+    sec = time.perf_counter() - t0
+    return {"metric": "simhash_stress", "n_docs": n, "dup_frac": dup_frac,
+            "pairs": pairs, "sec": round(sec, 2), "docs_per_sec": round(n / sec, 1)}
+
+
+def _embedding_mode(n, dup_frac):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import embedding_near_dup
+
+    tbl = synth_vectors(n, dup_frac)
+    ds = ray.data.from_arrow(tbl).repartition(32).materialize()
+    t0 = time.perf_counter()
+    pairs = embedding_near_dup(ds, threshold=0.95).count()
+    sec = time.perf_counter() - t0
+    expected_min = int(n * dup_frac * (1 - dup_frac) * 0.5)  # banding recall < 1
+    return {"metric": "embedding_stress", "n_vecs": n, "dup_frac": dup_frac,
+            "pairs": pairs, "sec": round(sec, 2), "vecs_per_sec": round(n / sec, 1),
+            "sanity_min_expected_pairs": expected_min,
+            "recall_ok": bool(pairs >= expected_min)}
+
+
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    dup_frac = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+    mode = "minhash"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--"):
+            mode = a[2:]
+    n = int(argv[0]) if argv else 200_000
+    dup_frac = float(argv[1]) if len(argv) > 1 else 0.25
 
     import ray
     import ray.data
@@ -62,8 +110,17 @@ def main() -> None:
         verify_pairs_jaccard_distributed,
     )
 
+    if mode == "embedding":
+        print(json.dumps(_embedding_mode(n, dup_frac)))
+        ray.shutdown()
+        return
+
     tbl = synth_docs(n, dup_frac)
     ds = ray.data.from_arrow(tbl).repartition(32).materialize()
+    if mode == "simhash":
+        print(json.dumps(_simhash_mode(ds, n, dup_frac)))
+        ray.shutdown()
+        return
 
     t0 = time.perf_counter()
     cand = minhash_lsh_candidates(ds, "text", "doc_id")
