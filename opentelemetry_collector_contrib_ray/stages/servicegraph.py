@@ -60,6 +60,11 @@ def service_graph_edges(
         server, join_type="inner", num_partitions=num_partitions,
         on=tuple(on), right_on=tuple(on), right_suffix="_srv",
     )
+    # note: a single join output may carry zero-column empty partitions
+    # (see dedup.normalize_empty_blocks); the consumers below are
+    # map_batches (which skip empty blocks) and grouped_count_sum
+    # partials, neither of which joins again, so no normalization is
+    # needed here — add it if this output ever feeds another join
 
     def latency(b: pa.Table) -> pa.Table:
         cts = b[client_ts] if client_ts in b.column_names else b[client_ts + "_srv"]

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -261,6 +262,50 @@ def lsh_bucket_assign(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _verify_pairs_broadcast(ds, dedup, threshold, id_col, emb_col, id_type):
+    """Small-candidate verify: broadcast ONLY the candidate vectors
+    (fetched with one distributed is_in filter) and score each pair
+    batch with a searchsorted lookup."""
+    import pyarrow.compute as pc
+
+    pair_tables = [t for t in ray.get(dedup.to_arrow_refs()) if t.num_rows]
+    ids_needed = pa.concat_arrays(
+        [t["id_a"].combine_chunks() for t in pair_tables]
+        + [t["id_b"].combine_chunks() for t in pair_tables])
+    wanted = pc.unique(ids_needed)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ks = b[id_col]
+        if isinstance(ks, pa.ChunkedArray):
+            ks = ks.combine_chunks()
+        return b.filter(pc.is_in(ks, value_set=wanted)).select([id_col, emb_col])
+
+    sub = [t for t in ray.get(
+        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True,
+                       batch_size=None).materialize().to_arrow_refs()) if t.num_rows]
+    if not sub:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+            "cosine": pa.array([], pa.float64())}))
+    cat = pa.concat_tables(sub, promote_options="none")
+    ids_np = cat[id_col].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_np)
+    ids_sorted = ids_np[order]
+    mat = _normalize(_stack(cat[emb_col]))[order]
+    ref = ray.put((ids_sorted, mat))
+
+    def score(b: pa.Table) -> pa.Table:
+        ids_s, m = ray.get(ref)
+        ia = np.searchsorted(ids_s, b["id_a"].to_numpy(zero_copy_only=False))
+        ib = np.searchsorted(ids_s, b["id_b"].to_numpy(zero_copy_only=False))
+        cos = np.einsum("ij,ij->i", m[ia], m[ib])
+        out = pa.table({"id_a": b["id_a"], "id_b": b["id_b"],
+                        "cosine": pa.array(cos, pa.float64())})
+        return out.filter(pa.array(cos >= threshold))
+
+    return dedup.map_batches(score, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
 def embedding_near_dup(
     ds: ray.data.Dataset,
     threshold: float,
@@ -293,12 +338,8 @@ def embedding_near_dup(
     pair and the exact cosine verifies per batch."""
     from .dedup import sorted_run_pairs
 
-    if num_partitions is None:
-        # each hash-join partition is an aggregator ACTOR needing a
-        # CPU slot; oversubscribing a small session deadlocks
-        num_partitions = max(2, int(ray.available_resources().get("CPU", 8) // 2))
+    n = max(ds.count(), 2)
     if n_planes is None:
-        n = max(ds.count(), 2)
         n_planes = max(8, int(np.ceil(np.log2(max(n / target_bucket, 2)))))
     state: dict = {}
 
@@ -321,6 +362,40 @@ def embedding_near_dup(
         return pa.concat_tables(outs)
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    # small-corpus fast path: below ~20k vectors the distributed
+    # pipeline's ~5 fixed-cost barriers (sort, boundary groupby,
+    # pair-dedupe groupby, two joins) dominate wall time; the bucket
+    # rows (n x n_tables ids) are driver-trivial there, so explode
+    # and dedupe locally and verify via the broadcast scorer. The
+    # distributed path takes over beyond the cutoff — nothing
+    # driver-side ever scales with the full corpus.
+    if n <= 20_000:
+        from .dedup import _explode_runs_vectorized, _seg_starts_np
+
+        tabs = [t for t in ray.get(bucketed.materialize().to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64())}))
+        cat = pa.concat_tables(tabs, promote_options="none")
+        order = pc.sort_indices(cat, sort_keys=[("bucket", "ascending"), (id_col, "ascending")])
+        cat = cat.take(order)
+        keys = cat["bucket"].to_numpy(zero_copy_only=False)
+        ia, ib = _explode_runs_vectorized(_seg_starts_np(keys), len(keys))
+        ids = cat[id_col].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([ids[ia], ids[ib]], axis=1), axis=0) \
+            if len(ia) else np.empty((0, 2), dtype=ids.dtype if len(ids) else np.int64)
+        id_type = ds.schema().base_schema.field(id_col).type
+        dedup = ray.data.from_arrow(pa.table({
+            "id_a": pa.array(pairs[:, 0], id_type),
+            "id_b": pa.array(pairs[:, 1], id_type)}))
+        if len(pairs) == 0:
+            return ray.data.from_arrow(pa.table({
+                "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64())}))
+        return _verify_pairs_broadcast(ds, dedup.materialize(), threshold, id_col, emb_col, id_type)
+
     cand = sorted_run_pairs(bucketed, "bucket", id_col)
     # dedupe pairs found by several tables BEFORE fetching vectors;
     # normalize_empty_blocks guards the join against the groupby's
@@ -347,10 +422,26 @@ def embedding_near_dup(
     # a corpus with NO candidate pairs is legitimate — Ray 2.49's hash
     # join crashes on an empty side, and normalize_empty_blocks has
     # already pinned the (small) pair stream, so the count is free
-    if dedup.count() == 0:
+    n_pairs = dedup.count()
+    if num_partitions is None:
+        # each hash-join partition is an aggregator ACTOR with fixed
+        # setup cost (and an oversubscribed small session deadlocks):
+        # size by BOTH available CPUs and the known pair count
+        cpu_cap = max(2, int(ray.available_resources().get("CPU", 8) // 2))
+        num_partitions = max(2, min(cpu_cap, n_pairs // 25_000 + 2))
+    if n_pairs == 0:
         return ray.data.from_arrow(pa.table({
             "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64())}))
+
+    # strategy pick by the MEASURED pair count: the two hash joins cost
+    # several seconds of fixed actor setup each — for a small candidate
+    # set a broadcast of just the candidate vectors is far cheaper,
+    # and its driver/broadcast footprint is explicitly bounded by the
+    # threshold (250k pairs x dim floats); the join path takes over
+    # beyond it (no driver state grows with the corpus).
+    if n_pairs <= 250_000:
+        return _verify_pairs_broadcast(ds, dedup, threshold, id_col, emb_col, id_type)
 
     vecs = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     j = dedup.join(vecs, join_type="inner", num_partitions=num_partitions,
