@@ -61,10 +61,15 @@ def registered_types() -> list[str]:
 from . import (  # noqa: E402,F401
     aggregate,
     attributes,
+    container,
     enrich,
+    failover,
+    genai,
     parse,
     recombine,
     route,
     sample,
+    syslog,
+    textstats,
     transform,
 )

@@ -177,3 +177,21 @@ operators:
 """)
     ds = ray.data.from_arrow(pa.table({"level": ["DEBUG", "INFO", "DEBUG"]}))
     assert pipe(ds).to_pandas()["level"].tolist() == ["INFO"]
+
+
+def test_yaml_reaches_new_operator_types():
+    """The YAML loader must resolve EVERY registering stage module —
+    round-2 caught syslog/container/failover missing from the
+    registry autoload list."""
+    from opentelemetry_collector_contrib_ray.pipelines.config import pipeline_from_yaml
+
+    pipe = pipeline_from_yaml("""
+operators:
+  - type: syslog_parser
+    protocol: rfc5424
+    parse_from: line
+""")
+    ds = ray.data.from_arrow(pa.table({
+        "line": ["<34>1 2003-10-11T22:14:15.003Z host app - ID47 - hello"]}))
+    out = pipe(ds).to_pandas()
+    assert out.iloc[0]["severity_text"] == "crit" and out.iloc[0]["msg_id"] == "ID47"
