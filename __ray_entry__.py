@@ -903,6 +903,40 @@ def _q_multimodal_pipeline(sf_dir: str):
     return ds.select_columns(["item_id", "byte_size", "mean_intensity", "n_sampled_frames"])
 
 
+def _q_exceptions_metrics(sf_dir: str):
+    """Exceptions connector, metrics side
+    (connector/exceptionsconnector/connector_metrics.go:69-118):
+    count exception events per dimension key with a default-valued
+    dim (actor), two missing-dim-skip dims (tool_tag, status) and a
+    deterministic min-packed exemplar per key."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.exceptions import exception_metrics
+
+    ds = build_parsed(sf_dir, on_error="send")
+    return exception_metrics(
+        ds,
+        condition=("==", col("level"), "ERROR"),
+        dims=[("actor", "unknown"), ("tool_tag", None), ("status", None)],
+        exemplars=True,
+    )
+
+
+def _q_exceptions_logs(sf_dir: str):
+    """Exceptions connector, logs side (connector_logs.go:63-112):
+    one log record per exception event, span attrs + a derived
+    exception_type label."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.exceptions import exception_logs
+
+    ds = build_parsed(sf_dir, on_error="send")
+    return exception_logs(
+        ds,
+        condition=("==", col("level"), "ERROR"),
+        attrs=["conv_id", "turn_idx", "actor", "tool_tag", "status", "payload"],
+        type_from_status="status",
+    )
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -966,6 +1000,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "service_graph": _q_service_graph,
         "metrics_rename_scale": _q_metrics_rename_scale,
         "metrics_generation": _q_metrics_generation,
+        "exceptions_metrics": _q_exceptions_metrics,
+        "exceptions_logs": _q_exceptions_logs,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1323,6 +1359,19 @@ SELECT role, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
        SUM(dur) AS dur_sum,
        SUM(dur) / CAST(COUNT(*) AS DOUBLE) AS avg_dur
 FROM f WHERE dur IS NOT NULL GROUP BY 1, 2""",
+        "exceptions_metrics": parsed_cte + """
+SELECT CASE WHEN actor IS NULL OR actor = '' THEN 'unknown' ELSE actor END AS actor,
+       tool_tag, status,
+       CAST(COUNT(*) AS BIGINT) AS exceptions_total,
+       MIN(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 8, '0')) AS exemplar
+FROM f
+WHERE level = 'ERROR' AND tool_tag IS NOT NULL AND tool_tag <> ''
+      AND status IS NOT NULL
+GROUP BY 1, 2, 3""",
+        "exceptions_logs": parsed_cte + """
+SELECT conv_id, turn_idx, actor, tool_tag, status, payload,
+       'HTTP_' || CAST(status // 100 AS VARCHAR) || 'xx' AS exception_type
+FROM f WHERE level = 'ERROR'""",
         "service_graph": f"""
 SELECT a.tool AS tool, COUNT(*) AS n_calls,
   CAST(SUM(epoch_us(a.ts) - epoch_us(u.ts)) AS BIGINT) AS latency_us_sum
