@@ -937,6 +937,30 @@ def _q_exceptions_logs(sf_dir: str):
     )
 
 
+def _q_schema_migrate(sf_dir: str):
+    """Schema processor (processor/schemaprocessor): upgrade the
+    parsed table from schema v1.0.0 to v1.2.0 where the v1.1.0
+    changeset renames actor->agent.name (hard) and the v1.2.0
+    changeset renames tool_tag->tool.name under an active migration
+    window (soft: both names kept)."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        SchemaTranslation,
+        schema_convert,
+    )
+
+    trans = SchemaTranslation(
+        family="https://example.test/schemas",
+        versions={"1.1.0": {"actor": "agent.name"},
+                  "1.2.0": {"tool_tag": "tool.name"}},
+    )
+    ds = build_parsed(sf_dir, on_error="drop")
+    out = schema_convert(ds, trans, source="1.0.0", target="1.2.0",
+                         migrate_from="1.1.0")
+    return out.select_columns(
+        ["conv_id", "turn_idx", "agent.name", "tool_tag", "tool.name", "status"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1002,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_generation": _q_metrics_generation,
         "exceptions_metrics": _q_exceptions_metrics,
         "exceptions_logs": _q_exceptions_logs,
+        "schema_migrate": _q_schema_migrate,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1372,6 +1397,10 @@ GROUP BY 1, 2, 3""",
 SELECT conv_id, turn_idx, actor, tool_tag, status, payload,
        'HTTP_' || CAST(status // 100 AS VARCHAR) || 'xx' AS exception_type
 FROM f WHERE level = 'ERROR'""",
+        "schema_migrate": parsed_cte + """
+SELECT conv_id, turn_idx, actor AS "agent.name", tool_tag,
+       tool_tag AS "tool.name", status
+FROM f WHERE ok""",
         "service_graph": f"""
 SELECT a.tool AS tool, COUNT(*) AS n_calls,
   CAST(SUM(epoch_us(a.ts) - epoch_us(u.ts)) AS BIGINT) AS latency_us_sum

@@ -1,0 +1,115 @@
+"""schemaprocessor / resourcedetection / remotetap analogs."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.resourcedetect import (
+    apply_resource,
+    detect_resource,
+    env_detector,
+)
+from opentelemetry_collector_contrib_ray.stages.schema import (
+    SchemaTranslation,
+    schema_convert,
+)
+from opentelemetry_collector_contrib_ray.stages.tap import remote_tap
+
+TRANS = SchemaTranslation(
+    family="https://example.test/schemas",
+    versions={
+        "1.1.0": {"net.peer.name": "server.address"},
+        "1.2.0": {"http.method": "http.request.method"},
+    },
+)
+
+
+def _tbl(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+def test_schema_upgrade_hard_renames_chain(ray_session):
+    t = _tbl(**{"net.peer.name": ["a", None], "http.method": ["GET", "POST"]})
+    out = schema_convert(ray.data.from_arrow(t), TRANS,
+                         source="1.0.0", target="1.2.0").to_pandas()
+    assert "net.peer.name" not in out.columns
+    assert "http.method" not in out.columns
+    assert list(out["server.address"]) == ["a", None]
+    assert list(out["http.request.method"]) == ["GET", "POST"]
+
+
+def test_schema_partial_window_and_downgrade(ray_session):
+    t = _tbl(**{"server.address": ["x"], "http.request.method": ["GET"]})
+    # downgrade 1.2.0 -> 1.0.0 reverses both renames, descending
+    out = schema_convert(ray.data.from_arrow(t), TRANS,
+                         source="1.2.0", target="1.0.0").to_pandas()
+    assert set(out.columns) == {"net.peer.name", "http.method"}
+    # source 1.1.0 -> target 1.2.0 applies only the 1.2.0 changeset
+    t2 = _tbl(**{"net.peer.name": ["keep"], "http.method": ["GET"]})
+    out2 = schema_convert(ray.data.from_arrow(t2), TRANS,
+                          source="1.1.0", target="1.2.0").to_pandas()
+    assert "net.peer.name" in out2.columns  # 1.1.0 changeset not in window
+
+
+def test_schema_soft_migration_keeps_both_and_never_overwrites(ray_session):
+    # rows: old only / both present / new only
+    t = _tbl(**{"http.method": ["GET", "POST", None],
+                "http.request.method": [None, "PUT", "DELETE"]})
+    out = schema_convert(ray.data.from_arrow(t), TRANS, source="1.1.0",
+                         target="1.2.0", migrate_from="1.1.0").to_pandas()
+    assert list(out["http.method"]) == ["GET", "POST", None]  # old kept
+    # new filled only where absent; both-present row untouched
+    assert list(out["http.request.method"]) == ["GET", "PUT", "DELETE"]
+
+
+def test_schema_hard_rename_old_wins_on_conflict(ray_session):
+    t = _tbl(**{"http.method": ["GET", None],
+                "http.request.method": ["stale", "new"]})
+    out = schema_convert(ray.data.from_arrow(t), TRANS,
+                         source="1.1.0", target="1.2.0").to_pandas()
+    assert list(out["http.request.method"]) == ["GET", "new"]
+    assert "http.method" not in out.columns
+
+
+def test_env_detector_and_first_wins_merge(monkeypatch):
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES",
+                       "service.name=api, deployment.environment=prod")
+    assert env_detector() == {"service.name": "api",
+                              "deployment.environment": "prod"}
+    merged = detect_resource([
+        lambda: {"host.name": "a", "k": "first"},
+        lambda: {"k": "second", "os.type": "linux"},
+    ])
+    assert merged == {"host.name": "a", "k": "first", "os.type": "linux"}
+
+
+def test_apply_resource_override_semantics(ray_session):
+    t = _tbl(**{"conv_id": ["c1", "c2"], "host.name": ["row-host", None]})
+    res = {"host.name": "det-host", "os.type": "linux"}
+    keep = apply_resource(ray.data.from_arrow(t), res).to_pandas()
+    # override=False: row value wins, null filled from detection
+    assert list(keep["host.name"]) == ["row-host", "det-host"]
+    assert list(keep["os.type"]) == ["linux", "linux"]
+    force = apply_resource(ray.data.from_arrow(t), res,
+                           override=True).to_pandas()
+    assert list(force["host.name"]) == ["det-host", "det-host"]
+
+
+def test_remote_tap_pass_through_and_bounded(ray_session, tmp_path):
+    tap = str(tmp_path / "tap")
+    t = _tbl(conv_id=[f"c{i}" for i in range(100)],
+             v=list(range(100)))
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = remote_tap(ds, tap, limit_per_block=5,
+                     columns=["conv_id"]).to_pandas()
+    # stream unchanged
+    assert len(out) == 100 and set(out.columns) == {"conv_id", "v"}
+    files = glob.glob(os.path.join(tap, "tap-*.parquet"))
+    assert 1 <= len(files) <= 4
+    tapped = pa.concat_tables([pq.read_table(f) for f in files])
+    assert tapped.num_rows <= 4 * 5
+    assert tapped.column_names == ["conv_id"]
+    assert set(tapped["conv_id"].to_pylist()) <= set(t["conv_id"].to_pylist())
