@@ -961,6 +961,30 @@ def _q_schema_migrate(sf_dir: str):
         ["conv_id", "turn_idx", "agent.name", "tool_tag", "tool.name", "status"])
 
 
+def _q_dynamic_sample(sf_dir: str):
+    """Dynamic sampling (processor/dynamicsamplingprocessor): ordered
+    rules over whole conversations — error traces 1-in-4, slow traces
+    1-in-2, catch-all throughput-capped at ~50 kept traces — decided
+    by the DuckDB-parity md5 consistent hash, kept rows annotated
+    with the matched rule + effective rate."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.dynsample import (
+        SamplingRule,
+        dynamic_sample,
+    )
+
+    ds = build_parsed(sf_dir, on_error="send")
+    rules = [
+        SamplingRule("errors", conditions=[("==", col("level"), "ERROR")],
+                     sampler="deterministic", rate=4),
+        SamplingRule("slow", conditions=[(">", col("dur"), 450.0)],
+                     sampler="deterministic", rate=2),
+        SamplingRule("baseline", sampler="throughput", target_keep=50),
+    ]
+    out = dynamic_sample(ds, "conv_id", rules)
+    return out.select_columns(["conv_id", "turn_idx", "sampling_rule", "sample_rate"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1027,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exceptions_metrics": _q_exceptions_metrics,
         "exceptions_logs": _q_exceptions_logs,
         "schema_migrate": _q_schema_migrate,
+        "dynamic_sample": _q_dynamic_sample,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1401,6 +1426,26 @@ FROM f WHERE level = 'ERROR'""",
 SELECT conv_id, turn_idx, actor AS "agent.name", tool_tag,
        tool_tag AS "tool.name", status
 FROM f WHERE ok""",
+        "dynamic_sample": parsed_cte + """
+, agg AS (
+  SELECT conv_id,
+         MAX(CASE WHEN level = 'ERROR' THEN 1 ELSE 0 END) AS has_err,
+         MAX(CASE WHEN dur > 450.0 THEN 1 ELSE 0 END) AS has_slow
+  FROM f GROUP BY conv_id),
+ruled AS (
+  SELECT conv_id, CASE WHEN has_err = 1 THEN 'errors'
+                       WHEN has_slow = 1 THEN 'slow'
+                       ELSE 'baseline' END AS sampling_rule
+  FROM agg),
+rates AS (SELECT sampling_rule, COUNT(*) AS n FROM ruled GROUP BY 1),
+dec AS (
+  SELECT r.conv_id, r.sampling_rule,
+         CASE r.sampling_rule WHEN 'errors' THEN 4 WHEN 'slow' THEN 2
+              ELSE GREATEST(1, CAST(ceil(n / 50.0) AS BIGINT)) END AS sample_rate
+  FROM ruled r JOIN rates USING (sampling_rule))
+SELECT f.conv_id, f.turn_idx, d.sampling_rule, d.sample_rate
+FROM f JOIN dec d ON f.conv_id = d.conv_id
+WHERE md5_number_lower(d.conv_id) % d.sample_rate = 0""",
         "service_graph": f"""
 SELECT a.tool AS tool, COUNT(*) AS n_calls,
   CAST(SUM(epoch_us(a.ts) - epoch_us(u.ts)) AS BIGINT) AS latency_us_sum
