@@ -985,6 +985,21 @@ def _q_dynamic_sample(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx", "sampling_rule", "sample_rate"])
 
 
+def _q_span_prune(sf_dir: str):
+    """Span pruning (processor/spanpruningprocessor): collapse groups
+    of >= 5 similar turns per conversation — grouped by (tool_tag,
+    status), the flat analog of (span name, status) — into one
+    summary row with span_count + duration min/max/total; smaller
+    groups pass through with singleton stats."""
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import build_parsed
+    from opentelemetry_collector_contrib_ray.stages.spanprune import prune_spans
+
+    ds = build_parsed(sf_dir, on_error="drop")
+    return prune_spans(ds, "conv_id", ["tool_tag", "status"],
+                       duration_col="dur", order_col="turn_idx",
+                       min_group_size=5)
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1052,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exceptions_logs": _q_exceptions_logs,
         "schema_migrate": _q_schema_migrate,
         "dynamic_sample": _q_dynamic_sample,
+        "span_prune": _q_span_prune,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1446,6 +1462,23 @@ dec AS (
 SELECT f.conv_id, f.turn_idx, d.sampling_rule, d.sample_rate
 FROM f JOIN dec d ON f.conv_id = d.conv_id
 WHERE md5_number_lower(d.conv_id) % d.sample_rate = 0""",
+        "span_prune": parsed_cte + """
+, g AS (
+  SELECT conv_id, tool_tag, status, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(dur) AS dsum, MIN(dur) AS dmin, MAX(dur) AS dmax,
+         MIN(turn_idx) AS omin
+  FROM f WHERE ok GROUP BY 1, 2, 3)
+SELECT conv_id, tool_tag, status, omin AS turn_idx, dsum AS dur,
+       TRUE AS is_summary, n AS span_count, dmin AS duration_min,
+       dmax AS duration_max, dsum AS duration_total
+FROM g WHERE n >= 5
+UNION ALL
+SELECT f.conv_id, f.tool_tag, f.status, f.turn_idx, f.dur, FALSE AS is_summary,
+       CAST(1 AS BIGINT) AS span_count, f.dur AS duration_min,
+       f.dur AS duration_max, f.dur AS duration_total
+FROM f JOIN g ON f.conv_id = g.conv_id AND f.tool_tag = g.tool_tag
+             AND f.status = g.status
+WHERE f.ok AND g.n < 5""",
         "service_graph": f"""
 SELECT a.tool AS tool, COUNT(*) AS n_calls,
   CAST(SUM(epoch_us(a.ts) - epoch_us(u.ts)) AS BIGINT) AS latency_us_sum
