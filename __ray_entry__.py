@@ -1000,6 +1000,32 @@ def _q_span_prune(sf_dir: str):
                        min_group_size=5)
 
 
+def _q_ottl_funcs(sf_dir: str):
+    """Round-3 OTTL breadth through the TEXTUAL statement front-end:
+    ConvertCase/Year/Month/Day/Hour/Weekday/UnixSeconds/UnixMilli/
+    Format/HasPrefix/TrimSuffix/Log over the events table."""
+    from opentelemetry_collector_contrib_ray.ottl import transform_from_ottl
+
+    ds = read_table(sf_dir, "events")
+    stage = transform_from_ottl([
+        'set(ev_camel, ConvertCase(event_type, "camel"))',
+        'set(yy, Year(ts))',
+        'set(mo, Month(ts))',
+        'set(dd, Day(ts))',
+        'set(hh, Hour(ts))',
+        'set(wd, Weekday(ts))',
+        'set(unix_s, UnixSeconds(ts))',
+        'set(unix_ms, UnixMilli(ts))',
+        'set(tag, Format("%s-%d", [event_type, user_id]))',
+        'set(is_signup, HasPrefix(event_type, "s"))',
+        'set(trimmed, TrimSuffix(event_type, "up"))',
+        'set(lg, Log(value))',
+    ])
+    return stage.apply(ds).select_columns(
+        ["event_id", "ev_camel", "yy", "mo", "dd", "hh", "wd",
+         "unix_s", "unix_ms", "tag", "is_signup", "trimmed", "lg"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1068,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_migrate": _q_schema_migrate,
         "dynamic_sample": _q_dynamic_sample,
         "span_prune": _q_span_prune,
+        "ottl_funcs": _q_ottl_funcs,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1242,6 +1269,19 @@ SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
 FROM events GROUP BY 1, 2""",
         "events_json": """
 SELECT event_id, CAST(json_extract_string(props, 'k') AS BIGINT) AS k FROM events""",
+        "ottl_funcs": """
+SELECT event_id,
+  upper(substr(event_type, 1, 1)) || substr(event_type, 2) AS ev_camel,
+  CAST(year(ts) AS BIGINT) AS yy, CAST(month(ts) AS BIGINT) AS mo,
+  CAST(day(ts) AS BIGINT) AS dd, CAST(hour(ts) AS BIGINT) AS hh,
+  CAST(dayofweek(ts) AS BIGINT) AS wd,
+  epoch_us(ts) // 1000000 AS unix_s,
+  epoch_us(ts) // 1000 AS unix_ms,
+  event_type || '-' || CAST(user_id AS VARCHAR) AS tag,
+  starts_with(event_type, 's') AS is_signup,
+  regexp_replace(event_type, 'up$', '') AS trimmed,
+  CASE WHEN value > 0 THEN ln(value) END AS lg
+FROM events""",
         "events_sessions": """
 WITH o AS (
   SELECT user_id, ts,

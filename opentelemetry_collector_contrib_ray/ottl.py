@@ -169,7 +169,19 @@ class _Parser:
         "Hex": ("hex_encode", "src"),
         "ParseXML": ("parse_xml", "src"),
         "Keys": ("keys", "src"), "Values": ("values", "src"),
+        "Duration": ("duration", "src"), "Log": ("log", "src"),
+        "IsValidLuhn": ("is_valid_luhn", "src"),
+        "ToKeyValueString": ("to_key_value_string", "src"),
     }
+
+    _TIME_CONVERTERS = {"Year", "Month", "Day", "Hour", "Minute",
+                        "Second", "Weekday"}
+    _UNIX_CONVERTERS = {"UnixSeconds": "seconds", "UnixMilli": "milliseconds",
+                        "UnixMicro": "microseconds", "UnixNano": "nanoseconds"}
+    _PREFIX_CONVERTERS = {"TrimPrefix": ("trim_prefix", "prefix"),
+                          "TrimSuffix": ("trim_suffix", "suffix"),
+                          "HasPrefix": ("has_prefix", "prefix"),
+                          "HasSuffix": ("has_suffix", "suffix")}
 
     def parse_converter(self) -> dict:
         """Returns {'__converter__': editor_name, 'args': {...}} for
@@ -206,6 +218,48 @@ class _Parser:
         if name in ("Int", "Double", "String"):
             to = {"Int": "int64", "Double": "float64", "String": "str"}[name]
             return {"__converter__": "cast", "args": {"src": args[0].name, "to": to}}
+        if name in self._TIME_CONVERTERS:
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            return {"__converter__": "time_extract",
+                    "args": {"src": args[0].name, "part": name.lower()}}
+        if name in self._UNIX_CONVERTERS:
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            return {"__converter__": "unix",
+                    "args": {"src": args[0].name,
+                             "unit": self._UNIX_CONVERTERS[name]}}
+        if name in self._PREFIX_CONVERTERS:
+            editor, key = self._PREFIX_CONVERTERS[name]
+            if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
+                raise OTTLParseError(f"{name}(path, string) expected: {self.text!r}")
+            return {"__converter__": editor,
+                    "args": {"src": args[0].name, key: args[1]}}
+        if name == "ConvertCase":
+            if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
+                raise OTTLParseError(f"ConvertCase(path, case) expected: {self.text!r}")
+            return {"__converter__": "convert_case",
+                    "args": {"src": args[0].name, "case": args[1]}}
+        if name == "Split":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
+            return {"__converter__": "split",
+                    "args": {"src": args[0].name, "sep": args[1]}}
+        if name == "IsInCIDR":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"IsInCIDR(path, cidr) expected: {self.text!r}")
+            return {"__converter__": "is_in_cidr",
+                    "args": {"src": args[0].name, "cidr": args[1]}}
+        if name == "ContainsValue":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"ContainsValue(path, value) expected: {self.text!r}")
+            return {"__converter__": "contains_value",
+                    "args": {"src": args[0].name, "value": args[1]}}
+        if name == "Format":
+            if len(args) != 2 or not isinstance(args[0], str) or not isinstance(args[1], list):
+                raise OTTLParseError(f"Format(fmt, [args]) expected: {self.text!r}")
+            return {"__converter__": "format",
+                    "args": {"fmt": args[0], "args": args[1]}}
         raise OTTLParseError(f"unsupported converter {name}() in {self.text!r}")
 
     # ------------------------------------------------------- conditions
@@ -322,6 +376,19 @@ class _Parser:
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"flatten(path) expected: {self.text!r}")
             return Statement("flatten", {"src": args[0].name}, where)
+        if editor == "append":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"append(path, value) expected: {self.text!r}")
+            return Statement("append", {"target": args[0].name,
+                                        "value": args[1]}, where)
+        if editor == "limit":
+            # limit(attributes_struct, max, ["priority", ...])
+            if len(args) < 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"limit(path, max, [prio]) expected: {self.text!r}")
+            prio = args[2] if len(args) > 2 else []
+            return Statement("limit", {"src": args[0].name,
+                                       "max_keys": args[1],
+                                       "priority_keys": prio}, where)
         raise OTTLParseError(f"unsupported editor {editor!r} in {self.text!r}")
 
 

@@ -556,6 +556,308 @@ class Statement:
         vals = pc.if_else(pc.fill_null(pc.greater(n, index), False), vals, pa.nulls(tbl.num_rows, pa.string()))
         return _masked(tbl, target, vals, mask)
 
+    # ---- OTTL breadth round 3: string/time/net/validation families ----
+
+    def _op_convert_case(self, tbl, mask, target: str, case: str, src: str | None = None):
+        # func_convert_case.go: upper | lower | snake | camel
+        col_ = _val(tbl, Col(src or target))
+        if case == "upper":
+            out = pc.utf8_upper(col_)
+        elif case == "lower":
+            out = pc.utf8_lower(col_)
+        elif case == "snake":
+            # the strcase.ToSnake boundaries: aA -> a_A, ABc -> A_Bc,
+            # spaces/dashes collapse to _
+            s = pc.replace_substring_regex(
+                col_, pattern=r"([a-z0-9])([A-Z])", replacement=r"\1_\2")
+            s = pc.replace_substring_regex(
+                s, pattern=r"([A-Z]+)([A-Z][a-z])", replacement=r"\1_\2")
+            s = pc.replace_substring_regex(s, pattern=r"[\s\-]+", replacement="_")
+            out = pc.utf8_lower(s)
+        elif case == "camel":
+            # strcase.ToCamel("test_case") == "TestCase"; capitalize
+            # each _-separated part and join (flat capitalize + same
+            # offsets rebuild — no per-row work)
+            filled = pc.fill_null(col_, "")
+            parts = pc.split_pattern(pc.utf8_lower(filled), pattern="_")
+            parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+            cap = pc.ascii_capitalize(parts.flatten())
+            rebuilt = pa.ListArray.from_arrays(parts.offsets, cap)
+            joined = pc.binary_join(rebuilt, "")
+            out = pc.if_else(pc.is_valid(col_), joined,
+                             pa.nulls(tbl.num_rows, pa.string()))
+        else:
+            raise ValueError(f"convert_case: unknown case {case!r}")
+        return _masked(tbl, target, out, mask)
+
+    def _op_trim_prefix(self, tbl, mask, target: str, prefix: str, src: str | None = None):
+        # func_trim_prefix.go (strings.TrimPrefix)
+        import re as _re
+
+        out = pc.replace_substring_regex(
+            _val(tbl, Col(src or target)),
+            pattern="^" + _re.escape(prefix), replacement="", max_replacements=1)
+        return _masked(tbl, target, out, mask)
+
+    def _op_trim_suffix(self, tbl, mask, target: str, suffix: str, src: str | None = None):
+        # func_trim_suffix.go (strings.TrimSuffix)
+        import re as _re
+
+        out = pc.replace_substring_regex(
+            _val(tbl, Col(src or target)),
+            pattern=_re.escape(suffix) + "$", replacement="", max_replacements=1)
+        return _masked(tbl, target, out, mask)
+
+    def _op_has_prefix(self, tbl, mask, target: str, src: str, prefix: str):
+        # func_has_prefix.go -> bool column
+        return _masked(tbl, target,
+                       pc.starts_with(_val(tbl, Col(src)), pattern=prefix), mask)
+
+    def _op_has_suffix(self, tbl, mask, target: str, src: str, suffix: str):
+        return _masked(tbl, target,
+                       pc.ends_with(_val(tbl, Col(src)), pattern=suffix), mask)
+
+    def _op_split(self, tbl, mask, target: str, src: str, sep: str):
+        # func_split.go: string -> list<string>
+        return _masked(tbl, target,
+                       pc.split_pattern(_val(tbl, Col(src)), pattern=sep), mask)
+
+    _TIME_PARTS = {
+        "year": pc.year, "month": pc.month, "day": pc.day,
+        "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+    }
+
+    def _op_time_extract(self, tbl, mask, target: str, src: str, part: str):
+        # func_year.go / func_month.go / ... / func_weekday.go; weekday
+        # follows Go time.Weekday (Sunday == 0)
+        col_ = _val(tbl, Col(src))
+        if part == "weekday":
+            out = pc.day_of_week(col_, count_from_zero=True, week_start=7)
+        else:
+            out = self._TIME_PARTS[part](col_)
+        return _masked(tbl, target, pc.cast(out, pa.int64()), mask)
+
+    _UNIX_DIV = {"nanoseconds": 1, "microseconds": 1_000,
+                 "milliseconds": 1_000_000, "seconds": 1_000_000_000}
+
+    def _op_unix(self, tbl, mask, target: str, src: str, unit: str = "seconds"):
+        # func_unix_seconds.go / _milli / _micro / _nano: truncating
+        # integer division of the epoch-nanos, like Go Time.Unix*()
+        ns = pc.cast(pc.cast(_val(tbl, Col(src)), pa.timestamp("ns")), pa.int64())
+        div = self._UNIX_DIV[unit]
+        out = ns if div == 1 else pc.divide(ns, div)
+        return _masked(tbl, target, out, mask)
+
+    _DURATION_RE = (r"^(?:(?P<h>\d+(?:\.\d+)?)h)?(?:(?P<m>\d+(?:\.\d+)?)m)?"
+                    r"(?:(?P<s>\d+(?:\.\d+)?)s)?(?:(?P<ms>\d+(?:\.\d+)?)ms)?"
+                    r"(?:(?P<us>\d+(?:\.\d+)?)us)?(?:(?P<ns>\d+(?:\.\d+)?)ns)?$")
+
+    def _op_duration(self, tbl, mask, target: str, src: str):
+        # func_duration.go (time.ParseDuration) -> seconds as float64;
+        # non-matching rows yield null. One RE2 pass, no per-row code.
+        col_ = _val(tbl, Col(src))
+        ex = pc.extract_regex(col_, pattern=self._DURATION_RE)
+        total = None
+        for i, scale in enumerate([3600.0, 60.0, 1.0, 1e-3, 1e-6, 1e-9]):
+            # an unmatched optional group extracts as "" (RE2), a null
+            # input row as null — both count as 0 here
+            g = pc.fill_null(pc.struct_field(ex, i), "")
+            f = pc.cast(pc.if_else(pc.equal(g, ""), pa.scalar("0"), g),
+                        pa.float64())
+            term = pc.multiply(f, scale)
+            total = term if total is None else pc.add(total, term)
+        out = pc.if_else(pc.is_valid(ex), total,
+                         pa.nulls(tbl.num_rows, pa.float64()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_log(self, tbl, mask, target: str, src: str | None = None):
+        # func_log.go: natural log; non-positive -> null (the Go
+        # converter errors; per-row null is our on_error='ignore' shape)
+        v = pc.cast(_val(tbl, Col(src or target)), pa.float64())
+        ok = pc.fill_null(pc.greater(v, 0.0), False)
+        out = pc.if_else(ok, pc.ln(pc.if_else(ok, v, pa.scalar(1.0))),
+                         pa.nulls(tbl.num_rows, pa.float64()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_is_valid_luhn(self, tbl, mask, target: str, src: str):
+        # func_is_valid_luhn.go: checksum over the digit string.
+        # Vectorized: zero-lpad every candidate to 19 (pad zeros add 0
+        # to the sum), reshape the flat utf8 buffer to a digit matrix,
+        # double alternate columns from the right.
+        col_ = _val(tbl, Col(src))
+        digits = pc.fill_null(
+            pc.match_substring_regex(col_, pattern=r"^[0-9]{1,19}$"), False)
+        safe = pc.if_else(digits, pc.fill_null(col_, "0"), pa.scalar("0"))
+        padded = pc.utf8_lpad(safe, width=19, padding="0")
+        if isinstance(padded, pa.ChunkedArray):
+            padded = padded.combine_chunks()
+        offs = np.frombuffer(padded.buffers()[1], np.int32)[
+            padded.offset:padded.offset + len(padded) + 1]
+        buf = np.frombuffer(padded.buffers()[2], np.uint8)
+        m = buf[offs[0]:offs[-1]].reshape(-1, 19).astype(np.int64) - ord("0")
+        r = 18 - np.arange(19)  # position from the right
+        doubled = m * 2
+        doubled -= 9 * (doubled > 9)
+        contrib = np.where(r % 2 == 1, doubled, m)
+        ok = (contrib.sum(axis=1) % 10) == 0
+        out = pc.and_(digits, pa.array(ok))
+        out = pc.if_else(pc.is_valid(col_), out, pa.nulls(tbl.num_rows, pa.bool_()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_is_in_cidr(self, tbl, mask, target: str, src: str, cidr: str):
+        # IsInCIDR-style IPv4 membership; malformed addresses -> null
+        import ipaddress
+
+        net = ipaddress.ip_network(cidr, strict=False)
+        net_int = int(net.network_address)
+        mask_int = int(net.netmask)
+        col_ = _val(tbl, Col(src))
+        ex = pc.extract_regex(
+            col_,
+            pattern=r"^(?P<o1>\d{1,3})\.(?P<o2>\d{1,3})\.(?P<o3>\d{1,3})\.(?P<o4>\d{1,3})$")
+        octs = [pc.cast(pc.fill_null(pc.struct_field(ex, i), "0"), pa.int64())
+                .to_numpy(zero_copy_only=False) for i in range(4)]
+        in_range = (octs[0] < 256) & (octs[1] < 256) & (octs[2] < 256) & (octs[3] < 256)
+        ip = (octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]
+        member = (ip & mask_int) == net_int
+        valid = pc.and_(pc.is_valid(ex), pa.array(in_range))
+        out = pc.if_else(valid, pa.array(member), pa.nulls(tbl.num_rows, pa.bool_()))
+        return _masked(tbl, target, out, mask)
+
+    _UA_BROWSERS = [  # ordered: most specific token first
+        ("Edge", r"Edg(?:e|A|iOS)?/(?P<v>[0-9][0-9.]*)"),
+        ("Opera", r"OPR/(?P<v>[0-9][0-9.]*)"),
+        ("Chrome", r"(?:Chrome|CriOS)/(?P<v>[0-9][0-9.]*)"),
+        ("Firefox", r"(?:Firefox|FxiOS)/(?P<v>[0-9][0-9.]*)"),
+        ("Safari", r"Version/(?P<v>[0-9][0-9.]*).*Safari/"),
+        ("curl", r"curl/(?P<v>[0-9][0-9.]*)"),
+    ]
+    _UA_OS = [
+        ("Windows", r"Windows NT (?P<v>[0-9.]+)"),
+        ("iOS", r"iPhone OS (?P<v>[0-9_]+)"),
+        ("macOS", r"Mac OS X (?P<v>[0-9_.]+)"),
+        ("Android", r"Android (?P<v>[0-9.]+)"),
+        ("Linux", r"(?P<v>Linux)"),
+    ]
+
+    def _op_useragent(self, tbl, mask, src: str, prefix: str = "user_agent."):
+        # func_useragent.go emits user_agent.name/.version/os.name via
+        # the ua-parser library; this is the vectorized top-family
+        # subset (ordered RE2 cascade), emitting <prefix>name/
+        # <prefix>version/<prefix>os — unknowns stay "Other" like
+        # ua-parser's fallback.
+        col_ = _val(tbl, Col(src))
+        name = pa.nulls(tbl.num_rows, pa.string())
+        version = pa.nulls(tbl.num_rows, pa.string())
+        for label, pat in self._UA_BROWSERS:
+            ex = pc.extract_regex(col_, pattern=pat)
+            hit = pc.and_(pc.is_null(name), pc.is_valid(ex))
+            name = pc.if_else(hit, pa.scalar(label), name)
+            version = pc.if_else(hit, pc.struct_field(ex, 0), version)
+        os_name = pa.nulls(tbl.num_rows, pa.string())
+        for label, pat in self._UA_OS:
+            ex = pc.extract_regex(col_, pattern=pat)
+            hit = pc.and_(pc.is_null(os_name), pc.is_valid(ex))
+            os_name = pc.if_else(hit, pa.scalar(label), os_name)
+        fallback = pc.if_else(pc.is_valid(col_), pa.scalar("Other"),
+                              pa.nulls(tbl.num_rows, pa.string()))
+        tbl = _masked(tbl, prefix + "name", pc.coalesce(name, fallback), mask)
+        tbl = _masked(tbl, prefix + "version", version, mask)
+        return _masked(tbl, prefix + "os", pc.coalesce(os_name, fallback), mask)
+
+    def _op_to_key_value_string(self, tbl, mask, target: str, src: str,
+                                delimiter: str = "=", pair_delimiter: str = " "):
+        # func_to_key_value_string.go over a struct column; null field
+        # values render as empty (the Go Value.AsString of empty)
+        col_ = _val(tbl, Col(src))
+        parts = []
+        for field in col_.type:
+            v = pc.cast(pc.struct_field(col_, field.name), pa.string())
+            parts.append(pc.binary_join_element_wise(
+                pa.scalar(field.name), pc.fill_null(v, ""), delimiter))
+        out = pc.binary_join_element_wise(*parts, pair_delimiter)
+        return _masked(tbl, target, out, mask)
+
+    def _op_limit(self, tbl, mask, src: str, max_keys: int,
+                  priority_keys: list[str] | None = None):
+        # func_limit.go: cap the attribute map at max_keys, keeping
+        # priority_keys first, then config order
+        col_ = _val(tbl, Col(src))
+        names = [f.name for f in col_.type]
+        prio = [k for k in (priority_keys or []) if k in names]
+        keep = (prio + [n for n in names if n not in prio])[:max_keys]
+        keep = [n for n in names if n in keep]  # stable original order
+        arrays = [pc.struct_field(col_, n) for n in keep]
+        out = pa.StructArray.from_arrays(arrays, names=keep)
+        return _masked(tbl, src, out, mask)
+
+    def _op_map_keys(self, tbl, mask, src: str, case: str = "lower"):
+        # map_keys-style key transformation over a struct column
+        col_ = _val(tbl, Col(src))
+        fn = str.lower if case == "lower" else str.upper
+        names = [fn(f.name) for f in col_.type]
+        arrays = [pc.struct_field(col_, i) for i in range(len(names))]
+        return _masked(tbl, src, pa.StructArray.from_arrays(arrays, names=names), mask)
+
+    def _op_append(self, tbl, mask, target: str, value: Any, src: str | None = None):
+        # func_append.go: append a scalar (or column) value to each
+        # row's list. Vectorized interleave: old flat values keep their
+        # slots, the appended value lands at each row's new tail slot.
+        col_ = _val(tbl, Col(src or target))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col_.flatten()
+        n = len(offs) - 1
+        lens = np.diff(offs)
+        new_offs = np.concatenate([[0], np.cumsum(lens + 1)])
+        out_len = int(new_offs[-1])
+        is_tail = np.zeros(out_len, dtype=bool)
+        is_tail[new_offs[1:] - 1] = True
+        src_idx = np.zeros(out_len, dtype=np.int64)
+        src_idx[~is_tail] = np.arange(len(flat))
+        vals = _val(tbl, value)
+        if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            appended = vals.cast(flat.type)
+        else:
+            appended = pa.array([vals] * n, flat.type)
+        src_idx[is_tail] = np.arange(n) + len(flat)
+        all_vals = pa.concat_arrays([flat, appended])
+        new_flat = all_vals.take(pa.array(src_idx))
+        out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_contains_value(self, tbl, mask, target: str, src: str, value: Any):
+        # func_contains_value.go == list_any(element == value)
+        return self._op_list_any(tbl, mask, target, src, "==", value)
+
+    def _op_format(self, tbl, mask, target: str, fmt: str, args: list[Any]):
+        # func_format.go (fmt.Sprintf subset): %s and %d verbs,
+        # literals interleaved; column args vectorize via cast+join
+        import re as _re
+
+        pieces = _re.split(r"(%[sd])", fmt)
+        cols: list[Any] = []
+        ai = 0
+        for p in pieces:
+            if p in ("%s", "%d"):
+                if ai >= len(args):
+                    raise ValueError("format: not enough args")
+                v = _val(tbl, args[ai])
+                ai += 1
+                if isinstance(v, (pa.Array, pa.ChunkedArray)):
+                    if p == "%d":
+                        v = pc.cast(v, pa.int64())
+                    cols.append(pc.cast(v, pa.string()))
+                else:
+                    cols.append(str(v))
+            elif p:
+                cols.append(p)
+        out = pc.binary_join_element_wise(*cols, "") if len(cols) > 1 else cols[0]
+        return _masked(tbl, target, out, mask)
+
 
 @register("transform")
 class TransformStage:
