@@ -1026,6 +1026,31 @@ def _q_ottl_funcs(sf_dir: str):
          "unix_s", "unix_ms", "tag", "is_signup", "trimmed", "lg"])
 
 
+def _q_asof_join(sf_dir: str):
+    """As-of join (training-data custom operator; oracle = DuckDB
+    ASOF LEFT JOIN): every event joined to the user's latest
+    earlier-or-equal purchase event."""
+    from opentelemetry_collector_contrib_ray.stages.asof import asof_join
+
+    ev = read_table(sf_dir, "events")
+
+    def purchases(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"].combine_chunks(), "purchase"))
+        return pa.table({
+            "user_id": b["user_id"], "ts": b["ts"],
+            "last_purchase_value": b["value"],
+            "last_purchase_ts": b["ts"],
+        })
+
+    right = ev.map_batches(purchases, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    left = ev.select_columns(["event_id", "user_id", "ts"])
+    out = asof_join(left, right, key_col="user_id", ts_col="ts",
+                    right_cols=["last_purchase_value", "last_purchase_ts"])
+    return out.select_columns(
+        ["event_id", "user_id", "last_purchase_value", "last_purchase_ts"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1095,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dynamic_sample": _q_dynamic_sample,
         "span_prune": _q_span_prune,
         "ottl_funcs": _q_ottl_funcs,
+        "asof_join": _q_asof_join,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1282,6 +1308,12 @@ SELECT event_id,
   regexp_replace(event_type, 'up$', '') AS trimmed,
   CASE WHEN value > 0 THEN ln(value) END AS lg
 FROM events""",
+        "asof_join": """
+SELECT e.event_id, e.user_id, p.last_purchase_value, p.last_purchase_ts
+FROM events e ASOF LEFT JOIN (
+  SELECT user_id, ts, value AS last_purchase_value, ts AS last_purchase_ts
+  FROM events WHERE event_type = 'purchase') p
+ON e.user_id = p.user_id AND e.ts >= p.ts""",
         "events_sessions": """
 WITH o AS (
   SELECT user_id, ts,
