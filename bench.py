@@ -132,6 +132,13 @@ def _run_bench() -> dict:
         "metrics_generation",
         "lang_id",
         "multimodal_pipeline",
+        # round-3 additions
+        "exceptions_metrics",
+        "schema_migrate",
+        "dynamic_sample",
+        "span_prune",
+        "ottl_funcs",
+        "asof_join",
     ]
     qs = e.queries()
     qtimes = {}

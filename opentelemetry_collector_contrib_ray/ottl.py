@@ -168,6 +168,7 @@ class _Parser:
         "Base64Decode": ("base64_decode", "src"),
         "Hex": ("hex_encode", "src"),
         "ParseXML": ("parse_xml", "src"),
+        "ParseSimplifiedXML": ("parse_simplified_xml", "src"),
         "Keys": ("keys", "src"), "Values": ("values", "src"),
         "Duration": ("duration", "src"), "Log": ("log", "src"),
         "IsValidLuhn": ("is_valid_luhn", "src"),
@@ -176,6 +177,11 @@ class _Parser:
 
     _TIME_CONVERTERS = {"Year", "Month", "Day", "Hour", "Minute",
                         "Second", "Weekday"}
+    _DUR_UNIT_CONVERTERS = {"Hours": "hours", "Minutes": "minutes",
+                            "Seconds": "seconds",
+                            "Milliseconds": "milliseconds",
+                            "Microseconds": "microseconds",
+                            "Nanoseconds": "nanoseconds"}
     _UNIX_CONVERTERS = {"UnixSeconds": "seconds", "UnixMilli": "milliseconds",
                         "UnixMicro": "microseconds", "UnixNano": "nanoseconds"}
     _PREFIX_CONVERTERS = {"TrimPrefix": ("trim_prefix", "prefix"),
@@ -223,6 +229,13 @@ class _Parser:
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "time_extract",
                     "args": {"src": args[0].name, "part": name.lower()}}
+        if name in self._DUR_UNIT_CONVERTERS:
+            # Hours(Duration-string path): parse + convert in one step
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            return {"__converter__": "duration",
+                    "args": {"src": args[0].name,
+                             "unit": self._DUR_UNIT_CONVERTERS[name]}}
         if name in self._UNIX_CONVERTERS:
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
@@ -366,6 +379,19 @@ class _Parser:
         if editor == "truncate_all":
             # truncate_all(attributes, N): keys=None = every string col
             return Statement("truncate_all", {"keys": None, "limit": args[1]}, where)
+        if editor == "replace_match":
+            if len(args) != 3 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"replace_match(path, glob, repl) expected: {self.text!r}")
+            return Statement("replace_match",
+                             {"target": args[0].name, "pattern": args[1],
+                              "replacement": args[2]}, where)
+        if editor == "replace_all_matches":
+            # replace_all_matches(attributes, glob, repl)
+            if len(args) != 3:
+                raise OTTLParseError(f"replace_all_matches(ctx, glob, repl) expected: {self.text!r}")
+            return Statement("replace_all_matches",
+                             {"pattern": args[1], "replacement": args[2],
+                              "keys": None}, where)
         if editor == "replace_pattern":
             if len(args) != 3 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"replace_pattern(path, re, repl) expected: {self.text!r}")

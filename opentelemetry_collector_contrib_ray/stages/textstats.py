@@ -21,6 +21,9 @@ import ray.data
 from ..functions.hashing import fnv1a64_bytes
 from . import register
 
+# per-worker-process instance cache for cheap-setup task-based stages
+_PROCESS_CACHE: dict = {}
+
 # BPE-ish tokenization: word pieces or single non-space punctuation
 TOKEN_REGEX = r"\w+|[^\w\s]"
 
@@ -117,10 +120,21 @@ class LangId:
         return b
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return ds.map_batches(
-            LangId, fn_constructor_kwargs={"text_col": self.text_col},
-            batch_format="pandas", batch_size=None, concurrency=(1, 4),
-        )
+        # task-based with a per-process compiled-marker cache: the
+        # regex compile is microseconds, so an actor pool would pay
+        # seconds of actor spin-up to save nothing — and a plain
+        # function fuses with the read stage (stateful-actor pattern
+        # reserved for genuinely heavy setup, e.g. multimodal codecs)
+        text_col = self.text_col
+
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            key = ("langid", text_col)
+            inst = _PROCESS_CACHE.get(key)
+            if inst is None:
+                inst = _PROCESS_CACHE[key] = LangId(text_col)
+            return inst(df)
+
+        return ds.map_batches(fn, batch_format="pandas", batch_size=None)
 
 
 @register("fingerprint")

@@ -652,9 +652,14 @@ class Statement:
                     r"(?:(?P<s>\d+(?:\.\d+)?)s)?(?:(?P<ms>\d+(?:\.\d+)?)ms)?"
                     r"(?:(?P<us>\d+(?:\.\d+)?)us)?(?:(?P<ns>\d+(?:\.\d+)?)ns)?$")
 
-    def _op_duration(self, tbl, mask, target: str, src: str):
-        # func_duration.go (time.ParseDuration) -> seconds as float64;
-        # non-matching rows yield null. One RE2 pass, no per-row code.
+    _DUR_UNIT = {"seconds": 1.0, "minutes": 1 / 60.0, "hours": 1 / 3600.0,
+                 "milliseconds": 1e3, "microseconds": 1e6, "nanoseconds": 1e9}
+
+    def _op_duration(self, tbl, mask, target: str, src: str,
+                     unit: str = "seconds"):
+        # func_duration.go (time.ParseDuration) -> float64 in ``unit``
+        # (the Hours/Minutes/Seconds/... converter family over a parsed
+        # duration); non-matching rows yield null. One RE2 pass.
         col_ = _val(tbl, Col(src))
         ex = pc.extract_regex(col_, pattern=self._DURATION_RE)
         total = None
@@ -666,9 +671,71 @@ class Statement:
                         pa.float64())
             term = pc.multiply(f, scale)
             total = term if total is None else pc.add(total, term)
+        total = pc.multiply(total, self._DUR_UNIT[unit])
         out = pc.if_else(pc.is_valid(ex), total,
                          pa.nulls(tbl.num_rows, pa.float64()))
         return _masked(tbl, target, out, mask)
+
+    @staticmethod
+    def _glob_to_re(pattern: str) -> str:
+        # OTTL glob (gobwas/glob subset): * multi-char, ? single-char;
+        # everything else literal; whole-value anchored
+        import re as _re
+
+        out = []
+        for ch in pattern:
+            if ch == "*":
+                out.append(".*")
+            elif ch == "?":
+                out.append(".")
+            else:
+                out.append(_re.escape(ch))
+        return "^" + "".join(out) + "$"
+
+    def _op_replace_match(self, tbl, mask, target: str, pattern: str,
+                          replacement: str, src: str | None = None):
+        # func_replace_match.go: whole-value glob match -> replacement
+        col_ = _val(tbl, Col(src or target))
+        hit = pc.fill_null(
+            pc.match_substring_regex(col_, pattern=self._glob_to_re(pattern)),
+            False)
+        out = pc.if_else(hit, pa.scalar(replacement), col_)
+        return _masked(tbl, target, out, mask)
+
+    def _op_replace_all_matches(self, tbl, mask, pattern: str,
+                                replacement: str,
+                                keys: list[str] | None = None):
+        # func_replace_all_matches.go: glob-replace across every
+        # string attribute (keys=None = every string column)
+        if keys is None:
+            keys = [c for c in tbl.column_names
+                    if pa.types.is_string(tbl.schema.field(c).type)]
+        regex = self._glob_to_re(pattern)
+        for k in keys:
+            if k not in tbl.column_names:
+                continue
+            col_ = _val(tbl, Col(k))
+            hit = pc.fill_null(pc.match_substring_regex(col_, pattern=regex), False)
+            tbl = _masked(tbl, k, pc.if_else(hit, pa.scalar(replacement), col_), mask)
+        return tbl
+
+    def _op_parse_simplified_xml(self, tbl, mask, target: str, src: str):
+        # func_parse_simplified_xml.go: XML -> flat {tag: text} map of
+        # the top-level children (attr-sized payloads, like parse_xml)
+        import json as _json
+        from xml.etree import ElementTree
+
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            try:
+                root = ElementTree.fromstring(s)
+                m = {c.tag: (c.text or "").strip() for c in root}
+                outs.append(_json.dumps({root.tag: m}, sort_keys=True,
+                                        separators=(",", ":")))
+            except (ElementTree.ParseError, TypeError):
+                outs.append(None)
+        return _masked(tbl, target, pa.array(outs, pa.string()), mask)
 
     def _op_log(self, tbl, mask, target: str, src: str | None = None):
         # func_log.go: natural log; non-positive -> null (the Go

@@ -150,6 +150,38 @@ def test_format():
     assert col(out, "o") == ["ev:a #1!", "ev:b #2!"]
 
 
+def test_replace_match_glob():
+    t = pa.table({"s": ["hello world", "hello there", "bye", None]})
+    out = run("replace_match", {"target": "s", "pattern": "hello*",
+                                "replacement": "greeting"}, t)
+    assert col(out, "s") == ["greeting", "greeting", "bye", None]
+    t2 = pa.table({"a": ["x1", "y2"], "b": ["x3", "zz"],
+                   "n": pa.array([1, 2], pa.int64())})
+    out = run("replace_all_matches", {"pattern": "x?",
+                                      "replacement": "R", "keys": None}, t2)
+    assert col(out, "a") == ["R", "y2"]
+    assert col(out, "b") == ["R", "zz"]
+    assert col(out, "n") == [1, 2]  # non-string untouched
+
+
+def test_duration_units():
+    t = pa.table({"d": ["90m", "2h", "1500ms"]})
+    out = run("duration", {"target": "o", "src": "d", "unit": "hours"}, t)
+    assert col(out, "o") == pytest.approx([1.5, 2.0, 1500 / 3.6e6])
+    out = run("duration", {"target": "o", "src": "d", "unit": "milliseconds"}, t)
+    assert col(out, "o") == pytest.approx([90 * 60e3, 2 * 3600e3, 1500.0])
+
+
+def test_parse_simplified_xml():
+    t = pa.table({"x": ["<order><id>123</id><qty>4</qty></order>",
+                        "not xml", None]})
+    out = run("parse_simplified_xml", {"target": "o", "src": "x"}, t)
+    got = col(out, "o")
+    import json
+    assert json.loads(got[0]) == {"order": {"id": "123", "qty": "4"}}
+    assert got[1] is None and got[2] is None
+
+
 def test_textual_ottl_round3():
     t = pa.table({"s": ["FooBar"], "d": ["2m"],
                   "ts": pa.array([datetime(2024, 1, 2, 3, 4, 5)], pa.timestamp("us")),
@@ -161,10 +193,12 @@ def test_textual_ottl_round3():
         ('set(u, UnixSeconds(ts))', "u", 1704164645),
         ('set(ok, IsValidLuhn(card))', "ok", True),
         ('set(pre, TrimPrefix(s, "Foo"))', "pre", "Bar"),
+        ('set(hrs, Hours(d))', "hrs", 2 / 60.0),
+        ('replace_match(s, "Foo*", "matched")', "s", "matched"),
         ('set(f, Format("%s/%d", [s, y]))', "f", None),  # uses y from prior
     ]
     for stmt_text, out_col, want in cases[:-1]:
         t = parse_statement(stmt_text)(t)
         assert t[out_col][0].as_py() == want, stmt_text
     t = parse_statement(cases[-1][0])(t)
-    assert t["f"][0].as_py() == "FooBar/2024"
+    assert t["f"][0].as_py() == "matched/2024"
