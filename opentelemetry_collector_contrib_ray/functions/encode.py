@@ -142,7 +142,9 @@ def sha256_hex(arr) -> pa.Array:
     return _hex_of(out)
 
 
-def sha1_hex(arr) -> pa.Array:
+def sha1_digest_rows(arr) -> np.ndarray:
+    """Raw per-row SHA-1 digests as a (n, 20) uint8 matrix (string or
+    binary input) — community_id needs raw digests, not hex."""
     data, starts, lens = _flat_utf8(arr)
     out = np.empty((len(lens), 20), dtype=np.uint8)
     for blocks, (idx, buf) in _pad_blocks(data, starts, lens, 64, 8, True).items():
@@ -174,7 +176,11 @@ def sha1_hex(arr) -> pa.Array:
                 H[i] = H[i] + v
         digest = np.stack(H, axis=1).astype(">u4").view(np.uint8).reshape(n, 20)
         out[idx] = digest
-    return _hex_of(out)
+    return out
+
+
+def sha1_hex(arr) -> pa.Array:
+    return _hex_of(sha1_digest_rows(arr))
 
 
 def sha512_hex(arr) -> pa.Array:
@@ -285,6 +291,56 @@ def hex_encode(arr) -> pa.Array:
     np.cumsum(lens * 2, out=offs[1:].view(np.int32)[:])
     return pa.Array.from_buffers(
         pa.string(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(flat.tobytes())])
+
+
+_UNHEX = np.full(256, 255, dtype=np.uint8)
+for i, ch in enumerate(b"0123456789abcdef"):
+    _UNHEX[ch] = i
+for i, ch in enumerate(b"0123456789ABCDEF"):
+    _UNHEX[ch] = i
+
+
+def hex_decode(arr) -> pa.Array:
+    """Variable-width hex string -> utf8 string (the Decode(...,
+    "hex") path); rows with odd length or non-hex characters -> null."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    orig_valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    data, starts, lens = _flat_utf8(arr)
+    n = len(lens)
+    out_lens = lens // 2
+    total_out = int(out_lens.sum())
+    rows_valid = (lens % 2 == 0) & orig_valid
+    head = np.cumsum(out_lens) - out_lens
+    within = np.arange(total_out) - np.repeat(head, out_lens)
+    base = np.repeat(starts, out_lens) + 2 * within
+    hi = _UNHEX[data[base]] if total_out else np.empty(0, np.uint8)
+    lo = _UNHEX[data[base + 1]] if total_out else np.empty(0, np.uint8)
+    bad_pair = (hi == 255) | (lo == 255)
+    if bad_pair.any():
+        bad_rows = np.unique(np.repeat(np.arange(n), out_lens)[bad_pair])
+        rows_valid = rows_valid.copy()
+        rows_valid[bad_rows] = False
+    flat = (hi.astype(np.uint8) << 4) | (lo & 0x0F)
+    offs = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(out_lens, out=offs[1:].view(np.int32)[:])
+    raw = pa.Array.from_buffers(
+        pa.binary(), n, [None, pa.py_buffer(offs.tobytes()),
+                         pa.py_buffer(flat.tobytes())])
+    try:
+        out = raw.cast(pa.string())
+    except pa.ArrowInvalid:
+        # rare salvage: some decoded payload is not valid utf8 — keep
+        # the decodable rows, null the rest (Arrow strings must be
+        # utf8; Go strings don't care, documented divergence)
+        vals = []
+        for v in raw.to_pylist():
+            try:
+                vals.append(v.decode("utf-8") if v is not None else None)
+            except UnicodeDecodeError:
+                vals.append(None)
+        out = pa.array(vals, pa.string())
+    return pc.if_else(pa.array(rows_valid), out, pa.nulls(n, pa.string()))
 
 
 def base64_encode(arr) -> pa.Array:

@@ -268,6 +268,22 @@ class _Parser:
                 raise OTTLParseError(f"ContainsValue(path, value) expected: {self.text!r}")
             return {"__converter__": "contains_value",
                     "args": {"src": args[0].name, "value": args[1]}}
+        if name == "Decode":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"Decode(path, encoding) expected: {self.text!r}")
+            return {"__converter__": "decode",
+                    "args": {"src": args[0].name, "encoding": args[1]}}
+        if name == "CommunityID":
+            if len(args) < 4 or not all(isinstance(a, Col) for a in args[:4]):
+                raise OTTLParseError(
+                    f"CommunityID(sip, sport, dip, dport[, proto, seed]) expected: {self.text!r}")
+            a = {"src_ip": args[0].name, "src_port": args[1].name,
+                 "dst_ip": args[2].name, "dst_port": args[3].name}
+            if len(args) > 4:
+                a["proto"] = args[4]
+            if len(args) > 5:
+                a["seed"] = args[5]
+            return {"__converter__": "community_id", "args": a}
         if name == "Format":
             if len(args) != 2 or not isinstance(args[0], str) or not isinstance(args[1], list):
                 raise OTTLParseError(f"Format(fmt, [args]) expected: {self.text!r}")

@@ -672,7 +672,10 @@ class Statement:
             term = pc.multiply(f, scale)
             total = term if total is None else pc.add(total, term)
         total = pc.multiply(total, self._DUR_UNIT[unit])
-        out = pc.if_else(pc.is_valid(ex), total,
+        # the all-optional regex vacuously matches "" — but Go
+        # time.ParseDuration("") errors, so require at least one digit
+        nonempty = pc.fill_null(pc.match_substring_regex(col_, pattern=r"\d"), False)
+        out = pc.if_else(pc.and_(pc.is_valid(ex), nonempty), total,
                          pa.nulls(tbl.num_rows, pa.float64()))
         return _masked(tbl, target, out, mask)
 
@@ -789,6 +792,91 @@ class Statement:
         member = (ip & mask_int) == net_int
         valid = pc.and_(pc.is_valid(ex), pa.array(in_range))
         out = pc.if_else(valid, pa.array(member), pa.nulls(tbl.num_rows, pa.bool_()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_decode(self, tbl, mask, target: str, src: str, encoding: str):
+        # func_decode.go: base64 / hex / text charsets -> string
+        from ..functions.encode import base64_decode, hex_decode
+
+        col_ = _val(tbl, Col(src))
+        if encoding in ("base64", "base64-std"):
+            raw = base64_decode(col_)
+            try:
+                out = raw.cast(pa.string())
+            except pa.ArrowInvalid:
+                vals = []
+                for v in raw.to_pylist():
+                    try:
+                        vals.append(v.decode("utf-8") if v is not None else None)
+                    except UnicodeDecodeError:
+                        vals.append(None)
+                out = pa.array(vals, pa.string())
+        elif encoding == "hex":
+            out = hex_decode(col_)
+        elif encoding in ("us-ascii", "utf-8", "utf8"):
+            out = pc.cast(col_, pa.string())
+        else:
+            raise ValueError(f"decode: unsupported encoding {encoding!r}")
+        return _masked(tbl, target, out, mask)
+
+    _CID_PROTOS = {"ICMP": 1, "TCP": 6, "UDP": 17, "RSVP": 46,
+                   "ICMP6": 58, "SCTP": 132}
+    _IP4_RE = r"^(?P<o1>\d{1,3})\.(?P<o2>\d{1,3})\.(?P<o3>\d{1,3})\.(?P<o4>\d{1,3})$"
+
+    def _ip4_bytes(self, tbl, src: str) -> tuple[np.ndarray, np.ndarray]:
+        """(n,4) uint8 octets + valid mask for an IPv4 string column."""
+        col_ = _val(tbl, Col(src))
+        ex = pc.extract_regex(col_, pattern=self._IP4_RE)
+        octs = np.stack([
+            pc.cast(pc.fill_null(pc.struct_field(ex, i), "0"), pa.int64())
+            .to_numpy(zero_copy_only=False) for i in range(4)], axis=1)
+        valid = pc.is_valid(ex).to_numpy(zero_copy_only=False) & \
+            (octs < 256).all(axis=1)
+        return octs.astype(np.uint8), valid
+
+    def _op_community_id(self, tbl, mask, target: str, src_ip: str,
+                         src_port: str, dst_ip: str, dst_port: str,
+                         proto: str | int = "TCP", seed: int = 0):
+        # func_community_id.go: "1:" + base64(sha1(seed.be16 | ip1 |
+        # ip2 | proto | 0 | port1.be16 | port2.be16)) with (ip, port)
+        # pairs swapped into canonical order (normalize()). IPv4 only
+        # here (IPv6 rows yield null); fully vectorized — octet regex,
+        # numpy packing, the numpy SHA-1, vectorized base64.
+        from ..functions.encode import base64_encode, sha1_digest_rows
+
+        n = tbl.num_rows
+        sip, sv = self._ip4_bytes(tbl, src_ip)
+        dip, dv = self._ip4_bytes(tbl, dst_ip)
+        spt = pc.cast(_val(tbl, Col(src_port)), pa.int64()).to_numpy(zero_copy_only=False)
+        dpt = pc.cast(_val(tbl, Col(dst_port)), pa.int64()).to_numpy(zero_copy_only=False)
+        valid = sv & dv & (spt >= 0) & (spt <= 65535) & (dpt >= 0) & (dpt <= 65535)
+        p = self._CID_PROTOS[proto] if isinstance(proto, str) else int(proto)
+        # big-endian uint32 view == lexicographic byte order
+        s32 = sip.copy().view(">u4").reshape(-1)
+        d32 = dip.copy().view(">u4").reshape(-1)
+        swap = (s32 > d32) | ((s32 == d32) & (spt > dpt))
+        ip1 = np.where(swap[:, None], dip, sip)
+        ip2 = np.where(swap[:, None], sip, dip)
+        p1 = np.where(swap, dpt, spt).astype(">u2")
+        p2 = np.where(swap, spt, dpt).astype(">u2")
+        buf = np.zeros((n, 16), dtype=np.uint8)  # 2+4+4+1+1+2+2
+        buf[:, 0:2] = np.full(n, seed, ">u2").view(np.uint8).reshape(n, 2)
+        buf[:, 2:6] = ip1
+        buf[:, 6:10] = ip2
+        buf[:, 10] = p
+        buf[:, 11] = 0
+        buf[:, 12:14] = p1.view(np.uint8).reshape(n, 2)
+        buf[:, 14:16] = p2.view(np.uint8).reshape(n, 2)
+        flat = pa.py_buffer(buf.tobytes())
+        packed = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.array(np.arange(n + 1, dtype=np.int32) * 16).buffers()[1], flat])
+        digests = sha1_digest_rows(packed)
+        dig_flat = pa.py_buffer(digests.tobytes())
+        dig_arr = pa.Array.from_buffers(
+            pa.binary(), n, [None, pa.array(np.arange(n + 1, dtype=np.int32) * 20).buffers()[1], dig_flat])
+        b64 = base64_encode(dig_arr)
+        out = pc.binary_join_element_wise(pa.scalar("1:"), b64, "")
+        out = pc.if_else(pa.array(valid), out, pa.nulls(n, pa.string()))
         return _masked(tbl, target, out, mask)
 
     _UA_BROWSERS = [  # ordered: most specific token first

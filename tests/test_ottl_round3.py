@@ -182,6 +182,49 @@ def test_parse_simplified_xml():
     assert got[1] is None and got[2] is None
 
 
+def test_decode():
+    t = pa.table({"h": ["68656c6c6f", "6F6B", "xyz", "abc", None],
+                  "b": ["aGVsbG8=", "b2s=", "", None, "b2s="]})
+    out = run("decode", {"target": "o", "src": "h", "encoding": "hex"}, t)
+    assert col(out, "o") == ["hello", "ok", None, None, None]
+    out = run("decode", {"target": "o", "src": "b", "encoding": "base64"}, t)
+    assert col(out, "o")[:2] == ["hello", "ok"]
+
+
+def test_community_id():
+    import base64 as b64
+    import hashlib
+    import struct
+
+    rows = [("1.2.3.4", 1122, "3.4.5.6", 3344),
+            ("3.4.5.6", 3344, "1.2.3.4", 1122),   # swapped -> same id
+            ("10.0.0.1", 80, "10.0.0.1", 9),      # equal ips, port order
+            ("bad", 1, "1.2.3.4", 2),             # invalid ip -> null
+            ("1.2.3.4", 70000, "5.6.7.8", 1)]     # bad port -> null
+
+    def ref(sip, sp, dip, dp, proto=6, seed=0):
+        a = bytes(map(int, sip.split("."))), sp
+        b = bytes(map(int, dip.split("."))), dp
+        if a[0] > b[0] or (a[0] == b[0] and a[1] > b[1]):
+            a, b = b, a
+        t = struct.pack(">H", seed) + a[0] + b[0] + bytes([proto, 0]) + \
+            struct.pack(">HH", a[1], b[1])
+        return "1:" + b64.b64encode(hashlib.sha1(t).digest()).decode()
+
+    t = pa.table({"sip": [r[0] for r in rows],
+                  "sp": pa.array([r[1] for r in rows], pa.int64()),
+                  "dip": [r[2] for r in rows],
+                  "dp": pa.array([r[3] for r in rows], pa.int64())})
+    out = run("community_id", {"target": "o", "src_ip": "sip",
+                               "src_port": "sp", "dst_ip": "dip",
+                               "dst_port": "dp"}, t)
+    got = col(out, "o")
+    assert got[0] == ref(*rows[0]) and got[1] == ref(*rows[1])
+    assert got[0] == got[1]  # direction-invariant
+    assert got[2] == ref(*rows[2])
+    assert got[3] is None and got[4] is None
+
+
 def test_textual_ottl_round3():
     t = pa.table({"s": ["FooBar"], "d": ["2m"],
                   "ts": pa.array([datetime(2024, 1, 2, 3, 4, 5)], pa.timestamp("us")),
