@@ -176,7 +176,10 @@ class _Parser:
     }
 
     _TIME_CONVERTERS = {"Year", "Month", "Day", "Hour", "Minute",
-                        "Second", "Weekday"}
+                        "Second", "Millisecond", "Microsecond",
+                        "Nanosecond", "Weekday"}
+    _CASE_CONVERTERS = {"ToUpperCase": "upper", "ToLowerCase": "lower",
+                        "ToSnakeCase": "snake", "ToCamelCase": "camel"}
     _DUR_UNIT_CONVERTERS = {"Hours": "hours", "Minutes": "minutes",
                             "Seconds": "seconds",
                             "Milliseconds": "milliseconds",
@@ -248,6 +251,28 @@ class _Parser:
                 raise OTTLParseError(f"{name}(path, string) expected: {self.text!r}")
             return {"__converter__": editor,
                     "args": {"src": args[0].name, key: args[1]}}
+        if name in self._CASE_CONVERTERS:
+            if len(args) != 1 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            return {"__converter__": "convert_case",
+                    "args": {"src": args[0].name,
+                             "case": self._CASE_CONVERTERS[name]}}
+        if name == "GetXML":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"GetXML(path, xpath) expected: {self.text!r}")
+            return {"__converter__": "get_xml",
+                    "args": {"src": args[0].name, "xpath": args[1]}}
+        if name == "RemoveXML":
+            if len(args) != 2 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"RemoveXML(path, xpath) expected: {self.text!r}")
+            return {"__converter__": "remove_xml",
+                    "args": {"src": args[0].name, "xpath": args[1]}}
+        if name == "InsertXML":
+            if len(args) != 3 or not isinstance(args[0], Col):
+                raise OTTLParseError(f"InsertXML(path, xpath, sub) expected: {self.text!r}")
+            return {"__converter__": "insert_xml",
+                    "args": {"src": args[0].name, "xpath": args[1],
+                             "sub_document": args[2]}}
         if name == "ConvertCase":
             if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
                 raise OTTLParseError(f"ConvertCase(path, case) expected: {self.text!r}")

@@ -625,6 +625,8 @@ class Statement:
     _TIME_PARTS = {
         "year": pc.year, "month": pc.month, "day": pc.day,
         "hour": pc.hour, "minute": pc.minute, "second": pc.second,
+        "millisecond": pc.millisecond, "microsecond": pc.microsecond,
+        "nanosecond": pc.nanosecond,
     }
 
     def _op_time_extract(self, tbl, mask, target: str, src: str, part: str):
@@ -987,6 +989,102 @@ class Statement:
     def _op_contains_value(self, tbl, mask, target: str, src: str, value: Any):
         # func_contains_value.go == list_any(element == value)
         return self._op_list_any(tbl, mask, target, src, "==", value)
+
+    def _op_list_map(self, tbl, mask, target: str, src: str, op: str,
+                     operand: Any = None):
+        # func_map_each.go (documented subset): apply one elementwise
+        # kernel to every list element — flatten, one vectorized
+        # kernel, rebuild with the same offsets
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        flat = col_.flatten()
+        if op == "add":
+            new_flat = pc.add(flat, operand)
+        elif op == "mul":
+            new_flat = pc.multiply(flat, operand)
+        elif op == "upper":
+            new_flat = pc.utf8_upper(flat)
+        elif op == "lower":
+            new_flat = pc.utf8_lower(flat)
+        elif op == "trim":
+            new_flat = pc.utf8_trim_whitespace(flat)
+        else:
+            raise ValueError(f"list_map: unsupported op {op!r}")
+        out = pa.ListArray.from_arrays(col_.offsets, new_flat)
+        return _masked(tbl, target, out, mask)
+
+    def _op_stringify_all(self, tbl, mask, keys: list[str] | None = None):
+        # stringify_all semantics on the flat model: cast every (or
+        # the named) non-string column to its string rendering
+        names = keys if keys is not None else list(tbl.column_names)
+        for k in names:
+            if k not in tbl.column_names:
+                continue
+            typ = tbl.schema.field(k).type
+            if pa.types.is_string(typ) or pa.types.is_nested(typ):
+                continue
+            tbl = _masked(tbl, k, pc.cast(_val(tbl, Col(k)), pa.string()), mask)
+        return tbl
+
+    # --- XML edit family (attr-sized payloads, like parse_xml) ---
+
+    def _xml_apply(self, tbl, mask, target, src, fn):
+        from xml.etree import ElementTree
+
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            try:
+                outs.append(fn(ElementTree.fromstring(s)))
+            except (ElementTree.ParseError, TypeError):
+                outs.append(None)
+        return _masked(tbl, target, pa.array(outs, pa.string()), mask)
+
+    def _op_get_xml(self, tbl, mask, target: str, src: str, xpath: str):
+        # func_get_xml.go: serialize the elements matching the xpath
+        # (ElementTree's limited XPath subset)
+        from xml.etree import ElementTree
+
+        def fn(root):
+            hits = root.findall(xpath)
+            return "".join(
+                ElementTree.tostring(h, encoding="unicode") for h in hits)
+
+        return self._xml_apply(tbl, mask, target, src, fn)
+
+    def _op_remove_xml(self, tbl, mask, target: str, src: str, xpath: str):
+        # func_remove_xml.go: drop matching elements, re-serialize
+        from xml.etree import ElementTree
+
+        def fn(root):
+            # ElementTree removal needs the parent; collect victims by
+            # identity, then walk every parent and detach
+            victims = set(id(e) for e in root.findall(xpath))
+            for parent in list(root.iter()):
+                for child in list(parent):
+                    if id(child) in victims:
+                        parent.remove(child)
+            return ElementTree.tostring(root, encoding="unicode")
+
+        return self._xml_apply(tbl, mask, target, src, fn)
+
+    def _op_insert_xml(self, tbl, mask, target: str, src: str, xpath: str,
+                       sub_document: str):
+        # func_insert_xml.go: append the sub-document under every
+        # element matching the xpath
+        from xml.etree import ElementTree
+
+        sub = ElementTree.fromstring(sub_document)
+
+        def fn(root):
+            for hit in root.findall(xpath) or ([root] if xpath in (".", "") else []):
+                import copy
+
+                hit.append(copy.deepcopy(sub))
+            return ElementTree.tostring(root, encoding="unicode")
+
+        return self._xml_apply(tbl, mask, target, src, fn)
 
     def _op_format(self, tbl, mask, target: str, fmt: str, args: list[Any]):
         # func_format.go (fmt.Sprintf subset): %s and %d verbs,

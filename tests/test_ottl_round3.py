@@ -182,6 +182,35 @@ def test_parse_simplified_xml():
     assert got[1] is None and got[2] is None
 
 
+def test_list_map_and_stringify():
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+                  "s": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
+                  "n": pa.array([7, 8], pa.int64()),
+                  "txt": ["x", "y"]})
+    out = run("list_map", {"target": "l", "src": "l", "op": "mul",
+                           "operand": 10}, t)
+    assert col(out, "l") == [[10, 20], [30]]
+    out = run("list_map", {"target": "s", "src": "s", "op": "upper"}, t)
+    assert col(out, "s") == [["A", "B"], ["C"]]
+    out = run("stringify_all", {"keys": None}, t)
+    assert col(out, "n") == ["7", "8"]
+    assert col(out, "txt") == ["x", "y"]  # strings untouched
+    assert out.schema.field("l").type == pa.list_(pa.int64())  # nested skipped
+
+
+def test_xml_edit_family():
+    doc = "<a><b>1</b><c><b>2</b></c><d>x</d></a>"
+    t = pa.table({"x": [doc, "bad<", None]})
+    out = run("get_xml", {"target": "o", "src": "x", "xpath": ".//b"}, t)
+    assert col(out, "o")[0] == "<b>1</b><b>2</b>"
+    assert col(out, "o")[1] is None and col(out, "o")[2] is None
+    out = run("remove_xml", {"target": "o", "src": "x", "xpath": ".//b"}, t)
+    assert "<b>" not in col(out, "o")[0] and "<d>x</d>" in col(out, "o")[0]
+    out = run("insert_xml", {"target": "o", "src": "x", "xpath": "d",
+                             "sub_document": "<e>9</e>"}, t)
+    assert "<d>x<e>9</e></d>" in col(out, "o")[0]
+
+
 def test_decode():
     t = pa.table({"h": ["68656c6c6f", "6F6B", "xyz", "abc", None],
                   "b": ["aGVsbG8=", "b2s=", "", None, "b2s="]})
