@@ -283,6 +283,47 @@ class Statement:
 
         return _masked(tbl, target, uuid4_strings(tbl.num_rows), mask)
 
+    def _op_uuid7(self, tbl, mask, target: str, src: str,
+                  entropy_cols: list[str] | None = None):
+        # func_uuid_v7.go generates wall-clock v7 ids; a deterministic
+        # engine derives the 48-bit millisecond prefix from a
+        # TIMESTAMP COLUMN and the 74 random bits from a per-row md5
+        # of entropy columns (default: the timestamp itself + row
+        # position) — v7's time-sortable layout with reproducible runs
+        from ..functions.hashing import md5_number_lower_arrow
+
+        n = tbl.num_rows
+        ts = _val(tbl, Col(src))
+        ms = pc.cast(pc.cast(ts, pa.timestamp("ms")), pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        ent_parts = [pc.cast(_val(tbl, Col(c)), pa.string())
+                     for c in (entropy_cols or [src])]
+        ent_parts.append(pa.array(np.arange(n).astype(str)))
+        ent = pc.binary_join_element_wise(*ent_parts, "|")
+        h = md5_number_lower_arrow(ent).to_numpy(zero_copy_only=False)
+        b = np.zeros((n, 16), dtype=np.uint8)
+        for i in range(6):  # 48-bit big-endian unix ms
+            b[:, i] = (ms >> (8 * (5 - i))) & 0xFF
+        b[:, 6] = 0x70 | ((h >> 60) & 0x0F).astype(np.uint8)  # version 7
+        b[:, 7] = (h >> 52) & 0xFF
+        b[:, 8] = 0x80 | ((h >> 46) & 0x3F).astype(np.uint8)  # variant 10
+        for i in range(9, 16):
+            b[:, i] = (h >> (8 * (15 - i))) & 0xFF
+        hx = np.empty((n, 32), dtype=np.uint8)
+        hex_lut = np.frombuffer(b"0123456789abcdef", np.uint8)
+        hx[:, 0::2] = hex_lut[b >> 4]
+        hx[:, 1::2] = hex_lut[b & 0x0F]
+        canon = np.full((n, 36), ord("-"), dtype=np.uint8)
+        canon[:, 0:8] = hx[:, 0:8]
+        canon[:, 9:13] = hx[:, 8:12]
+        canon[:, 14:18] = hx[:, 12:16]
+        canon[:, 19:23] = hx[:, 16:20]
+        canon[:, 24:36] = hx[:, 20:32]
+        out = pa.Array.from_buffers(
+            pa.binary(36), n, [None, pa.py_buffer(canon.tobytes())]
+        ).cast(pa.string())
+        return _masked(tbl, target, out, mask)
+
     # --- collection converters (func_sort/keys/values/index/
     #     slice_to_map/delete_index/flatten on LIST columns) ---
 

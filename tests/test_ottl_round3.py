@@ -182,6 +182,26 @@ def test_parse_simplified_xml():
     assert got[1] is None and got[2] is None
 
 
+def test_uuid7_deterministic_and_sortable():
+    import uuid as _uuid
+
+    ts = [datetime(2024, 1, 1, 0, 0, 0), datetime(2024, 1, 1, 0, 0, 1),
+          datetime(2024, 6, 1)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "k": ["a", "b", "c"]})
+    out1 = run("uuid7", {"target": "o", "src": "ts", "entropy_cols": ["k"]}, t)
+    out2 = run("uuid7", {"target": "o", "src": "ts", "entropy_cols": ["k"]}, t)
+    got = col(out1, "o")
+    assert got == col(out2, "o")  # deterministic
+    for g in got:
+        u = _uuid.UUID(g)
+        assert u.version == 7 and u.variant == _uuid.RFC_4122
+    assert got == sorted(got)  # time-ordered prefix sorts
+    # ms prefix encodes the timestamp
+    ms = int(ts[0].timestamp() * 1000)
+    assert got[0].replace("-", "")[:12] == f"{ms:012x}"
+
+
 def test_list_map_and_stringify():
     t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
                   "s": pa.array([["a", "b"], ["c"]], pa.list_(pa.string())),
