@@ -1051,6 +1051,20 @@ def _q_asof_join(sf_dir: str):
         ["event_id", "user_id", "last_purchase_value", "last_purchase_ts"])
 
 
+def _q_metric_start_time(sf_dir: str):
+    """metricstarttimeprocessor, subtract_initial_point strategy: per
+    (user_id, event_type) series drop the first point, subtract its
+    value from later points, and stamp its timestamp as start_time."""
+    from opentelemetry_collector_contrib_ray.stages.starttime import metric_start_time
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts", "value"])
+    out = metric_start_time(ds, ["user_id", "event_type"], "ts", "value",
+                            strategy="subtract_initial_point")
+    return out.select_columns(
+        ["event_id", "user_id", "event_type", "ts", "value", "start_time"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1121,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_prune": _q_span_prune,
         "ottl_funcs": _q_ottl_funcs,
         "asof_join": _q_asof_join,
+        "metric_start_time": _q_metric_start_time,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1314,6 +1329,20 @@ FROM events e ASOF LEFT JOIN (
   SELECT user_id, ts, value AS last_purchase_value, ts AS last_purchase_ts
   FROM events WHERE event_type = 'purchase') p
 ON e.user_id = p.user_id AND e.ts >= p.ts""",
+        "metric_start_time": """
+WITH fp AS (
+  SELECT user_id, event_type, MIN(ts) AS first_ts
+  FROM events GROUP BY 1, 2),
+fv AS (
+  SELECT e.user_id, e.event_type, f.first_ts, MIN(e.value) AS first_val
+  FROM events e JOIN fp f ON e.user_id = f.user_id
+    AND e.event_type = f.event_type AND e.ts = f.first_ts
+  GROUP BY 1, 2, 3)
+SELECT e.event_id, e.user_id, e.event_type, e.ts,
+       e.value - v.first_val AS value, v.first_ts AS start_time
+FROM events e JOIN fv v ON e.user_id = v.user_id
+  AND e.event_type = v.event_type
+WHERE e.ts > v.first_ts""",
         "events_sessions": """
 WITH o AS (
   SELECT user_id, ts,

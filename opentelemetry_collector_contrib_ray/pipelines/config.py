@@ -62,6 +62,14 @@ def pipeline_from_config(operators: list[dict[str, Any]]) -> Callable[[ray.data.
     return apply
 
 
+def logs_transform(operators: list[dict[str, Any]]) -> Callable[[ray.data.Dataset], ray.data.Dataset]:
+    """logstransformprocessor (processor/logstransformprocessor): run
+    a stanza operator chain as a mid-pipeline processor. Identical to
+    the receiver-side chain loader — the reference embeds the same
+    stanza pipeline type; here both are ``pipeline_from_config``."""
+    return pipeline_from_config(operators)
+
+
 def pipeline_from_yaml(text_or_path: str) -> Callable[[ray.data.Dataset], ray.data.Dataset]:
     """Accepts YAML text or a path to a YAML file with either a
     top-level ``operators:`` list (stanza receiver shape) or a bare
