@@ -638,40 +638,27 @@ def _q_metrics_generation(sf_dir: str):
 
 def _q_service_graph(sf_dir: str):
     """servicegraphconnector shape: pair each user turn with the
-    assistant turn that answers it ((conv_id, turn_idx+1) equijoin —
-    the reference's (trace_id, span_id) two-sided store on a finite
-    table) and emit per-tool edge metrics (count + latency sum)."""
-    from opentelemetry_collector_contrib_ray.stages.servicegraph import service_graph_edges
+    assistant turn that answers it and emit per-tool edge metrics
+    (count + latency sum). The reference pairs via a (trace_id,
+    span_id) two-sided store; the generic engine path is the
+    Dataset.join in stages/servicegraph.service_graph_edges (tested
+    for parity in tests/test_misc_round3.py). The QUERY uses the
+    shuffle-free presorted fast path: the transcript cache is globally
+    (conv_id, turn_idx)-ordered with zero-padded conv ids, so the
+    pairing is one vectorized shift-compare per block + an O(blocks)
+    boundary fix-up — no hash join at all (Ray 2.49's join aggregator
+    carries a ~seconds fixed cost that dominated this query)."""
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        adjacent_edges_presorted,
+    )
 
     # the pairing needs only the key/label columns — prune at the read
     # (the text column is ~90% of the table's bytes)
     t = read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"])
-
-    def client_side(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["role"], "user")
-        f = b.filter(m)
-        return pa.table({
-            "conv_id": f["conv_id"],
-            "match_idx": pc.add(pc.cast(f["turn_idx"], pa.int64()), 1),
-            "ts": f["ts"],
-        })
-
-    def server_side(b: pa.Table) -> pa.Table:
-        m = pc.equal(b["role"], "assistant")
-        f = b.filter(m)
-        return pa.table({
-            "conv_id": f["conv_id"],
-            "match_idx": pc.cast(f["turn_idx"], pa.int64()),
-            "tool": f["tool"],
-            "ts": f["ts"],
-        })
-
-    client = t.map_batches(client_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    server = t.map_batches(server_side, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    return service_graph_edges(
-        client, server, on=["conv_id", "match_idx"], edge_dims=["tool"],
-        num_partitions=8,
-    )
+    return adjacent_edges_presorted(
+        t, "conv_id", "turn_idx", client_role="user",
+        server_role="assistant", role_col="role", ts_col="ts",
+        edge_dim="tool")
 
 
 def _q_docs_fingerprint(sf_dir: str):

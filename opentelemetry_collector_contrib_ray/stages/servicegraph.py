@@ -82,3 +82,135 @@ def service_graph_edges(
     return grouped_count_sum(
         joined, edge_dims, sum_cols={"_latency_us": latency_name}, count_name=count_name
     )
+
+
+def adjacent_edges_presorted(
+    ds: ray.data.Dataset,
+    group_col: str,
+    order_col: str,
+    *,
+    client_role: str,
+    server_role: str,
+    role_col: str,
+    ts_col: str,
+    edge_dim: str,
+    latency_name: str = "latency_us_sum",
+    count_name: str = "n_calls",
+) -> ray.data.Dataset:
+    """Shuffle-free service-graph pairing for PRESORTED input.
+
+    Same result as ``service_graph_edges`` joined on (group,
+    order+1), but exploiting the layout the transcript cache
+    guarantees (and `recombine`'s presorted strategy already relies
+    on): rows globally ordered by (group, order), blocks cut anywhere.
+    A client row then pairs with the row IMMEDIATELY AFTER it, so the
+    whole join degenerates to one vectorized shift-compare per block
+    plus an O(blocks) cross-block boundary fix-up:
+
+      * per block: mask rows whose predecessor is the matching client
+        (same group, order == predecessor order + 1, role transition),
+        hash-groupby partial (edge_dim -> count, latency sum);
+      * each block also emits its first and last row; the driver
+        orders blocks by first (group, order) — unique under the sort
+        — and pairs block k's last row with block k+1's first row;
+      * driver merges the tiny partial stream + boundary pairs.
+
+    Emits one row per edge_dim value. The partitioning assumption is
+    the sort; it fails LOUD if order tokens collide (duplicate sort
+    keys across blocks).
+    """
+    def block(b: pa.Table) -> pa.Table:
+        empty = {
+            "kind": pa.array([], pa.string()),
+            "edge": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "lat": pa.array([], pa.int64()),
+            "grp": pa.array([], pa.string()),
+            "ord": pa.array([], pa.int64()),
+            "role": pa.array([], pa.string()),
+            "ts_us": pa.array([], pa.int64()),
+        }
+        if b.num_rows == 0:
+            return pa.table(empty)
+        grp = b[group_col].combine_chunks() if isinstance(b[group_col], pa.ChunkedArray) else b[group_col]
+        order = pc.cast(b[order_col], pa.int64()).combine_chunks() \
+            if isinstance(b[order_col], pa.ChunkedArray) else pc.cast(b[order_col], pa.int64())
+        role = b[role_col]
+        ts_us = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        dim = b[edge_dim]
+        n = b.num_rows
+        if isinstance(role, pa.ChunkedArray):
+            role = role.combine_chunks()
+        o = order.to_numpy(zero_copy_only=False)
+        t = ts_us.to_numpy(zero_copy_only=False)
+        m = np.zeros(n, dtype=bool)
+        if n > 1:
+            same_grp = pc.equal(grp.slice(1), grp.slice(0, n - 1))
+            cli = pc.equal(role.slice(0, n - 1), client_role)
+            srv = pc.equal(role.slice(1), server_role)
+            adj = pc.and_(pc.and_(same_grp, cli), srv) \
+                .to_numpy(zero_copy_only=False)
+            m[1:] = adj & (o[1:] == o[:-1] + 1)
+        lat = np.zeros(n, dtype=np.int64)
+        lat[1:] = t[1:] - t[:-1]
+        g = (grp[0].as_py(), grp[-1].as_py())
+        r = (role[0].as_py(), role[-1].as_py())
+        paired = pa.table({"edge": dim, "lat": pa.array(lat)}).filter(pa.array(m))
+        part = paired.group_by(["edge"]).aggregate([([], "count_all"), ("lat", "sum")])
+        part = part.rename_columns(["edge", "n", "lat"])
+        out = {
+            "kind": pa.array(["partial"] * part.num_rows + ["first", "last"]),
+            "edge": pa.concat_arrays([part["edge"].combine_chunks().cast(pa.string()),
+                                      pa.array([None, None], pa.string())]),
+            "n": pa.concat_arrays([part["n"].combine_chunks(),
+                                   pa.array([0, 0], pa.int64())]),
+            "lat": pa.concat_arrays([part["lat"].combine_chunks(),
+                                     pa.array([0, 0], pa.int64())]),
+            "grp": pa.array([None] * part.num_rows +
+                            [str(g[0]), str(g[1])], pa.string()),
+            "ord": pa.array([0] * part.num_rows + [int(o[0]), int(o[-1])], pa.int64()),
+            "role": pa.array([None] * part.num_rows + [str(r[0]), str(r[1])], pa.string()),
+            "ts_us": pa.array([0] * part.num_rows + [int(t[0]), int(t[-1])], pa.int64()),
+        }
+        # boundary rows carry the edge dim of the FIRST row too (the
+        # server side of a cross-block pair is the block's first row)
+        out["edge"] = pa.concat_arrays([
+            out["edge"].slice(0, part.num_rows),
+            pa.array([dim[0].as_py(), dim[-1].as_py()], pa.string())])
+        return pa.table(out)
+
+    rows = ds.map_batches(block, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None).take_all()
+    partials: dict[str, tuple[int, int]] = {}
+    firsts, lasts = [], []
+    # a block's output rows stay contiguous and ordered through
+    # take_all, so firsts[i]/lasts[i] belong to the same block
+    for rrow in rows:
+        if rrow["kind"] == "partial":
+            cur = partials.get(rrow["edge"], (0, 0))
+            partials[rrow["edge"]] = (cur[0] + rrow["n"], cur[1] + rrow["lat"])
+        elif rrow["kind"] == "first":
+            firsts.append(rrow)
+        elif rrow["kind"] == "last":
+            lasts.append(rrow)
+    if len(firsts) != len(lasts):
+        raise AssertionError("presorted pairing: mismatched block summaries")
+    blks = sorted(zip(firsts, lasts), key=lambda p: (p[0]["grp"], p[0]["ord"]))
+    tokens = [(f["grp"], f["ord"]) for f, _ in blks]
+    if len(set(tokens)) != len(tokens):
+        raise AssertionError(
+            "presorted pairing: duplicate block order tokens — input is "
+            "not (group, order)-sorted; use service_graph_edges instead")
+    for (pf, pl), (nf, nl) in zip(blks[:-1], blks[1:]):
+        last, first = pl, nf
+        if (last["grp"] == first["grp"] and first["ord"] == last["ord"] + 1
+                and last["role"] == client_role and first["role"] == server_role):
+            cur = partials.get(first["edge"], (0, 0))
+            partials[first["edge"]] = (cur[0] + 1,
+                                       cur[1] + first["ts_us"] - last["ts_us"])
+    edges = sorted(partials)
+    return ray.data.from_arrow(pa.table({
+        edge_dim: pa.array(edges, pa.string()),
+        count_name: pa.array([partials[e][0] for e in edges], pa.int64()),
+        latency_name: pa.array([partials[e][1] for e in edges], pa.int64()),
+    }))

@@ -113,3 +113,61 @@ def test_remote_tap_pass_through_and_bounded(ray_session, tmp_path):
     assert tapped.num_rows <= 4 * 5
     assert tapped.column_names == ["conv_id"]
     assert set(tapped["conv_id"].to_pylist()) <= set(t["conv_id"].to_pylist())
+
+
+def test_adjacent_edges_presorted_matches_join(ray_session):
+    """Presorted fast path == generic hash-join pairing, including
+    pairs split across block boundaries."""
+    import pyarrow as pa
+    from datetime import datetime, timedelta
+
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        adjacent_edges_presorted,
+        service_graph_edges,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = []
+    for c in range(6):
+        conv = f"c{c:03d}"
+        for i in range(7):
+            role = "user" if i % 2 == 0 else "assistant"
+            tool = ["search", "db", "llm"][i % 3]
+            rows.append((conv, i, role, tool, T0 + timedelta(seconds=c * 100 + i)))
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                  "role": pa.array([r[2] for r in rows]),
+                  "tool": pa.array([r[3] for r in rows]),
+                  "ts": pa.array([r[4] for r in rows], pa.timestamp("us"))})
+    # 5 blocks cut mid-conversation -> boundary pairs exist
+    import ray.data as rd
+    blocks = [t.slice(0, 9), t.slice(9, 8), t.slice(17, 1), t.slice(18, 10),
+              t.slice(28)]
+    ds = rd.from_arrow(blocks)
+    fast = adjacent_edges_presorted(
+        ds, "conv_id", "turn_idx", client_role="user",
+        server_role="assistant", role_col="role", ts_col="ts",
+        edge_dim="tool").to_pandas().sort_values("tool").reset_index(drop=True)
+
+    def client_side(b):
+        import pyarrow.compute as pc
+        f = b.filter(pc.equal(b["role"], "user"))
+        return pa.table({"conv_id": f["conv_id"],
+                         "match_idx": pc.add(pc.cast(f["turn_idx"], pa.int64()), 1),
+                         "ts": f["ts"]})
+
+    def server_side(b):
+        import pyarrow.compute as pc
+        f = b.filter(pc.equal(b["role"], "assistant"))
+        return pa.table({"conv_id": f["conv_id"],
+                         "match_idx": pc.cast(f["turn_idx"], pa.int64()),
+                         "tool": f["tool"], "ts": f["ts"]})
+
+    client = rd.from_arrow(blocks).map_batches(client_side, batch_format="pyarrow", batch_size=None)
+    server = rd.from_arrow(blocks).map_batches(server_side, batch_format="pyarrow", batch_size=None)
+    ref = service_graph_edges(client, server, ["conv_id", "match_idx"],
+                              ["tool"], num_partitions=4) \
+        .to_pandas().sort_values("tool").reset_index(drop=True)
+    assert list(fast.tool) == list(ref.tool)
+    assert list(fast.n_calls) == list(ref.n_calls)
+    assert list(fast.latency_us_sum) == list(ref.latency_us_sum)
