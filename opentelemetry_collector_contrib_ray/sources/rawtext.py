@@ -36,6 +36,33 @@ RAW_ROOT = "/tmp/graft_rawlog"
 _CONT_PREFIX = "    ... "
 
 
+
+def _split_lines_arrow(path: str, data: bytes) -> pa.Table | None:
+    """File blob -> (path, line_no, line) with Arrow kernels only —
+    no per-line Python objects (a 13 MB / 180k-line file costs three
+    C-kernel passes, not 180k PyUnicode allocations; this was the
+    raw-path straggler in the round-3 bench)."""
+    import pyarrow.compute as pc
+
+    try:
+        s = pa.array([data]).cast(pa.string())
+    except pa.ArrowInvalid:
+        s = pa.array([data.decode("utf-8", errors="replace")])
+    s = pc.replace_substring(s, pattern="\r\n", replacement="\n")
+    lines = pc.list_flatten(pc.split_pattern(s, pattern="\n"))
+    n = len(lines)
+    if n and lines[n - 1].as_py() == "":
+        lines = lines.slice(0, n - 1)
+        n -= 1
+    if n == 0:
+        return None
+    return pa.table({
+        "path": pa.array(np.full(n, path, dtype=object), pa.string()),
+        "line_no": pa.array(np.arange(n, dtype=np.int64)),
+        "line": lines,
+    })
+
+
 def read_log_lines(path_or_glob: str | list[str]) -> ray.data.Dataset:
     """(path, line_no, line) rows; order within a file is the file's
     line order. Trailing newline does not produce an empty last line."""
@@ -44,24 +71,16 @@ def read_log_lines(path_or_glob: str | list[str]) -> ray.data.Dataset:
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def split(batch: pa.Table) -> pa.Table:
-        out_path, out_no, out_line = [], [], []
+        out = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            text = data.decode("utf-8", errors="replace").replace("\r\n", "\n")
-            lines = text.split("\n")
-            if lines and lines[-1] == "":
-                lines.pop()
-            out_path.append(np.full(len(lines), path, dtype=object))
-            out_no.append(np.arange(len(lines), dtype=np.int64))
-            out_line.append(np.array(lines, dtype=object))
-        if not out_path:
+            t = _split_lines_arrow(path, data)
+            if t is not None:
+                out.append(t)
+        if not out:
             return pa.table({"path": pa.array([], pa.string()),
                              "line_no": pa.array([], pa.int64()),
                              "line": pa.array([], pa.string())})
-        return pa.table({
-            "path": pa.array(np.concatenate(out_path), pa.string()),
-            "line_no": pa.array(np.concatenate(out_no), pa.int64()),
-            "line": pa.array(np.concatenate(out_line), pa.string()),
-        })
+        return pa.concat_tables(out, promote_options="none")
 
     return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
@@ -107,17 +126,9 @@ def read_multiline_entries(path_or_glob: str | list[str], is_first_regex: str,
     def split_join(batch: pa.Table) -> pa.Table:
         out = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            text = data.decode("utf-8", errors="replace").replace("\r\n", "\n")
-            lines = text.split("\n")
-            if lines and lines[-1] == "":
-                lines.pop()
-            if not lines:
+            t = _split_lines_arrow(path, data)
+            if t is None:
                 continue
-            t = pa.table({
-                "path": pa.array(np.full(len(lines), path, dtype=object), pa.string()),
-                "line_no": pa.array(np.arange(len(lines), dtype=np.int64)),
-                "line": pa.array(np.array(lines, dtype=object), pa.string()),
-            })
             out.append(_join_lines_table(t, is_first_regex, combine_with))
         if not out:
             return pa.table({
