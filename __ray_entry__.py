@@ -1052,6 +1052,28 @@ def _q_metric_start_time(sf_dir: str):
         ["event_id", "user_id", "event_type", "ts", "value", "start_time"])
 
 
+def _q_hopping_counts(sf_dir: str):
+    """Hopping-window aggregate (width 2h, slide 1h — each event
+    lands in 2 overlapping windows): per-batch window replication +
+    grouped partials, no shuffle of the row stream."""
+    from opentelemetry_collector_contrib_ray.stages.window import (
+        hopping_window_aggregate,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"event_type": b["event_type"], "ts": b["ts"],
+                         "value_cents_in": v})
+
+    ds = ds.map_batches(cents, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    return hopping_window_aggregate(
+        ds, "ts", ["event_type"], width_s=7200, slide_s=3600,
+        sum_cols={"value_cents_in": "value_cents"}, count_name="n_events")
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1123,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ottl_funcs": _q_ottl_funcs,
         "asof_join": _q_asof_join,
         "metric_start_time": _q_metric_start_time,
+        "hopping_counts": _q_hopping_counts,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1330,6 +1353,17 @@ SELECT e.event_id, e.user_id, e.event_type, e.ts,
 FROM events e JOIN fv v ON e.user_id = v.user_id
   AND e.event_type = v.event_type
 WHERE e.ts > v.first_ts""",
+        "hopping_counts": """
+WITH w AS (
+  SELECT event_type,
+         make_timestamp(((epoch_us(ts) // 3600000000) - i.i) * 3600000000)
+           AS window_start,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events, (SELECT unnest(range(0, 2)) AS i) i)
+SELECT event_type, window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM w GROUP BY 1, 2""",
         "events_sessions": """
 WITH o AS (
   SELECT user_id, ts,

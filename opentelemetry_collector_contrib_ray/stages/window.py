@@ -68,3 +68,61 @@ def last_value_per_window(
     from .aggregate import tree_reduce
 
     return ray.data.from_arrow(tree_reduce(partials, combine))
+
+
+def hopping_window_aggregate(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    dims: list[str],
+    *,
+    width_s: int,
+    slide_s: int,
+    sum_cols: dict[str, str] | None = None,
+    count_name: str = "n",
+    window_col: str = "window_start",
+) -> ray.data.Dataset:
+    """Hopping-window grouped count/sums (width >= slide; width ==
+    slide degenerates to the tumbling window events_hourly uses).
+
+    The streaming-analytics shape the intervalprocessor family lacks:
+    each row belongs to ``k = width/slide`` overlapping windows, so the
+    per-batch combiner REPLICATES rows into their covering windows
+    (one vectorized take per hop — k is a small constant) and
+    pre-aggregates per (window, dims) before the tiny partial stream
+    tree-merges. No all-to-all shuffle; the row stream never leaves
+    its tasks, only #windows × #dims partial rows move.
+    """
+    if width_s % slide_s != 0:
+        raise ValueError("width_s must be a multiple of slide_s")
+    k = width_s // slide_s
+    sum_cols = sum_cols or {}
+
+    from .aggregate import grouped_count_sum
+
+    def explode(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(window_col,
+                                   pa.array([], pa.timestamp("us")))
+        ts = b[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        slide_us = slide_s * 1_000_000
+        width_us = width_s * 1_000_000
+        # latest window containing t starts at floor(t/slide)*slide;
+        # the k covering windows step back by slide
+        last_start = (us // slide_us) * slide_us
+        parts = []
+        for i in range(k):
+            start = last_start - i * slide_us
+            keep = us - start < width_us  # guard: always true when width=k*slide
+            t_i = b.append_column(
+                window_col, pc.cast(pa.array(start), pa.timestamp("us")))
+            parts.append(t_i.filter(pa.array(keep & (start >= 0))))
+        return pa.concat_tables(parts, promote_options="none")
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return grouped_count_sum(exploded, dims + [window_col],
+                             sum_cols=sum_cols, count_name=count_name)

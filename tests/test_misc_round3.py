@@ -171,3 +171,44 @@ def test_adjacent_edges_presorted_matches_join(ray_session):
     assert list(fast.tool) == list(ref.tool)
     assert list(fast.n_calls) == list(ref.n_calls)
     assert list(fast.latency_us_sum) == list(ref.latency_us_sum)
+
+
+def test_hopping_window_aggregate(ray_session):
+    """Every event lands in exactly width/slide windows; tumbling
+    (width == slide) matches a plain floor-truncate groupby."""
+    import collections
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.window import (
+        hopping_window_aggregate,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = [("a", T0 + timedelta(minutes=37 * i), i) for i in range(40)]
+    t = pa.table({"k": pa.array([r[0] for r in rows]),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                  "v": pa.array([r[2] for r in rows], pa.int64())})
+    ds = rd.from_arrow(t).repartition(3)
+    out = hopping_window_aggregate(ds, "ts", ["k"], width_s=7200,
+                                   slide_s=3600, sum_cols={"v": "v_sum"}) \
+        .to_pandas()
+    # oracle: replicate each row into its 2 covering windows
+    cnt = collections.Counter()
+    vs = collections.Counter()
+    for _, ts, v in rows:
+        h = int(ts.timestamp() // 3600)
+        for i in (0, 1):
+            if (h - i) >= 0:
+                cnt[h - i] += 1
+                vs[h - i] += v
+    got = {int(r.window_start.timestamp() // 3600): (r.n, r.v_sum)
+           for r in out.itertuples()}
+    assert got == {h: (cnt[h], vs[h]) for h in cnt}
+    assert out.n.sum() == 2 * len(rows)  # every event in exactly 2 windows
+    # degenerate tumbling case
+    out1 = hopping_window_aggregate(ds, "ts", ["k"], width_s=3600,
+                                    slide_s=3600).to_pandas()
+    assert out1.n.sum() == len(rows)
