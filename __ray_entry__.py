@@ -1074,6 +1074,52 @@ def _q_hopping_counts(sf_dir: str):
         sum_cols={"value_cents_in": "value_cents"}, count_name="n_events")
 
 
+def _q_range_join(sf_dir: str):
+    """Range join (training-data custom operator): hot windows =
+    sub-hour intervals [hour+10min, hour+50min) of hours with >= 5
+    error events; every event inside a hot window is tagged with the
+    window start + that hour's error count. Broadcast interval side +
+    per-batch searchsorted — the stream never shuffles."""
+    import ray as _ray
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        grouped_count_sum,
+    )
+    from opentelemetry_collector_contrib_ray.stages.rangejoin import (
+        range_join_broadcast,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    errs = ds.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"].combine_chunks()
+                                    if isinstance(b["event_type"], pa.ChunkedArray)
+                                    else b["event_type"], "error")),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    hourly = grouped_count_sum(add_hour_column(errs, "ts", "h"), ["h"],
+                               count_name="n_err")
+    he = pa.concat_tables([_ray.get(r) for r in hourly.to_arrow_refs()
+                           if _ray.get(r).num_columns],
+                          promote_options="none")
+    he = he.filter(pc.greater_equal(he["n_err"].combine_chunks()
+                                    if isinstance(he["n_err"], pa.ChunkedArray)
+                                    else he["n_err"], 5))
+    h_us = pc.cast(pc.cast(he["h"], pa.timestamp("us")), pa.int64())
+    intervals = pa.table({
+        "ws": pc.cast(pc.add(h_us, 600 * 1_000_000), pa.timestamp("us")),
+        "we": pc.cast(pc.add(h_us, 3000 * 1_000_000), pa.timestamp("us")),
+        "window_err_count": he["n_err"],
+    })
+    out = range_join_broadcast(ds, "ts", intervals, start_col="ws",
+                               end_col="we",
+                               payload_cols=["ws", "window_err_count"])
+    out = out.map_batches(
+        lambda b: b.rename_columns(
+            ["window_start" if c == "ws" else c for c in b.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return out.select_columns(["event_id", "window_start", "window_err_count"])
+
+
 def entry() -> Any:
     """Flagship parse->enrich->route->aggregate on sf0.001 with
     manifest checkpointing; returns the turn_count aggregate."""
@@ -1146,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "metric_start_time": _q_metric_start_time,
         "hopping_counts": _q_hopping_counts,
+        "range_join": _q_range_join,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -1364,6 +1411,15 @@ SELECT event_type, window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM w GROUP BY 1, 2""",
+        "range_join": """
+WITH he AS (
+  SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n_err
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1 HAVING COUNT(*) >= 5),
+iv AS (SELECT h + INTERVAL 10 MINUTE AS ws, h + INTERVAL 50 MINUTE AS we,
+              n_err FROM he)
+SELECT e.event_id, iv.ws AS window_start, iv.n_err AS window_err_count
+FROM events e JOIN iv ON e.ts >= iv.ws AND e.ts < iv.we""",
         "events_sessions": """
 WITH o AS (
   SELECT user_id, ts,

@@ -139,6 +139,8 @@ def _run_bench() -> dict:
         "span_prune",
         "ottl_funcs",
         "asof_join",
+        "metric_start_time",
+        "hopping_counts",
     ]
     qs = e.queries()
     qtimes = {}

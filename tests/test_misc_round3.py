@@ -212,3 +212,44 @@ def test_hopping_window_aggregate(ray_session):
     out1 = hopping_window_aggregate(ds, "ts", ["k"], width_s=3600,
                                     slide_s=3600).to_pandas()
     assert out1.n.sum() == len(rows)
+
+
+def test_range_join_broadcast(ray_session):
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.rangejoin import (
+        range_join_broadcast,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = [(i, T0 + timedelta(minutes=i)) for i in range(120)]
+    t = pa.table({"rid": pa.array([r[0] for r in rows], pa.int64()),
+                  "ts": pa.array([r[1] for r in rows], pa.timestamp("us"))})
+    iv = pa.table({"s": pa.array([T0 + timedelta(minutes=10),
+                                  T0 + timedelta(minutes=60)], pa.timestamp("us")),
+                   "e": pa.array([T0 + timedelta(minutes=20),
+                                  T0 + timedelta(minutes=90)], pa.timestamp("us")),
+                   "label": ["w1", "w2"]})
+    ds = rd.from_arrow(t).repartition(3)
+    out = range_join_broadcast(ds, "ts", iv, start_col="s", end_col="e",
+                               payload_cols=["label"]).to_pandas()
+    # [10,20) -> 10 rows, [60,90) -> 30 rows; start inclusive, end exclusive
+    assert len(out) == 40
+    assert set(out[out.label == "w1"].rid) == set(range(10, 20))
+    assert set(out[out.label == "w2"].rid) == set(range(60, 90))
+    left = range_join_broadcast(rd.from_arrow(t), "ts", iv, start_col="s",
+                                end_col="e", payload_cols=["label"],
+                                how="left").to_pandas()
+    assert len(left) == 120 and left.label.isna().sum() == 80
+    # overlapping intervals fail loud
+    bad = pa.table({"s": pa.array([T0, T0 + timedelta(minutes=5)], pa.timestamp("us")),
+                    "e": pa.array([T0 + timedelta(minutes=10),
+                                   T0 + timedelta(minutes=7)], pa.timestamp("us")),
+                    "label": ["a", "b"]})
+    with pytest.raises(ValueError, match="overlap"):
+        range_join_broadcast(rd.from_arrow(t), "ts", bad, start_col="s",
+                             end_col="e", payload_cols=["label"])
