@@ -141,6 +141,7 @@ def _run_bench() -> dict:
         "asof_join",
         "metric_start_time",
         "hopping_counts",
+        "range_join",
     ]
     qs = e.queries()
     qtimes = {}
