@@ -17,7 +17,9 @@ def run(editor, args, tbl):
 
 
 def luhn_ref(s: str):
-    if not s or not s.isdigit() or len(s) > 19:
+    # NB: str.isdigit() is True for "²" etc. — ASCII digits only,
+    # matching the engine's [0-9] regex
+    if not re.fullmatch(r"[0-9]{1,19}", s or ""):
         return False
     total = 0
     for i, ch in enumerate(reversed(s)):
