@@ -11,7 +11,6 @@ which lets the correctness oracle express sampling/salting in SQL.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd

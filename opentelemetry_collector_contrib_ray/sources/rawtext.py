@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from .transcripts import ensure_transcripts, sf_name
+from .transcripts import ensure_transcripts
 
 RAW_ROOT = "/tmp/graft_rawlog"
 

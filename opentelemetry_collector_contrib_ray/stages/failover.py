@@ -12,7 +12,7 @@ pipelines/flagship.py) so a retried batch cannot double-write.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import pyarrow as pa
 import ray.data

@@ -24,7 +24,7 @@ from typing import Any
 
 from ..expr import Col
 from . import register
-from .transform import Statement, TransformStage
+from .transform import TransformStage
 
 BUILTIN_MAPPINGS: dict[str, dict[str, str]] = {
     # OpenLLMetry (Traceloop) span attrs -> OTel GenAI semconv

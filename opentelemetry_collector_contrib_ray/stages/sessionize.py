@@ -16,7 +16,6 @@ SQL-replayable (ORDER BY ts, tiebreak) — ADVICE round-1.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 

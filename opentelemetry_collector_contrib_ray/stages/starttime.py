@@ -24,7 +24,6 @@ then insertion order — deterministic given deterministic input order.
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray

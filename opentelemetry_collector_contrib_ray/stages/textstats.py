@@ -18,7 +18,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import fnv1a64_bytes
 from . import register
 
 # per-worker-process instance cache for cheap-setup task-based stages
