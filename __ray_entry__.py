@@ -728,13 +728,22 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_events_anomalies(sf_dir: str):
-    """Per-event-type z-score anomaly flags (rows-only: float mean/std
-    pipelines differ at the ulp level between engines; semantics
-    oracle-tested with planted outliers in tests/test_misc_stages)."""
+    """Per-event-type z-score anomaly flags. SQL-checked: values are
+    quantized to int64 cents so both engines derive mean/std from
+    EXACT integer sums (order-independent), then apply the identical
+    IEEE double op sequence (s/n, s2/n - m*m, sqrt, (v-m)/sd) — the
+    scores are bit-identical, not merely close (float ulp drift was
+    why this query was rows-only in round 1)."""
     from opentelemetry_collector_contrib_ray.stages.anomaly import zscore_anomalies
 
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
-    out = zscore_anomalies(ds, "value", ["event_type"], threshold=3.0)
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("cents", v)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    out = zscore_anomalies(ds, "cents", ["event_type"], threshold=3.0)
     return out.select_columns(["event_id", "event_type", "zscore", "is_anomaly"])
 
 
@@ -1712,4 +1721,29 @@ FROM src""",
     }
     # IVF with full probing is exactly brute-force cosine top-k
     oracles["ivf_knn"] = oracles["knn_cosine"]
+    # Bit-identical z-scores: exact int64 cent sums + the same IEEE
+    # double op sequence as stages/anomaly.py (s/n, s2/n - m*m,
+    # greatest 0, sqrt, (v-m)/sd; sd<=0 -> 0.0)
+    oracles["events_anomalies"] = """
+WITH c AS (
+  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+st0 AS (
+  SELECT event_type, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(cents * cents) AS BIGINT) AS s2
+  FROM c GROUP BY event_type),
+st AS (
+  SELECT event_type,
+    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+    sqrt(greatest(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0)) AS sd
+  FROM st0),
+z AS (
+  SELECT c.event_id, c.event_type,
+    CASE WHEN sd > 0 THEN (CAST(cents AS DOUBLE) - m) / sd
+         ELSE 0.0 END AS zscore
+  FROM c JOIN st ON c.event_type = st.event_type)
+SELECT event_id, event_type, zscore, abs(zscore) >= 3.0 AS is_anomaly
+FROM z"""
     return oracles
