@@ -412,6 +412,52 @@ def _q_dedup_exact(sf_dir: str):
     return exact_dedup(ds, key_col="text", id_col="doc_id")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Top-100 customers by order count via the mergeable Misra-Gries
+    sketch (stages/sketch.frequent_items). capacity=4096 exceeds the
+    1500 distinct custkeys at sf0.01, so the sketch runs in its EXACT
+    regime (err_bound 0) and the result is SQL-checkable; past
+    capacity it degrades to the n/capacity undercount guarantee
+    (tested on Zipf keys in tests/test_sketch_graph.py)."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import frequent_items
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey"])
+    return frequent_items(ds, ["o_custkey"], capacity=4096, top_k=100)
+
+
+def _q_bottomk_sample(sf_dir: str):
+    """Deterministic 50-key distinct sample: the KMV bottom-k sketch
+    (stages/sketch.bottom_k_distinct) — merge-invariant min-k by
+    md5 hash, replayed in DuckDB as ORDER BY md5_number_lower(key).
+    The uint64 hash column is dropped from the output to avoid
+    HUGEINT-vs-uint64 dtype drift in the compare."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import bottom_k_distinct
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bottom_k_distinct(ds, "text", k=50).select_columns(["text", "rank"])
+
+
+def _q_graph_components(sf_dir: str):
+    """Distributed connected components (stages/graph.py min-label
+    propagation + pointer jumping — the scale path the round-1
+    driver-side union-find caveat asked for). Edge set: doc_id ->
+    doc_id+1 within each decade block => chains of 10, a genuine
+    multi-hop graph whose components are SQL-expressible as
+    (doc_id // 10) * 10."""
+    from opentelemetry_collector_contrib_ray.stages.graph import label_propagation_components
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def chain_edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        src = ids[ids % 10 != 9]
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(src + 1, pa.int64())})
+
+    edges = docs.map_batches(chain_edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    return label_propagation_components(edges)
+
+
 def _q_docs_quality(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.textstats import TextQuality
 
@@ -1178,6 +1224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_streams": _q_union_streams,
         "top_events": _q_top_events,
         "dedup_exact": _q_dedup_exact,
+        "heavy_hitters": _q_heavy_hitters,
+        "bottomk_sample": _q_bottomk_sample,
+        "graph_components": _q_graph_components,
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
         "knn_cosine": _q_knn,
@@ -1721,6 +1770,29 @@ FROM src""",
     }
     # IVF with full probing is exactly brute-force cosine top-k
     oracles["ivf_knn"] = oracles["knn_cosine"]
+    # Misra-Gries in the exact regime (capacity >= distinct keys)
+    # equals a plain grouped count; err_bound 0 asserts that regime
+    oracles["heavy_hitters"] = """
+SELECT o_custkey, n, CAST(0 AS BIGINT) AS err_bound FROM (
+  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+  ORDER BY n DESC, o_custkey LIMIT 100)"""
+    # KMV bottom-k: min-k distinct keys by md5_number_lower
+    oracles["bottomk_sample"] = """
+WITH d AS (SELECT DISTINCT text FROM documents),
+s AS (SELECT text, md5_number_lower(text) AS hh FROM d
+      ORDER BY hh, text LIMIT 50)
+SELECT text, CAST(row_number() OVER (ORDER BY hh, text) - 1 AS BIGINT) AS rank
+FROM s"""
+    # chain edges never cross a decade boundary, so the component
+    # representative (min reachable id) is the decade head; endpoints
+    # are defined identically on both sides (src where id%10!=9, plus
+    # src+1)
+    oracles["graph_components"] = """
+WITH n AS (
+  SELECT doc_id FROM documents WHERE doc_id % 10 != 9
+  UNION
+  SELECT doc_id + 1 FROM documents WHERE doc_id % 10 != 9)
+SELECT doc_id AS node, (doc_id // 10) * 10 AS component FROM n"""
     # Bit-identical z-scores: exact int64 cent sums + the same IEEE
     # double op sequence as stages/anomaly.py (s/n, s2/n - m*m,
     # greatest 0, sqrt, (v-m)/sd; sd<=0 -> 0.0)

@@ -1,0 +1,148 @@
+"""Mergeable stream sketches: frequent items and bottom-k distinct.
+
+Two summaries the reference lacks but a 100 TB training-data pipeline
+needs constantly (the reference's only sketch is the exponential
+histogram, pkg/expohisto — same mergeable partial shape):
+
+* ``frequent_items`` — Misra-Gries / Space-Saving heavy hitters
+  (Metwally et al., "Efficient Computation of Frequent and Top-k
+  Elements in Data Streams"; merge rule per Agarwal et al.,
+  "Mergeable Summaries", PODS'12): each block contributes an exact
+  Arrow hash-group-by count table truncated to ``capacity`` entries
+  by subtracting the (capacity+1)-th largest count; merging sums
+  counts and re-truncates. Estimates are lower bounds with global
+  undercount <= n/(capacity+1) per reduction step; when the distinct
+  key count never exceeds ``capacity`` no truncation fires and the
+  result is EXACT (the SQL-checked regime of the heavy_hitters
+  query). Only O(capacity) rows per block ever move — no all-to-all
+  shuffle, same tree-merge as aggregate.tree_reduce.
+
+* ``bottom_k_distinct`` — KMV / bottom-k sketch (Bar-Yossef et al.,
+  "Counting distinct elements in a data stream"): the k distinct
+  keys with the smallest md5 hash. min-k of a union == min-k of
+  per-block min-ks, so the merge is trivially associative; the same
+  summary yields a deterministic distinct-key SAMPLE (SQL-checkable:
+  DuckDB ``ORDER BY md5_number_lower(key) LIMIT k``) and a distinct
+  COUNT estimate (``kmv_distinct_estimate``).
+
+Error accounting for frequent_items rides IN-BAND as one all-null
+sentinel key row whose count column accumulates the total subtracted
+mass — null never collides with a real key, survives the group-by
+merge unchanged, and keeps every partial the same schema (required
+by the concat in tree_reduce's combine).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import md5_number_lower_arrow
+from .aggregate import tree_reduce
+
+ERR_BOUND_COL = "err_bound"
+
+
+def _mg_truncate(tbl: pa.Table, key_cols: list[str], count_col: str, capacity: int) -> pa.Table:
+    """Misra-Gries reduction: subtract the (capacity+1)-th largest
+    count from every entry, drop the non-positive ones, and add the
+    subtracted mass to the sentinel row. Exact (d=0) when the table
+    already fits."""
+    sentinel_mask = pc.is_null(tbl[key_cols[0]])
+    err = pc.sum(pc.filter(tbl[count_col], sentinel_mask)).as_py() or 0
+    real = tbl.filter(pc.invert(sentinel_mask))
+    counts = real[count_col].to_numpy(zero_copy_only=False)
+    if len(counts) > capacity:
+        d = int(np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1])
+        kept = counts > d
+        # any single key loses at most d per reduction (a dropped
+        # key's count was <= d), so the per-key undercount bound is
+        # the SUM OF d's across reductions — the classic MG bound,
+        # totalling <= n/(capacity+1)
+        err += int(d)
+        real = real.filter(pa.array(kept))
+        new_counts = pc.subtract(real[count_col], pa.scalar(d, pa.int64()))
+        real = real.set_column(real.column_names.index(count_col), count_col, new_counts)
+    sent = pa.table(
+        {c: pa.array([None], tbl.schema.field(c).type) for c in key_cols}
+        | {count_col: pa.array([err], pa.int64())}
+    ).select(real.column_names)
+    return pa.concat_tables([real, sent], promote_options="none")
+
+
+def frequent_items(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    capacity: int = 4096,
+    top_k: int | None = None,
+    count_col: str = "n",
+) -> ray.data.Dataset:
+    """Approximate top-k keys by count. Output: key_cols + [count_col,
+    err_bound] sorted by (count desc, keys asc); every true count
+    satisfies est <= true <= est + err_bound, and any key with true
+    count > err_bound is guaranteed present. err_bound == 0 <=> the
+    counts are exact (distinct keys never exceeded ``capacity``)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        g = g.rename_columns(key_cols + [count_col])
+        return _mg_truncate(g, key_cols, count_col, capacity)
+
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        merged = pa.concat_tables(tables, promote_options="none")
+        g = merged.group_by(key_cols).aggregate([(count_col, "sum")])
+        g = g.rename_columns(key_cols + [count_col])
+        return _mg_truncate(g, key_cols, count_col, capacity)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    final = tree_reduce(partials, combine)
+    sentinel = pc.is_null(final[key_cols[0]])
+    err = pc.sum(pc.filter(final[count_col], sentinel)).as_py() or 0
+    real = final.filter(pc.invert(sentinel))
+    real = real.append_column(ERR_BOUND_COL, pa.array([err] * real.num_rows, pa.int64()))
+    order = [(count_col, "descending")] + [(k, "ascending") for k in key_cols]
+    real = real.sort_by(order)
+    if top_k is not None:
+        real = real.slice(0, top_k)
+    return ray.data.from_arrow(real)
+
+
+def _bottom_k_table(tbl: pa.Table, key_col: str, k: int) -> pa.Table:
+    """Keep the k distinct keys with the smallest (hash, key)."""
+    g = tbl.group_by([key_col]).aggregate([("h", "min")]).rename_columns([key_col, "h"])
+    g = g.sort_by([("h", "ascending"), (key_col, "ascending")])
+    return g.slice(0, k)
+
+
+def bottom_k_distinct(
+    ds: ray.data.Dataset, key_col: str, k: int = 256, seed: str = ""
+) -> ray.data.Dataset:
+    """Deterministic bottom-k distinct sample: the k distinct keys
+    with the smallest md5_number_lower(key || seed). Output (key, h,
+    rank) in hash order — merge-invariant by construction, so any
+    block partitioning yields the identical sample."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pc.cast(b[key_col], pa.string())
+        t = pa.table({key_col: key, "h": md5_number_lower_arrow(key, suffix=seed)})
+        return _bottom_k_table(t, key_col, k)
+
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        return _bottom_k_table(pa.concat_tables(tables, promote_options="none"), key_col, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    final = tree_reduce(partials, combine)
+    final = final.append_column("rank", pa.array(np.arange(final.num_rows), pa.int64()))
+    return ray.data.from_arrow(final)
+
+
+def kmv_distinct_estimate(sample: pa.Table, k: int) -> float:
+    """Distinct-count estimate from a bottom_k_distinct result: exact
+    when fewer than k distinct keys were seen, else (k-1) / r where r
+    is the k-th smallest hash normalized to [0,1)."""
+    if sample.num_rows < k:
+        return float(sample.num_rows)
+    h_k = int(sample["h"][k - 1].as_py())
+    return (k - 1) / (h_k / 2.0**64)

@@ -1,0 +1,116 @@
+"""Mergeable sketches (frequent items, bottom-k) and distributed
+connected components."""
+
+import collections
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.dedup import connected_components
+from opentelemetry_collector_contrib_ray.stages.graph import label_propagation_components
+from opentelemetry_collector_contrib_ray.stages.sketch import (
+    bottom_k_distinct,
+    frequent_items,
+    kmv_distinct_estimate,
+)
+
+
+def _zipf_ds(n=20000, blocks=6, seed=7):
+    rng = np.random.default_rng(seed)
+    keys = (rng.zipf(1.3, n) % 500).astype(str)
+    return keys, ray.data.from_arrow(pa.table({"k": keys})).repartition(blocks)
+
+
+def test_frequent_items_exact_regime_matches_counter():
+    keys, ds = _zipf_ds()
+    out = frequent_items(ds, ["k"], capacity=4096).to_pandas()
+    true = collections.Counter(keys)
+    assert int(out["err_bound"].iloc[0]) == 0
+    assert len(out) == len(true)
+    got = dict(zip(out["k"], out["n"]))
+    assert all(got[k] == v for k, v in true.items())
+    # sorted by count desc then key asc
+    assert list(out["n"]) == sorted(out["n"], reverse=True)
+
+
+def test_frequent_items_mg_guarantee_under_truncation():
+    keys, ds = _zipf_ds()
+    out = frequent_items(ds, ["k"], capacity=32, top_k=20).to_pandas()
+    true = collections.Counter(keys)
+    err = int(out["err_bound"].iloc[0])
+    assert 0 < err  # truncation definitely fired at capacity 32
+    for _, r in out.iterrows():
+        t = true[r["k"]]
+        assert r["n"] <= t <= r["n"] + err, (r["k"], r["n"], t, err)
+    # every heavy key (true count > err bound) must be present in the
+    # full (untruncated-output) sketch
+    full = frequent_items(ds, ["k"], capacity=32).to_pandas()
+    present = set(full["k"])
+    for k, t in true.items():
+        if t > err:
+            assert k in present, (k, t, err)
+
+
+def test_frequent_items_partitioning_invariance():
+    keys, ds1 = _zipf_ds(blocks=1)
+    _, ds9 = _zipf_ds(blocks=9)
+    a = frequent_items(ds1, ["k"], capacity=4096).to_pandas()
+    b = frequent_items(ds9, ["k"], capacity=4096).to_pandas()
+    # exact regime: identical regardless of block layout
+    assert a.equals(b)
+
+
+def test_bottom_k_matches_hashlib_and_is_merge_invariant():
+    texts = [f"doc-{i}" for i in range(1000)] * 3  # duplicates collapse
+    ref = sorted(
+        (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little"), t)
+        for t in set(texts)
+    )[:50]
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(pa.table({"t": texts})).repartition(blocks)
+        out = bottom_k_distinct(ds, "t", k=50).to_pandas()
+        assert list(out["t"]) == [t for _, t in ref]
+        assert list(out["rank"]) == list(range(50))
+
+
+def test_kmv_estimate_accuracy():
+    n = 20000
+    ds = ray.data.from_arrow(pa.table({"t": [f"u{i}" for i in range(n)]})).repartition(8)
+    sample = bottom_k_distinct(ds, "t", k=512)
+    est = kmv_distinct_estimate(pa.Table.from_pandas(sample.to_pandas()), 512)
+    assert abs(est - n) / n < 0.15, est
+    # under k distinct -> exact
+    small = bottom_k_distinct(
+        ray.data.from_arrow(pa.table({"t": [f"v{i}" for i in range(100)]})), "t", k=512
+    )
+    assert kmv_distinct_estimate(pa.Table.from_pandas(small.to_pandas()), 512) == 100.0
+
+
+def test_label_propagation_chain_multi_hop():
+    # chains of 10 consecutive ids: genuine multi-hop, needs jumping
+    src = np.array([i for i in range(499) if i % 10 != 9], dtype=np.int64)
+    e = pa.table({"src": src, "dst": src + 1})
+    cc = label_propagation_components(ray.data.from_arrow(e).repartition(4)).to_pandas()
+    assert len(cc) == 500
+    assert (cc["component"] == (cc["node"] // 10) * 10).all()
+
+
+def test_label_propagation_matches_union_find_on_random_graph():
+    rng = np.random.default_rng(11)
+    pairs = [
+        (int(a), int(b))
+        for a, b in zip(rng.integers(0, 200, 150), rng.integers(0, 200, 150))
+        if a != b
+    ]
+    uf = connected_components(pairs)
+    e = pa.table(
+        {
+            "src": pa.array([a for a, _ in pairs], pa.int64()),
+            "dst": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    cc = label_propagation_components(ray.data.from_arrow(e).repartition(3)).to_pandas()
+    got = dict(zip(cc["node"], cc["component"]))
+    assert got == dict(uf)
