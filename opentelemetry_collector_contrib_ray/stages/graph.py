@@ -45,13 +45,15 @@ def label_propagation_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 25,
-    num_partitions: int = 8,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph given by an edge
     Dataset. Returns (node, component) where component is the minimum
     node id reachable from node. Nodes are every edge endpoint;
     isolated nodes (no edges) do not appear — union them in upstream
-    if needed."""
+    if needed. ``num_partitions`` (join fan-out) defaults to edge
+    count / 2M clamped to [2, 64] — each hash-join partition then
+    holds a few-MB label/edge slice at any graph size."""
     node_t = edges.schema().base_schema.field(src).type
 
     def fwd(b: pa.Table) -> pa.Table:
@@ -63,6 +65,8 @@ def label_propagation_components(
     und = edges.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).union(
         edges.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     ).materialize()
+    if num_partitions is None:
+        num_partitions = max(2, min(64, und.count() // 4_000_000))
 
     # seed labels with one shuffle-free round of relaxation already
     # applied: labels[v] = min(v, min neighbor) — one groupby instead
@@ -76,30 +80,37 @@ def label_propagation_components(
     labels = normalize_empty_blocks(labels, {"node": node_t, "label": node_t}).materialize()
     checksum = labels.aggregate(Sum("label"))["sum(label)"]
 
+    def take_parent(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "label": b["p_label"]})
+
+    # Each round runs as THREE dataset executions, not one per
+    # operator — the per-execution scheduler overhead dominates small
+    # graphs, so the relax join + union + groupby-min chain stays lazy
+    # until the normalize that the jump join needs anyway:
+    #   1. relax-join ∪ labels -> groupby min  (normalize = the only
+    #      materialization; joins reject the groupby's zero-column
+    #      empty blocks otherwise)
+    #   2. jump join -> take_parent            (normalize again)
+    #   3. scalar checksum for convergence
     for _ in range(max_iters):
         # relax: ship labels[a] across each edge (a,b)
         m = und.join(labels, join_type="inner", num_partitions=num_partitions,
                      on=("a",), right_on=("node",))
-        m = normalize_empty_blocks(m, {"b": node_t, "label": node_t})
         prop = _rename(
             m.map_batches(lambda t: t.select(["b", "label"]),
                           batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
             ["node", "label"],
         )
-        labels = _rename(labels.union(prop).groupby("node").min("label"), ["node", "label"])
-        labels = normalize_empty_blocks(labels, {"node": node_t, "label": node_t})
+        relaxed = _rename(labels.union(prop).groupby("node").min("label"), ["node", "label"])
+        relaxed = normalize_empty_blocks(relaxed, {"node": node_t, "label": node_t})
         # jump: labels[v] = labels[labels[v]] (parent's label can only
         # be <= parent, so the joined label replaces the current one);
         # the right side is pre-renamed so no join-suffix ambiguity
-        parents = _rename(labels, ["p_node", "p_label"])
-        j = labels.join(parents, join_type="inner", num_partitions=num_partitions,
-                        on=("label",), right_on=("p_node",))
-        j = normalize_empty_blocks(j, {"node": node_t, "p_label": node_t})
-
-        def take_parent(b: pa.Table) -> pa.Table:
-            return pa.table({"node": b["node"], "label": b["p_label"]})
-
-        labels = j.map_batches(take_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).materialize()
+        parents = _rename(relaxed, ["p_node", "p_label"])
+        j = relaxed.join(parents, join_type="inner", num_partitions=num_partitions,
+                         on=("label",), right_on=("p_node",))
+        jumped = j.map_batches(take_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        labels = normalize_empty_blocks(jumped, {"node": node_t, "label": node_t})
         new_sum = labels.aggregate(Sum("label"))["sum(label)"]
         if new_sum == checksum:
             break
