@@ -86,7 +86,10 @@ def frequent_items(
     counts are exact (distinct keys never exceeded ``capacity``)."""
 
     def partial(b: pa.Table) -> pa.Table:
-        g = b.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        # null keys are skipped (the countconnector missing-dim rule,
+        # counter.go:64-67) — and they would collide with the all-null
+        # error-sentinel row
+        g = b.select(key_cols).drop_null().group_by(key_cols).aggregate([([], "count_all")])
         g = g.rename_columns(key_cols + [count_col])
         return _mg_truncate(g, key_cols, count_col, capacity)
 
@@ -125,7 +128,9 @@ def bottom_k_distinct(
     block partitioning yields the identical sample."""
 
     def partial(b: pa.Table) -> pa.Table:
-        key = pc.cast(b[key_col], pa.string())
+        # null keys are skipped (md5_number_lower(NULL) is NULL in the
+        # SQL replay, so a null could never land in the bottom-k)
+        key = pc.drop_null(pc.cast(b[key_col], pa.string()))
         t = pa.table({key_col: key, "h": md5_number_lower_arrow(key, suffix=seed)})
         return _bottom_k_table(t, key_col, k)
 

@@ -88,6 +88,15 @@ def test_kmv_estimate_accuracy():
     assert kmv_distinct_estimate(pa.Table.from_pandas(small.to_pandas()), 512) == 100.0
 
 
+def test_sketches_skip_null_keys():
+    t = pa.table({"k": ["a", None, "a", "b", None]})
+    ds = ray.data.from_arrow(t)
+    out = frequent_items(ds, ["k"], capacity=8).to_pandas()
+    assert dict(zip(out["k"], out["n"])) == {"a": 2, "b": 1}
+    bk = bottom_k_distinct(ds, "k", k=10).to_pandas()
+    assert set(bk["k"]) == {"a", "b"}
+
+
 def test_label_propagation_chain_multi_hop():
     # chains of 10 consecutive ids: genuine multi-hop, needs jumping
     src = np.array([i for i in range(499) if i % 10 != 9], dtype=np.int64)
