@@ -1251,13 +1251,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_start_time": _q_metric_start_time,
         "hopping_counts": _q_hopping_counts,
         "range_join": _q_range_join,
+        "lang_id": _q_lang_id,
+        "events_anomalies": _q_events_anomalies,
         # rows-only (non-SQL-expressible; oracles live in tests/)
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dup": _q_embedding_near_dup,
-        "lang_id": _q_lang_id,
-        "events_anomalies": _q_events_anomalies,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_pipeline": _q_multimodal_pipeline,
     }
@@ -1783,6 +1783,34 @@ s AS (SELECT text, md5_number_lower(text) AS hh FROM d
       ORDER BY hh, text LIMIT 50)
 SELECT text, CAST(row_number() OVER (ORDER BY hh, text) - 1 AS BIGINT) AS rank
 FROM s"""
+    # LangId replay: per-language marker-regex match counts (RE2
+    # regexp_extract_all == pandas str.count for these word-boundary
+    # alternations), CJK codepoints x3, argmax with pandas idxmax's
+    # first-column-wins tie order (en, es, de, fr, zh)
+    oracles["lang_id"] = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+    len(regexp_extract_all(lower(text), '\b(el|la|de|que|y)\b')) AS s_es,
+    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+    len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+    len(regexp_extract_all(lower(text), '[一-鿿]')) * 3 AS s_zh
+  FROM documents),
+t AS (
+  SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+         s_en + s_es + s_de + s_fr + s_zh AS total,
+         greatest(s_en, s_es, s_de, s_fr, s_zh) AS mx
+  FROM s)
+SELECT doc_id,
+  CASE WHEN total = 0 THEN 'und'
+       WHEN s_en = mx THEN 'en'
+       WHEN s_es = mx THEN 'es'
+       WHEN s_de = mx THEN 'de'
+       WHEN s_fr = mx THEN 'fr'
+       ELSE 'zh' END AS pred_lang,
+  CASE WHEN total = 0 THEN 0.0
+       ELSE CAST(mx AS DOUBLE) / CAST(total AS DOUBLE) END AS lang_confidence
+FROM t"""
     # chain edges never cross a decade boundary, so the component
     # representative (min reachable id) is the decade head; endpoints
     # are defined identically on both sides (src where id%10!=9, plus
