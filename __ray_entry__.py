@@ -437,6 +437,17 @@ def _q_bottomk_sample(sf_dir: str):
     return bottom_k_distinct(ds, "text", k=50).select_columns(["text", "rank"])
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Balanced per-language document sample: 10 docs per lang by
+    smallest md5 hash (stages/sketch.stratified_bottom_k) — the
+    deterministic stratified-sampling primitive for dataset curation,
+    replayed in DuckDB with row_number over a PARTITION BY."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import stratified_bottom_k
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    return stratified_bottom_k(ds, ["lang"], "text", k=10)
+
+
 def _q_graph_components(sf_dir: str):
     """Distributed connected components (stages/graph.py min-label
     propagation + pointer jumping — the scale path the round-1
@@ -1226,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "heavy_hitters": _q_heavy_hitters,
         "bottomk_sample": _q_bottomk_sample,
+        "stratified_sample": _q_stratified_sample,
         "graph_components": _q_graph_components,
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
@@ -1783,6 +1795,15 @@ s AS (SELECT text, md5_number_lower(text) AS hh FROM d
       ORDER BY hh, text LIMIT 50)
 SELECT text, CAST(row_number() OVER (ORDER BY hh, text) - 1 AS BIGINT) AS rank
 FROM s"""
+    # per-group bottom-k == row_number over PARTITION BY in hash order
+    oracles["stratified_sample"] = """
+WITH d AS (SELECT DISTINCT lang, text FROM documents
+           WHERE lang IS NOT NULL AND text IS NOT NULL),
+h AS (SELECT lang, text, md5_number_lower(text) AS hh FROM d),
+r AS (SELECT lang, text,
+             row_number() OVER (PARTITION BY lang ORDER BY hh, text) - 1 AS rank
+      FROM h)
+SELECT lang, text, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 10"""
     # LangId replay: per-language marker-regex match counts (RE2
     # regexp_extract_all == pandas str.count for these word-boundary
     # alternations), CJK codepoints x3, argmax with pandas idxmax's

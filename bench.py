@@ -142,6 +142,10 @@ def _run_bench() -> dict:
         "metric_start_time",
         "hopping_counts",
         "range_join",
+        "heavy_hitters",
+        "bottomk_sample",
+        "stratified_sample",
+        "graph_components",
     ]
     qs = e.queries()
     qtimes = {}

@@ -143,6 +143,73 @@ def bottom_k_distinct(
     return ray.data.from_arrow(final)
 
 
+def _bottom_k_grouped(tbl: pa.Table, group_cols: list[str], key_col: str, k: int) -> pa.Table:
+    """Keep the k distinct keys with the smallest (hash, key) WITHIN
+    each group. Dedup by (group, key) first (hash is deterministic per
+    key), then one sort + vectorized run-length rank."""
+    g = tbl.group_by(group_cols + [key_col]).aggregate([("h", "min")])
+    g = g.rename_columns(group_cols + [key_col, "h"])
+    order = [(c, "ascending") for c in group_cols] + [("h", "ascending"), (key_col, "ascending")]
+    t = g.sort_by(order)
+    n = t.num_rows
+    if n == 0:
+        return t
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in group_cols:
+        a = t[c].to_numpy(zero_copy_only=False)
+        change[1:] |= a[1:] != a[:-1]
+    idx = np.arange(n)
+    rank = idx - np.maximum.accumulate(np.where(change, idx, 0))
+    return t.filter(pa.array(rank < k))
+
+
+def stratified_bottom_k(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 64,
+    seed: str = "",
+) -> ray.data.Dataset:
+    """Deterministic stratified sample: for every group, the k
+    distinct keys with the smallest md5 hash — the per-group
+    generalization of ``bottom_k_distinct``, for balanced dataset
+    curation (equal-size per-source/per-language samples). The merge
+    is per-group min-k, so partials stay O(groups x k) per block and
+    tree-merge without a shuffle; valid while groups x k stays
+    tree-reducible (stratification keys are low-cardinality by
+    definition — language, source, bucket). Output: group_cols + key
+    + rank, rank dense in hash order within each group."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        key = pc.cast(b[key_col], pa.string())
+        t = pa.table(
+            {c: b[c] for c in group_cols}
+            | {key_col: key, "h": md5_number_lower_arrow(key, suffix=seed)}
+        ).drop_null()
+        return _bottom_k_grouped(t, group_cols, key_col, k)
+
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        return _bottom_k_grouped(
+            pa.concat_tables(tables, promote_options="none"), group_cols, key_col, k
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    final = tree_reduce(partials, combine)
+    n = final.num_rows
+    rank = np.zeros(n, dtype=np.int64)
+    if n:
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for c in group_cols:
+            a = final[c].to_numpy(zero_copy_only=False)
+            change[1:] |= a[1:] != a[:-1]
+        idx = np.arange(n)
+        rank = idx - np.maximum.accumulate(np.where(change, idx, 0))
+    final = final.append_column("rank", pa.array(rank, pa.int64()))
+    return ray.data.from_arrow(final.drop_columns(["h"]))
+
+
 def kmv_distinct_estimate(sample: pa.Table, k: int) -> float:
     """Distinct-count estimate from a bottom_k_distinct result: exact
     when fewer than k distinct keys were seen, else (k-1) / r where r

@@ -75,6 +75,25 @@ def test_bottom_k_matches_hashlib_and_is_merge_invariant():
         assert list(out["rank"]) == list(range(50))
 
 
+def test_stratified_bottom_k_per_group_and_merge_invariant():
+    from opentelemetry_collector_contrib_ray.stages.sketch import stratified_bottom_k
+
+    groups = ["g%d" % (i % 3) for i in range(600)]
+    keys = [f"k{i}" for i in range(600)]
+    ref: dict[str, list] = {}
+    for g, t in zip(groups, keys):
+        ref.setdefault(g, []).append(
+            (int.from_bytes(hashlib.md5(t.encode()).digest()[8:16], "little"), t)
+        )
+    expect = {g: [t for _, t in sorted(v)[:5]] for g, v in ref.items()}
+    for blocks in (1, 6):
+        ds = ray.data.from_arrow(pa.table({"g": groups, "t": keys})).repartition(blocks)
+        out = stratified_bottom_k(ds, ["g"], "t", k=5).to_pandas()
+        got = {g: list(sub.sort_values("rank")["t"]) for g, sub in out.groupby("g")}
+        assert got == expect
+        assert (out.groupby("g")["rank"].apply(lambda s: sorted(s) == [0, 1, 2, 3, 4])).all()
+
+
 def test_kmv_estimate_accuracy():
     n = 20000
     ds = ray.data.from_arrow(pa.table({"t": [f"u{i}" for i in range(n)]})).repartition(8)
