@@ -448,6 +448,20 @@ def _q_stratified_sample(sf_dir: str):
     return stratified_bottom_k(ds, ["lang"], "text", k=10)
 
 
+def _q_topk_per_group(sf_dir: str):
+    """Per-group value top-k (stages/sketch.top_k_per_group): the 3
+    highest-value orders within every order priority, orderkey
+    tiebreak — the "keep the k best rows per stratum" curation
+    primitive, replayed in DuckDB with row_number over PARTITION BY
+    ORDER BY value DESC."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import top_k_per_group
+
+    ds = read_table(sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    return top_k_per_group(
+        ds, ["o_orderpriority"], "o_totalprice", k=3, tiebreak_col="o_orderkey"
+    )
+
+
 def _q_graph_components(sf_dir: str):
     """Distributed connected components (stages/graph.py min-label
     propagation + pointer jumping — the scale path the round-1
@@ -1238,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _q_heavy_hitters,
         "bottomk_sample": _q_bottomk_sample,
         "stratified_sample": _q_stratified_sample,
+        "topk_per_group": _q_topk_per_group,
         "graph_components": _q_graph_components,
         "docs_quality": _q_docs_quality,
         "docs_tokens": _q_docs_tokens,
@@ -1804,6 +1819,16 @@ r AS (SELECT lang, text,
              row_number() OVER (PARTITION BY lang ORDER BY hh, text) - 1 AS rank
       FROM h)
 SELECT lang, text, CAST(rank AS BIGINT) AS rank FROM r WHERE rank < 10"""
+    # per-group value top-k == row_number over PARTITION BY ORDER BY DESC
+    oracles["topk_per_group"] = """
+WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rank
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+             AND o_orderkey IS NOT NULL)
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank < 3"""
     # LangId replay: per-language marker-regex match counts (RE2
     # regexp_extract_all == pandas str.count for these word-boundary
     # alternations), CJK codepoints x3, argmax with pandas idxmax's

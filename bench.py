@@ -145,6 +145,7 @@ def _run_bench() -> dict:
         "heavy_hitters",
         "bottomk_sample",
         "stratified_sample",
+        "topk_per_group",
         "graph_components",
     ]
     qs = e.queries()

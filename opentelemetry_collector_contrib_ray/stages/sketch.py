@@ -143,6 +143,21 @@ def bottom_k_distinct(
     return ray.data.from_arrow(final)
 
 
+def _grouped_rank(t: pa.Table, group_cols: list[str]) -> np.ndarray:
+    """0-based position of each row within its group-col run; ``t``
+    must already be sorted with group_cols leading the sort key."""
+    n = t.num_rows
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in group_cols:
+        a = t[c].to_numpy(zero_copy_only=False)
+        change[1:] |= a[1:] != a[:-1]
+    idx = np.arange(n)
+    return idx - np.maximum.accumulate(np.where(change, idx, 0))
+
+
 def _bottom_k_grouped(tbl: pa.Table, group_cols: list[str], key_col: str, k: int) -> pa.Table:
     """Keep the k distinct keys with the smallest (hash, key) WITHIN
     each group. Dedup by (group, key) first (hash is deterministic per
@@ -151,17 +166,7 @@ def _bottom_k_grouped(tbl: pa.Table, group_cols: list[str], key_col: str, k: int
     g = g.rename_columns(group_cols + [key_col, "h"])
     order = [(c, "ascending") for c in group_cols] + [("h", "ascending"), (key_col, "ascending")]
     t = g.sort_by(order)
-    n = t.num_rows
-    if n == 0:
-        return t
-    change = np.zeros(n, dtype=bool)
-    change[0] = True
-    for c in group_cols:
-        a = t[c].to_numpy(zero_copy_only=False)
-        change[1:] |= a[1:] != a[:-1]
-    idx = np.arange(n)
-    rank = idx - np.maximum.accumulate(np.where(change, idx, 0))
-    return t.filter(pa.array(rank < k))
+    return t.filter(pa.array(_grouped_rank(t, group_cols) < k))
 
 
 def stratified_bottom_k(
@@ -196,18 +201,51 @@ def stratified_bottom_k(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     final = tree_reduce(partials, combine)
-    n = final.num_rows
-    rank = np.zeros(n, dtype=np.int64)
-    if n:
-        change = np.zeros(n, dtype=bool)
-        change[0] = True
-        for c in group_cols:
-            a = final[c].to_numpy(zero_copy_only=False)
-            change[1:] |= a[1:] != a[:-1]
-        idx = np.arange(n)
-        rank = idx - np.maximum.accumulate(np.where(change, idx, 0))
-    final = final.append_column("rank", pa.array(rank, pa.int64()))
+    final = final.append_column("rank", pa.array(_grouped_rank(final, group_cols), pa.int64()))
     return ray.data.from_arrow(final.drop_columns(["h"]))
+
+
+def top_k_per_group(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    order_col: str,
+    k: int = 16,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> ray.data.Dataset:
+    """Per-group top-k ROWS by a value column — "keep the k
+    highest-quality documents per source" curation primitive (the
+    value-ordered sibling of ``stratified_bottom_k``'s hash-ordered
+    sample). Per-block partial = sort + per-group head(k), so only
+    O(groups x k) rows per block enter the tree merge — no shuffle.
+    All input columns travel as payload. Rows with a null group,
+    order, or tiebreak value are dropped; pass ``tiebreak_col`` (a
+    unique id) to make ties deterministic. Output: input columns +
+    ``rank`` (0-based, dense within each group)."""
+    need = group_cols + [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    order = [(c, "ascending") for c in group_cols] + [
+        (order_col, "descending" if descending else "ascending")
+    ]
+    if tiebreak_col:
+        order.append((tiebreak_col, "ascending"))
+
+    def head(t: pa.Table) -> pa.Table:
+        t = t.sort_by(order)
+        return t.filter(pa.array(_grouped_rank(t, group_cols) < k))
+
+    def partial(b: pa.Table) -> pa.Table:
+        valid = np.ones(b.num_rows, dtype=bool)
+        for c in need:
+            valid &= pc.is_valid(b[c]).to_numpy(zero_copy_only=False)
+        return head(b.filter(pa.array(valid)))
+
+    def combine(tables: list[pa.Table]) -> pa.Table:
+        return head(pa.concat_tables(tables, promote_options="none"))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    final = tree_reduce(partials, combine)
+    final = final.append_column("rank", pa.array(_grouped_rank(final, group_cols), pa.int64()))
+    return ray.data.from_arrow(final)
 
 
 def kmv_distinct_estimate(sample: pa.Table, k: int) -> float:

@@ -94,6 +94,28 @@ def test_stratified_bottom_k_per_group_and_merge_invariant():
         assert (out.groupby("g")["rank"].apply(lambda s: sorted(s) == [0, 1, 2, 3, 4])).all()
 
 
+def test_top_k_per_group_matches_pandas_and_is_merge_invariant():
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import top_k_per_group
+
+    rng = [(f"g{i % 4}", i, float((i * 37) % 100)) for i in range(400)]
+    rng[10] = ("g0", 10, None)  # null order value dropped
+    rng[11] = (None, 11, 5.0)  # null group dropped
+    df = pd.DataFrame(rng, columns=["g", "id", "v"])
+    clean = df.dropna(subset=["g", "v"])
+    expect = {
+        g: list(sub.sort_values(["v", "id"], ascending=[False, True]).head(5)["id"])
+        for g, sub in clean.groupby("g")
+    }
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(blocks)
+        out = top_k_per_group(ds, ["g"], "v", k=5, tiebreak_col="id").to_pandas()
+        got = {g: list(sub.sort_values("rank")["id"]) for g, sub in out.groupby("g")}
+        assert got == expect
+        assert set(out.columns) == {"g", "id", "v", "rank"}
+
+
 def test_kmv_estimate_accuracy():
     n = 20000
     ds = ray.data.from_arrow(pa.table({"t": [f"u{i}" for i in range(n)]})).repartition(8)
