@@ -414,15 +414,17 @@ def _q_dedup_exact(sf_dir: str):
 
 def _q_heavy_hitters(sf_dir: str):
     """Top-100 customers by order count via the mergeable Misra-Gries
-    sketch (stages/sketch.frequent_items). capacity=4096 exceeds the
-    1500 distinct custkeys at sf0.01, so the sketch runs in its EXACT
-    regime (err_bound 0) and the result is SQL-checkable; past
-    capacity it degrades to the n/capacity undercount guarantee
-    (tested on Zipf keys in tests/test_sketch_graph.py)."""
+    sketch (stages/sketch.frequent_items). capacity=65536 exceeds the
+    distinct custkey count at EVERY shipped scale factor (1,500 at
+    sf0.01; 14,999 at sf0.1), so the sketch runs in its EXACT regime
+    (err_bound 0) at any sf the gate or bench uses and the result is
+    SQL-checkable; past capacity it degrades to the n/capacity
+    undercount guarantee (tested on Zipf keys in
+    tests/test_sketch_graph.py)."""
     from opentelemetry_collector_contrib_ray.stages.sketch import frequent_items
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey"])
-    return frequent_items(ds, ["o_custkey"], capacity=4096, top_k=100)
+    return frequent_items(ds, ["o_custkey"], capacity=65536, top_k=100)
 
 
 def _q_bottomk_sample(sf_dir: str):
@@ -1493,7 +1495,7 @@ SELECT e.event_id, e.user_id, e.event_type, e.ts,
        e.value - v.first_val AS value, v.first_ts AS start_time
 FROM events e JOIN fv v ON e.user_id = v.user_id
   AND e.event_type = v.event_type
-WHERE e.ts > v.first_ts""",
+WHERE e.ts > v.first_ts OR (e.ts = v.first_ts AND e.value <> v.first_val)""",
         "hopping_counts": """
 WITH w AS (
   SELECT event_type,

@@ -176,39 +176,56 @@ def _scaling() -> None:
     # CPU inflation at 32 workers), which a multi-node cluster does not
     # — each node brings its own memory bandwidth. Both pairs are
     # reported in BASELINE.md.
-    # default pair 2,8: the round-3 sandbox VM's shared memory/disk bus
-    # saturates around ~8 busy cores (4->16 measures 0.66 there while
-    # 2->8 measures 0.98 on identical code; round-2's VM measured 0.92
-    # at 4->16) — pick the pair that models adding NODES, i.e. cores
-    # that bring their own bandwidth. Override: GRAFT_SCALING_CPUS=4,16
-    lo_n, hi_n = (int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(","))
+    # BOTH N->4N pairs run and are emitted by default so the headline
+    # number can never be read in isolation: 2->8 models adding NODES
+    # (cores that bring their own memory/disk bandwidth — this sandbox
+    # VM's shared bus saturates around ~8 busy cores, where 4->16
+    # measured 0.66 on code that measured 0.92 on round-2's VM), while
+    # 4->16 shows the same-socket number. The headline `value` is the
+    # FIRST pair's efficiency. Override to a single custom pair with
+    # GRAFT_SCALING_CPUS=lo,hi (still emits every pair it ran).
+    env_pair = os.environ.get("GRAFT_SCALING_CPUS")
+    pairs = ([tuple(int(x) for x in env_pair.split(","))] if env_pair
+             else [(2, 8), (4, 16)])
     scaling_sf = os.environ.get("GRAFT_SCALING_SF", "1")  # 50M turns
-    # pre-generate the shared input once (untimed; cached for both runs)
+    # pre-generate the shared input once (untimed; cached for all runs)
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from opentelemetry_collector_contrib_ray.sources.transcripts import ensure_transcripts
 
     ensure_transcripts(scaling_sf)
     results = {}
-    for n in (lo_n, hi_n):
+    for n in sorted({c for p in pairs for c in p}):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SCALING_SF=scaling_sf)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,
         ).stdout
         results[n] = json.loads(out.strip().splitlines()[-1])
-    t_lo, t_hi = results[lo_n]["value"], results[hi_n]["value"]
-    eff = (t_lo / t_hi) / (hi_n / lo_n)
+
+    def pair_report(lo_n: int, hi_n: int) -> dict:
+        t_lo, t_hi = results[lo_n]["value"], results[hi_n]["value"]
+        return {
+            "efficiency": round((t_lo / t_hi) / (hi_n / lo_n), 3),
+            "sec_lo": t_lo, "sec_hi": t_hi,
+            "cpus_lo": lo_n, "cpus_hi": hi_n,
+            "turns_per_sec_lo": results[lo_n]["turns_per_sec"],
+            "turns_per_sec_hi": results[hi_n]["turns_per_sec"],
+        }
+
+    reports = [pair_report(lo, hi) for lo, hi in pairs]
+    head = reports[0]
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": head["efficiency"],
         "unit": "ratio",
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "cpus_lo": lo_n,
-        "cpus_hi": hi_n,
-        "turns_per_sec_lo": results[lo_n]["turns_per_sec"],
-        "turns_per_sec_hi": results[hi_n]["turns_per_sec"],
-        "sf": results[hi_n]["sf"],
+        "sec_lo": head["sec_lo"],
+        "sec_hi": head["sec_hi"],
+        "cpus_lo": head["cpus_lo"],
+        "cpus_hi": head["cpus_hi"],
+        "turns_per_sec_lo": head["turns_per_sec_lo"],
+        "turns_per_sec_hi": head["turns_per_sec_hi"],
+        "pairs": reports,
+        "sf": results[head["cpus_hi"]]["sf"],
     }))
 
 

@@ -43,6 +43,68 @@ import ray.data
 from .scan import _np_col, _seg_starts, _ts_us
 
 
+def _assemble_carry(rows: list[dict]) -> dict:
+    """Walk boundary summaries in sort order and build the carry-in map
+    (block token, key) -> latest right row seen before that block.
+
+    Blocks are identified by their first row's (key, ts, side) token.
+    Two sorted blocks can only share a token when a run of duplicate
+    (key, ts, side) rows spans a block boundary — then the carry chain
+    (and the join semantics among the differing payloads) is genuinely
+    ambiguous, so fail loud rather than silently misgroup summaries
+    (same policy as servicegraph.adjacent_edges_presorted). Each block
+    emits exactly one pos=0 summary: a token with two pos=0 rows means
+    two distinct blocks collided. (Ray 2.49's range-partition sort puts
+    equal keys in one partition, so this is defensive against future
+    block-slicing behavior, not a live path.)
+    """
+    import json as _json
+
+    rows = sorted(rows, key=lambda r: (r["nat_key"], r["tok_ts"],
+                                       r["tok_side"], r["pos"]))
+    tok_first_seen: set = set()
+    for r in rows:
+        if r["pos"] == 0:
+            t = (r["tok_key"], r["tok_ts"], r["tok_side"])
+            if t in tok_first_seen:
+                raise ValueError(
+                    "asof_join: duplicate (key, ts, side) rows span a "
+                    f"block boundary (token {t!r}); the latest-right choice "
+                    "among them is ambiguous. Deduplicate the right stream "
+                    "on (key, ts) or add a tiebreak column to ts."
+                )
+            tok_first_seen.add(t)
+
+    carry: dict[tuple, tuple] = {}
+    cur_key = None
+    state: tuple | None = None  # (right_ts, values_dict)
+    i = 0
+    while i < len(rows):
+        fb = rows[i]
+        tok = (fb["tok_key"], fb["tok_ts"], fb["tok_side"])
+        block = [fb]
+        if i + 1 < len(rows) and (rows[i + 1]["tok_key"], rows[i + 1]["tok_ts"],
+                                  rows[i + 1]["tok_side"]) == tok:
+            block.append(rows[i + 1])
+            i += 2
+        else:
+            i += 1
+        first, last = block[0], block[-1]
+        if cur_key is not None and first["key"] == cur_key and state is not None:
+            carry[(tok, cur_key)] = state
+        if first["has_right"]:
+            state = (first["right_ts"], _json.loads(first["right_vals"]))
+        elif first["key"] != cur_key:
+            state = None  # new key, nothing seen yet
+        cur_key = first["key"]
+        if last is not first:
+            # the last segment starts a different key inside this block
+            state = (last["right_ts"], _json.loads(last["right_vals"])) \
+                if last["has_right"] else None
+            cur_key = last["key"]
+    return carry
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -145,36 +207,7 @@ def asof_join(
 
     rows = merged.map_batches(summarize, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None).take_all()
-    rows.sort(key=lambda r: (r["nat_key"], r["tok_ts"], r["tok_side"], r["pos"]))
-    import json as _json
-
-    carry: dict[tuple, tuple] = {}
-    cur_key = None
-    state: tuple | None = None  # (right_ts, values_dict)
-    i = 0
-    while i < len(rows):
-        fb = rows[i]
-        tok = (fb["tok_key"], fb["tok_ts"], fb["tok_side"])
-        block = [fb]
-        if i + 1 < len(rows) and (rows[i + 1]["tok_key"], rows[i + 1]["tok_ts"],
-                                  rows[i + 1]["tok_side"]) == tok:
-            block.append(rows[i + 1])
-            i += 2
-        else:
-            i += 1
-        first, last = block[0], block[-1]
-        if cur_key is not None and first["key"] == cur_key and state is not None:
-            carry[(tok, cur_key)] = state
-        if first["has_right"]:
-            state = (first["right_ts"], _json.loads(first["right_vals"]))
-        elif first["key"] != cur_key:
-            state = None  # new key, nothing seen yet
-        cur_key = first["key"]
-        if last is not first:
-            # the last segment starts a different key inside this block
-            state = (last["right_ts"], _json.loads(last["right_vals"])) \
-                if last["has_right"] else None
-            cur_key = last["key"]
+    carry = _assemble_carry(rows)
     carry_ref = ray.put(carry)
 
     # ---- pass B: segmented forward fill ----

@@ -19,7 +19,14 @@ again (associative because min-ts wins at every level) — and pass 2
 rewrites the stream against the broadcast map. Series cardinality
 must be broadcast-sized, exactly the reference's own in-memory map
 bound. Duplicate (series, ts) first points are tie-broken by value
-then insertion order — deterministic given deterministic input order.
+(the min value at the min ts is the initial point); in
+``subtract_initial_point`` only rows matching the initial point on
+BOTH ts and value are dropped — same-ts rows with a different value
+survive with the subtraction applied. Rows fully identical to the
+initial point carry no distinguishing id, so all of them are dropped
+(the reference drops exactly one; with byte-identical duplicate
+points the difference is unobservable in any downstream aggregate
+except count).
 """
 
 from __future__ import annotations
@@ -82,12 +89,19 @@ def metric_start_time(
         ts = b[ts_col]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
-        is_first = pc.equal(ts, pc.cast(start, ts.type))
         v = b[value_col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         idx_np = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False)
-        adj = pc.subtract(v, pa.array(first_val[idx_np], v.type))
+        fv = pa.array(first_val[idx_np], v.type)
+        # drop the initial point only: ts AND value must both match the
+        # recorded first point. Same-ts rows with a different value are
+        # distinct points and are kept (value - first_val); rows fully
+        # identical to the first point are indistinguishable without a
+        # stable id and are ALL dropped (documented in the module doc).
+        is_first = pc.and_(pc.equal(ts, pc.cast(start, ts.type)),
+                           pc.equal(v, fv))
+        adj = pc.subtract(v, fv)
         b = b.set_column(b.column_names.index(value_col), value_col, adj)
         return b.filter(pc.invert(pc.fill_null(is_first, False)))
 

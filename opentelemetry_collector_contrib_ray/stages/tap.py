@@ -45,13 +45,15 @@ def remote_tap(
             if columns is not None:
                 sample = sample.select(columns)
             # content-derived name: retries of the same block rewrite
-            # the same file; distinct blocks cannot collide
-            h = hashlib.md5()
-            for name in sample.column_names:
-                h.update(name.encode())
-                for chunk in sample[name].chunks if isinstance(
-                        sample[name], pa.ChunkedArray) else [sample[name]]:
-                    h.update(str(chunk).encode())
+            # the same file; distinct blocks cannot collide. Hash the
+            # sample's actual IPC bytes — a repr-based hash elides the
+            # middle of long arrays and can collide on samples sharing
+            # head/tail rows. combine_chunks first so chunk layout
+            # (which IPC encodes) can't split identical content.
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sample.schema) as w:
+                w.write_table(sample.combine_chunks())
+            h = hashlib.md5(sink.getvalue())
             h.update(str(batch.num_rows).encode())
             tid = h.hexdigest()[:16]
             tmp = os.path.join(tap_dir, f".{tid}.tmp")

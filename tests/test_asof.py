@@ -85,3 +85,34 @@ def test_asof_timestamp_payload_roundtrip(ray_session):
     rmap = {(r["k"], r["rv"]): r["ts"] for r in rt.to_pylist()}
     for r in hit.itertuples():
         assert rmap[(r.k, r.rv)] == r.rts.to_pydatetime()
+
+
+def test_assemble_carry_raises_on_duplicate_block_token():
+    # two distinct blocks whose first rows share the (key, ts, side)
+    # token (a run of identical rows spanning a block boundary) must
+    # fail loud — the carry chain between them is ambiguous.
+    from opentelemetry_collector_contrib_ray.stages.asof import _assemble_carry
+    import pytest
+
+    def summary(pos, key, has_right=True, right_ts=5, vals='{"rv": 1.0}'):
+        return {"nat_key": key, "tok_key": key, "tok_ts": 5, "tok_side": 0,
+                "key": key, "pos": pos, "has_right": has_right,
+                "right_ts": right_ts, "right_vals": vals}
+
+    rows = [summary(0, "a"), summary(0, "a")]  # two pos=0 rows, same token
+    with pytest.raises(ValueError, match="ambiguous"):
+        _assemble_carry(rows)
+
+
+def test_assemble_carry_chains_state_across_blocks():
+    from opentelemetry_collector_contrib_ray.stages.asof import _assemble_carry
+
+    # block 1 starts at key a, sees a right row; block 2 continues key a
+    b1 = {"nat_key": "a", "tok_key": "a", "tok_ts": 1, "tok_side": 0,
+          "key": "a", "pos": 0, "has_right": True, "right_ts": 1,
+          "right_vals": '{"rv": 7.0}'}
+    b2 = {"nat_key": "a", "tok_key": "a", "tok_ts": 2, "tok_side": 1,
+          "key": "a", "pos": 0, "has_right": False, "right_ts": 0,
+          "right_vals": ""}
+    carry = _assemble_carry([b1, b2])
+    assert carry[(("a", 2, 1), "a")] == (1, {"rv": 7.0})

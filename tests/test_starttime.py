@@ -54,3 +54,20 @@ def test_logs_transform_alias(ray_session):
     ])
     out = apply(ray.data.from_arrow(_tbl())).to_pandas()
     assert set(out.flag) == {"A", "B", "C"}
+
+
+def test_subtract_keeps_same_ts_different_value(ray_session):
+    # two points share the series-min ts with DIFFERENT values: only the
+    # initial point (min value at min ts) is dropped; the other survives
+    # with the subtraction applied.
+    tbl = pa.table({
+        "series": ["a", "a", "a"],
+        "ts": pa.array([T0, T0, T0 + timedelta(seconds=10)], pa.timestamp("us")),
+        "value": pa.array([100.0, 120.0, 130.0], pa.float64()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    out = metric_start_time(ds, ["series"], "ts", "value",
+                            strategy="subtract_initial_point").to_pandas()
+    out = out.sort_values("ts")
+    assert list(out.value) == [20.0, 30.0]
+    assert (out.start_time == T0).all()
