@@ -54,7 +54,10 @@ def label_propagation_components(
     if needed. ``num_partitions`` (join fan-out) defaults to edge
     count / 2M clamped to [2, 64] — each hash-join partition then
     holds a few-MB label/edge slice at any graph size."""
-    node_t = edges.schema().base_schema.field(src).type
+    # .names/.types works for Arrow AND pandas-backed blocks (the
+    # base_schema of a pandas block has no .field)
+    sch = edges.schema()
+    node_t = dict(zip(sch.names, sch.types))[src]
 
     def fwd(b: pa.Table) -> pa.Table:
         return pa.table({"a": b[src], "b": b[dst]})

@@ -266,3 +266,26 @@ def test_simhash_block_banding_scales(corpus):
     pb_ = {(int(x), int(y), int(h)) for x, y, h in zip(b["id_a"], b["id_b"], b["hamming"])}
     assert pa_ == pb_
     assert (1, 45, 0) in pa_  # planted exact dup still found
+
+
+def test_distributed_cluster_parity(corpus):
+    # the full distributed path (hash-join verify + label-propagation
+    # components, the near_dup_clusters query shape) must produce the
+    # SAME clusters as the driver union-find on the planted corpus.
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        verify_pairs_jaccard_distributed,
+    )
+    from opentelemetry_collector_contrib_ray.stages.graph import (
+        label_propagation_components,
+    )
+
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    cand = minhash_lsh_candidates(ds, "text", "doc_id")
+    verified = verify_pairs_jaccard_distributed(
+        cand, ds, "doc_id", "text", threshold=0.5, num_partitions=2
+    ).materialize()
+    vdf = verified.to_pandas()  # small planted edge set, test-only
+    expected = connected_components(list(zip(vdf["id_a"], vdf["id_b"])))
+    comp = label_propagation_components(verified, src="id_a", dst="id_b")
+    got = dict(zip(*(lambda d: (d["node"], d["component"]))(comp.to_pandas())))
+    assert got == expected
