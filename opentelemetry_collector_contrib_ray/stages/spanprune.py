@@ -55,12 +55,20 @@ def prune_spans(
     duration_col: str,
     order_col: str,
     min_group_size: int = 2,
+    broadcast_key_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Collapse every (trace, group_cols) group with at least
     ``min_group_size`` rows into one summary row; pass smaller groups
     through. Output columns: trace + group cols + ``order_col``
     (summary: first position), ``duration_col`` (summary: total),
-    is_summary, span_count, duration_min/max/total."""
+    is_summary, span_count, duration_min/max/total.
+
+    The pruned-key set is bounded by rows/min_group_size — NOT small on
+    duplicate-heavy traces (the processor's whole use case). Up to
+    ``broadcast_key_limit`` keys it broadcasts into a stream-side
+    ``is_in`` filter (one object-store copy, zero shuffle); past the
+    limit the stream anti-joins the key set instead (hash shuffle on
+    the packed key, nothing driver-resident)."""
     keys = [trace_key] + group_cols
 
     def partial(b: pa.Table) -> pa.Table:
@@ -104,22 +112,7 @@ def prune_spans(
     summaries = pruned.map_batches(summarize, batch_format="pyarrow",
                                    zero_copy_batch=True, batch_size=None)
 
-    # broadcast the (small) pruned key set; stream keeps the rest
-    # Ray 2.49 can emit zero-column empty blocks after groupby/filter
-    # and applies a Project inconsistently across materialized blocks;
-    # fetch raw blocks and select locally (same hardening as the joins)
-    tabs = [t.select(keys) for t in
-            (ray.get(r) for r in pruned.to_arrow_refs())
-            if t.num_columns]
-    pruned_tbl = pa.concat_tables(tabs, promote_options="none") if tabs else None
-    packed = _pack_keys(pruned_tbl, keys) if pruned_tbl is not None and \
-        pruned_tbl.num_rows else pa.array([], pa.string())
-    pruned_ref = ray.put(packed)
-
-    def pass_through(b: pa.Table) -> pa.Table:
-        mine = _pack_keys(b, keys)
-        keep = pc.invert(pc.is_in(mine, value_set=ray.get(pruned_ref)))
-        b = b.filter(keep)
+    def shape_passthrough(b: pa.Table) -> pa.Table:
         dur = b[duration_col]
         if isinstance(dur, pa.ChunkedArray):
             dur = dur.combine_chunks()
@@ -133,6 +126,50 @@ def prune_spans(
         cols["duration_total"] = dur
         return pa.table(cols)
 
-    kept = ds.map_batches(pass_through, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None)
+    n_pruned = pruned.count()
+    if n_pruned <= broadcast_key_limit:
+        # broadcast the pruned key set; stream keeps the rest.
+        # Ray 2.49 can emit zero-column empty blocks after groupby/
+        # filter and applies a Project inconsistently across
+        # materialized blocks; fetch raw blocks and select locally
+        # (same hardening as the joins)
+        tabs = [t.select(keys) for t in
+                (ray.get(r) for r in pruned.to_arrow_refs())
+                if t.num_columns]
+        pruned_tbl = pa.concat_tables(tabs, promote_options="none") if tabs else None
+        packed = _pack_keys(pruned_tbl, keys) if pruned_tbl is not None and \
+            pruned_tbl.num_rows else pa.array([], pa.string())
+        pruned_ref = ray.put(packed)
+
+        def pass_through(b: pa.Table) -> pa.Table:
+            mine = _pack_keys(b, keys)
+            keep = pc.invert(pc.is_in(mine, value_set=ray.get(pruned_ref)))
+            return shape_passthrough(b.filter(keep))
+
+        kept = ds.map_batches(pass_through, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    else:
+        # anti-join fallback: the key set is too big to broadcast —
+        # hash-shuffle the stream against it on the packed key; the
+        # key set never lands on the driver
+        def add_pk(b: pa.Table) -> pa.Table:
+            return b.append_column("__pk", _pack_keys(b, keys))
+
+        def pk_only(b: pa.Table) -> pa.Table:
+            return pa.table({"__pk": _pack_keys(b, keys)})
+
+        from .dedup import normalize_empty_blocks
+
+        stream = ds.map_batches(add_pk, batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+        pk_ds = normalize_empty_blocks(
+            pruned.map_batches(pk_only, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None),
+            {"__pk": pa.string()})
+        num_partitions = max(2, min(64, n_pruned // 500_000 + 2))
+        kept_rows = stream.join(pk_ds, join_type="left_anti",
+                                num_partitions=int(num_partitions),
+                                on=("__pk",))
+        kept = kept_rows.map_batches(shape_passthrough, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
     return kept.union(summaries)

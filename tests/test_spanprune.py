@@ -51,3 +51,38 @@ def test_prune_nothing_to_collapse(ray_session):
                       duration_col="dur", order_col="idx",
                       min_group_size=2).to_pandas()
     assert len(out) == 2 and not out.is_summary.any()
+
+
+def test_prune_antijoin_parity(ray_session):
+    # broadcast_key_limit=0 forces the anti-join fallback; the result
+    # must match the broadcast path exactly, on a duplicate-heavy input
+    # where >=50% of groups collapse.
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    n_traces, per = 80, 6
+    rows = []
+    for t in range(n_traces):
+        if t % 2 == 0:  # half the traces are duplicate-heavy
+            for i in range(per):
+                rows.append((f"T{t}", "db", 200, i, float(i)))
+        else:
+            rows.append((f"T{t}", "db", 200, 0, 1.0))
+            rows.append((f"T{t}", "http", 500, 1, 2.0))
+    tr, op, st, ix, du = zip(*rows)
+    tbl = pa.table({"trace": list(tr), "op": list(op),
+                    "status": pa.array(st, pa.int64()),
+                    "idx": pa.array(ix, pa.int64()),
+                    "dur": pa.array(du, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    kw = dict(duration_col="dur", order_col="idx", min_group_size=3)
+    sort_cols = ["trace", "op", "status", "idx", "is_summary"]
+    a = prune_spans(ds, "trace", ["op", "status"], **kw) \
+        .to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    b = prune_spans(ds, "trace", ["op", "status"], broadcast_key_limit=0,
+                    **kw).to_pandas().sort_values(sort_cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    assert (a[sort_cols + ["span_count", "duration_total"]]
+            .equals(b[sort_cols + ["span_count", "duration_total"]]))
+    # half the (trace, group) groups collapsed
+    assert a.is_summary.sum() == n_traces // 2
