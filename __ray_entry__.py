@@ -282,6 +282,33 @@ def _q_tail_sample(sf_dir: str):
     return out.select_columns(["conv_id", "turn_idx"])
 
 
+def _q_tail_policies(sf_dir: str):
+    """tailsampling policy TREE (and + latency + rate_limiting + drop
+    veto) over whole conversations: keep every turn of conversations
+    that (a) used the search tool AND ran >= 60 turns, OR (b) lasted
+    > 400 s, OR (c) fit the 40-spans-per-completion-second budget in
+    (min_ts, conv_id) order — unless they ever used the editor tool
+    (drop veto). Oracle: per-conv aggregates + a windowed running sum."""
+    from opentelemetry_collector_contrib_ray.sources.readers import read_transcripts
+    from opentelemetry_collector_contrib_ray.stages.tailpolicy import (
+        tail_sample_policies,
+    )
+
+    ds = read_transcripts(sf_dir)
+    pols = [
+        {"type": "and", "sub_policies": [
+            {"type": "string_attribute", "key": "tool", "values": ["search"]},
+            {"type": "span_count", "min_spans": 60},
+        ]},
+        {"type": "latency", "threshold_ms": 400_000},
+        {"type": "rate_limiting", "spans_per_second": 40},
+        {"type": "drop", "sub_policy": {
+            "type": "string_attribute", "key": "tool", "values": ["editor"]}},
+    ]
+    out = tail_sample_policies(ds, "conv_id", "ts", pols)
+    return out.select_columns(["conv_id", "turn_idx", "role", "tool", "ts"])
+
+
 DUR_BUCKET_BOUNDS = [5.0, 25.0, 100.0, 250.0]
 
 
@@ -1250,6 +1277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_pipeline": _q_multimodal_pipeline,
+        # -- new round-3 queries --
+        "tail_policies": _q_tail_policies,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1538,6 +1567,22 @@ FROM s GROUP BY 1, 2""",
 SELECT conv_id, turn_idx FROM f
 WHERE conv_id IN (SELECT DISTINCT conv_id FROM f WHERE level = 'ERROR')
    OR md5_number_lower(conv_id) % 10000 < 1000""",
+        "tail_policies": f"""
+WITH t AS (SELECT * FROM read_parquet('{tpath}')),
+f AS (SELECT conv_id, COUNT(*) AS n, MIN(ts) AS min_ts, MAX(ts) AS max_ts,
+        MAX(CASE WHEN tool = 'search' THEN 1 ELSE 0 END) AS has_search,
+        MAX(CASE WHEN tool = 'editor' THEN 1 ELSE 0 END) AS has_editor
+      FROM t GROUP BY conv_id),
+d AS (SELECT conv_id, has_editor,
+        (has_search = 1 AND n >= 60) AS pol_and,
+        (epoch_us(max_ts) - epoch_us(min_ts)) // 1000 > 400000 AS pol_lat,
+        SUM(n) OVER (PARTITION BY date_trunc('second', max_ts)
+                     ORDER BY min_ts, conv_id
+                     ROWS UNBOUNDED PRECEDING) <= 40 AS pol_rate
+      FROM f)
+SELECT t.conv_id, t.turn_idx, t.role, t.tool, t.ts
+FROM t JOIN d USING (conv_id)
+WHERE (pol_and OR pol_lat OR pol_rate) AND has_editor = 0""",
         "dur_histogram": parsed_cte + """
 SELECT role,
   CAST(CASE WHEN dur <= 5.0 THEN 0 WHEN dur <= 25.0 THEN 1

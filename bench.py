@@ -133,6 +133,7 @@ def _run_bench() -> dict:
         "lang_id",
         "multimodal_pipeline",
         # round-3 additions
+        "tail_policies",
         "exceptions_metrics",
         "schema_migrate",
         "dynamic_sample",

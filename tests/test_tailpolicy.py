@@ -1,0 +1,140 @@
+"""Tail-sampling policy tree vs hand-computed decisions (ports the
+decision semantics of reference internal/sampling/*_test.go onto the
+flat-table reduction)."""
+
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.stages.tailpolicy import (
+    tail_sample_policies,
+)
+
+T0 = datetime(2024, 1, 1)
+
+
+def _trace(rows, conv, start_s, dur_ms, n, status=200, tool=""):
+    for i in range(n):
+        rows.append((conv, T0 + timedelta(seconds=start_s,
+                                          milliseconds=i * dur_ms / max(n - 1, 1)),
+                     status, tool))
+
+
+def _tbl(rows):
+    c, t, s, tl = zip(*rows)
+    return pa.table({"conv_id": list(c),
+                     "ts": pa.array(list(t), pa.timestamp("us")),
+                     "status": pa.array(list(s), pa.int64()),
+                     "tool": list(tl)})
+
+
+def _kept(tbl, policies, **kw):
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    out = tail_sample_policies(ds, "conv_id", "ts", policies, **kw).to_pandas()
+    return set(out.conv_id)
+
+
+def test_latency_policy(ray_session):
+    rows = []
+    _trace(rows, "slow", 0, 500, 4)
+    _trace(rows, "fast", 10, 50, 4)
+    kept = _kept(_tbl(rows), [{"type": "latency", "threshold_ms": 100}])
+    assert kept == {"slow"}
+    # upper bound excludes the very slow trace
+    rows2 = list(rows)
+    _trace(rows2, "veryslow", 20, 5000, 4)
+    kept = _kept(_tbl(rows2), [{"type": "latency", "threshold_ms": 100,
+                                "upper_threshold_ms": 1000}])
+    assert kept == {"slow"}
+
+
+def test_span_count_and_status(ray_session):
+    rows = []
+    _trace(rows, "big", 0, 100, 8)
+    _trace(rows, "small", 5, 100, 2)
+    _trace(rows, "err", 10, 100, 3, status=500)
+    kept = _kept(_tbl(rows), [{"type": "span_count", "min_spans": 5}])
+    assert kept == {"big"}
+    kept = _kept(_tbl(rows), [{"type": "status_code", "key": "status",
+                               "status_codes": [500]}])
+    assert kept == {"err"}
+
+
+def test_string_attribute_invert_and_drop(ray_session):
+    rows = []
+    _trace(rows, "a", 0, 100, 3, tool="search")
+    _trace(rows, "b", 5, 100, 3, tool="calc")
+    pol = [{"type": "string_attribute", "key": "tool", "values": ["search"]}]
+    assert _kept(_tbl(rows), pol) == {"a"}
+    pol_inv = [{"type": "string_attribute", "key": "tool",
+                "values": ["search"], "invert_match": True}]
+    assert _kept(_tbl(rows), pol_inv) == {"b"}
+    # drop vetoes even an always_sample
+    pol_drop = [{"type": "always_sample"},
+                {"type": "drop", "sub_policy": {
+                    "type": "string_attribute", "key": "tool",
+                    "values": ["calc"]}}]
+    assert _kept(_tbl(rows), pol_drop) == {"a"}
+
+
+def test_and_policy(ray_session):
+    rows = []
+    _trace(rows, "both", 0, 500, 6, tool="search")
+    _trace(rows, "slow_only", 5, 500, 6, tool="calc")
+    _trace(rows, "tool_only", 10, 50, 6, tool="search")
+    pol = [{"type": "and", "sub_policies": [
+        {"type": "latency", "threshold_ms": 100},
+        {"type": "string_attribute", "key": "tool", "values": ["search"]},
+    ]}]
+    assert _kept(_tbl(rows), pol) == {"both"}
+
+
+def test_rate_limiting_budget_order(ray_session):
+    # three traces complete in the same second; budget admits the first
+    # two in (min_ts, conv_id) order. 4 spans each, budget 8/s.
+    rows = []
+    _trace(rows, "t1", 0, 100, 4)   # min_ts earliest
+    for conv, off in (("t2", 0.2), ("t3", 0.4)):
+        for i in range(4):
+            rows.append((conv, T0 + timedelta(seconds=off, milliseconds=i * 30),
+                         200, ""))
+    kept = _kept(_tbl(rows), [{"type": "rate_limiting", "spans_per_second": 8}])
+    assert kept == {"t1", "t2"}
+    # a different second gets a fresh budget
+    rows2 = list(rows)
+    _trace(rows2, "t4", 10, 100, 4)
+    kept = _kept(_tbl(rows2), [{"type": "rate_limiting", "spans_per_second": 8}])
+    assert kept == {"t1", "t2", "t4"}
+
+
+def test_composite_allocations(ray_session):
+    # sub 0 (errors) gets 4 spans/s, sub 1 (latency) gets 4 spans/s.
+    # err1+err2 claim sub 0 -> only err1 fits; slow1 claims sub 1.
+    rows = []
+    _trace(rows, "err1", 0, 50, 4, status=500)
+    for i in range(4):
+        rows.append(("err2", T0 + timedelta(seconds=0.2, milliseconds=i * 10),
+                     500, ""))
+    _trace(rows, "slow1", 0.5, 600, 4)
+    _trace(rows, "plain", 0.7, 50, 4)
+    pol = [{"type": "composite", "max_total_spans_per_second": 100,
+            "sub_policies": [
+                {"type": "status_code", "key": "status", "status_codes": [500],
+                 "max_spans_per_second": 4},
+                {"type": "latency", "threshold_ms": 100,
+                 "max_spans_per_second": 4},
+            ]}]
+    assert _kept(_tbl(rows), pol) == {"err1", "slow1"}
+
+
+def test_semi_join_fallback_parity(ray_session):
+    rows = []
+    _trace(rows, "slow", 0, 500, 4)
+    _trace(rows, "fast", 10, 50, 4)
+    _trace(rows, "err", 20, 50, 3, status=500)
+    pol = [{"type": "latency", "threshold_ms": 100},
+           {"type": "status_code", "key": "status", "status_codes": [500]}]
+    a = _kept(_tbl(rows), pol)
+    b = _kept(_tbl(rows), pol, broadcast_key_limit=0)
+    assert a == b == {"slow", "err"}
