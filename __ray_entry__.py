@@ -432,6 +432,20 @@ def _q_events_rate(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "rate_cents_per_s"])
 
 
+def _q_dedup_windowed(sf_dir: str):
+    """logdedup with full key semantics: dedup key = whole event row
+    minus exclude_fields (props) per hour window; clicks fail the
+    condition and pass through un-deduped as singletons (reference
+    Conditions semantics). Emits keep_id + log_count + first/last
+    observed per group."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import dedup_windowed
+
+    ds = read_table(sf_dir, "events")
+    return dedup_windowed(ds, "event_id", "ts", exclude_fields=["props"],
+                          window="hour",
+                          condition=("!=", col("event_type"), "click"))
+
+
 def _q_dedup_exact(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import exact_dedup
 
@@ -1279,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_pipeline": _q_multimodal_pipeline,
         # -- new round-3 queries --
         "tail_policies": _q_tail_policies,
+        "dedup_windowed": _q_dedup_windowed,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1640,6 +1655,17 @@ ORDER BY value DESC, event_id LIMIT 20""",
         "dedup_exact": """
 SELECT text, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
 FROM documents GROUP BY text""",
+        "dedup_windowed": """
+SELECT user_id, event_type, value, date_trunc('hour', ts) AS window_start,
+       MIN(event_id) AS keep_id, COUNT(*) AS log_count,
+       MIN(ts) AS first_observed, MAX(ts) AS last_observed
+FROM events WHERE event_type <> 'click'
+GROUP BY 1, 2, 3, 4
+UNION ALL
+SELECT user_id, event_type, value, date_trunc('hour', ts) AS window_start,
+       event_id AS keep_id, CAST(1 AS BIGINT) AS log_count,
+       ts AS first_observed, ts AS last_observed
+FROM events WHERE event_type = 'click'""",
         "docs_quality": r"""
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,

@@ -134,6 +134,7 @@ def _run_bench() -> dict:
         "multimodal_pipeline",
         # round-3 additions
         "tail_policies",
+        "dedup_windowed",
         "exceptions_metrics",
         "schema_migrate",
         "dynamic_sample",

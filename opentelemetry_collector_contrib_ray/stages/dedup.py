@@ -171,6 +171,93 @@ class MinHasher:
         return out
 
 
+def dedup_windowed(
+    ds: ray.data.Dataset,
+    id_col: str,
+    ts_col: str,
+    *,
+    exclude_fields: list[str] | None = None,
+    window: str = "hour",
+    count_name: str = "log_count",
+    condition=None,
+) -> ray.data.Dataset:
+    """logdedupprocessor with full key semantics
+    (processor/logdedupprocessor/config.go:18-47): the dedup key is the
+    WHOLE record minus ``exclude_fields`` (the reference's field
+    remover strips excluded body/attribute paths before aggregation,
+    processor.go:293 RemoveFields), bucketed by the export interval —
+    here an event-time window on ``ts_col`` (the finite-table analog of
+    the interval flush, same reduction as SURVEY.md §2.5). Emits one
+    row per (window, key): representative min ``id_col``, ``count_name``
+    (counter.go log_count), and first/last_observed timestamps
+    (counter.go:19-20).
+
+    ``condition`` (reference Conditions): rows NOT matching pass
+    through un-deduped as singleton groups (count 1, first==last==ts),
+    mirroring "immediately consume any logs that didn't match"
+    (processor.go:285-291).
+
+    Scale: per-batch Arrow hash-groupby partials merged by ONE
+    distributed groupby — all aggregates (min/sum/min/max) are
+    mergeable, key cardinality is unbounded-safe."""
+    excl = set(exclude_fields or ())
+    sch = ds.schema()
+    key_cols = [c for c in sch.names if c not in excl and c not in (id_col, ts_col)]
+    if not key_cols:
+        raise ValueError("exclude_fields removed every key column "
+                         "(cannot exclude the entire body)")
+    group_cols = key_cols + ["window_start"]
+
+    pred = None
+    if condition is not None:
+        from ..expr import compile_predicate
+
+        pred = compile_predicate(condition)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        b = b.append_column("window_start", pc.floor_temporal(ts, unit=window))
+        if pred is not None:
+            b = b.filter(pred(b))
+        t = b.select(group_cols + [id_col, ts_col])
+        g = t.group_by(group_cols, use_threads=False).aggregate(
+            [(id_col, "min"), ([], "count_all"), (ts_col, "min"), (ts_col, "max")])
+        return g.rename_columns(
+            group_cols + ["keep_id", count_name, "first_observed", "last_observed"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    from ray.data.aggregate import Max
+
+    merged = partials.groupby(group_cols).aggregate(
+        Min("keep_id", alias_name="keep_id"),
+        Sum(count_name, alias_name=count_name),
+        Min("first_observed", alias_name="first_observed"),
+        Max("last_observed", alias_name="last_observed"),
+    )
+    if pred is None:
+        return merged
+
+    def passthrough(b: pa.Table) -> pa.Table:
+        ts = b[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        b = b.append_column("window_start", pc.floor_temporal(ts, unit=window))
+        b = b.filter(pc.invert(pred(b)))
+        cols = {c: b[c] for c in group_cols}
+        cols["keep_id"] = b[id_col]
+        cols[count_name] = pa.array([1] * b.num_rows, pa.int64())
+        cols["first_observed"] = b[ts_col]
+        cols["last_observed"] = b[ts_col]
+        return pa.table(cols)
+
+    kept = ds.map_batches(passthrough, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)
+    return merged.union(kept)
+
+
 def exact_dedup(ds: ray.data.Dataset, key_col: str, id_col: str) -> ray.data.Dataset:
     """Keep the first (min id) row per exact key; emit
     (key, surviving id, dup_count). logdedup generalized: one

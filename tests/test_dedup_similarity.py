@@ -289,3 +289,50 @@ def test_distributed_cluster_parity(corpus):
     comp = label_propagation_components(verified, src="id_a", dst="id_b")
     got = dict(zip(*(lambda d: (d["node"], d["component"]))(comp.to_pandas())))
     assert got == expected
+
+
+def test_dedup_windowed(ray_session):
+    from datetime import datetime, timedelta
+
+    from opentelemetry_collector_contrib_ray.stages.dedup import dedup_windowed
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        # same (u, kind, v) in one hour, different props -> ONE group of 3
+        (1, t0, 7, "login", 1.0, "a"),
+        (2, t0 + timedelta(minutes=5), 7, "login", 1.0, "b"),
+        (3, t0 + timedelta(minutes=50), 7, "login", 1.0, "c"),
+        # same key, NEXT hour -> separate group
+        (4, t0 + timedelta(hours=1, minutes=1), 7, "login", 1.0, "d"),
+        # click rows fail the condition -> pass through as singletons
+        (5, t0, 7, "click", 1.0, "e"),
+        (6, t0, 7, "click", 1.0, "f"),
+    ]
+    i, ts, u, k, v, p = zip(*rows)
+    tbl = pa.table({"event_id": pa.array(i, pa.int64()),
+                    "ts": pa.array(ts, pa.timestamp("us")),
+                    "user_id": pa.array(u, pa.int64()),
+                    "event_type": list(k), "value": pa.array(v),
+                    "props": list(p)})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    out = dedup_windowed(ds, "event_id", "ts", exclude_fields=["props"],
+                         window="hour",
+                         condition=("!=", col("event_type"), "click")
+                         ).to_pandas().sort_values("keep_id").reset_index(drop=True)
+    logins = out[out.event_type == "login"]
+    assert len(logins) == 2
+    g1 = logins[logins.keep_id == 1].iloc[0]
+    assert g1.log_count == 3
+    assert g1.first_observed == t0
+    assert g1.last_observed == t0 + timedelta(minutes=50)
+    assert logins[logins.keep_id == 4].iloc[0].log_count == 1
+    clicks = out[out.event_type == "click"]
+    assert len(clicks) == 2 and (clicks.log_count == 1).all()
+    # excluding every key column must raise
+    import pytest
+    with pytest.raises(ValueError, match="entire body"):
+        dedup_windowed(ds, "event_id", "ts",
+                       exclude_fields=["props", "user_id", "event_type",
+                                       "value"])
