@@ -1141,6 +1141,76 @@ def _q_ottl_funcs(sf_dir: str):
          "unix_s", "unix_ms", "tag", "is_signup", "trimmed", "lg"])
 
 
+def _q_ottl_funcs2(sf_dir: str):
+    """Round-3 OTTL breadth, part 2: Reduce (func_reduce.go) through
+    the lambda front-end, merge_maps (func_merge_maps.go),
+    map/struct key-value concat, FormatTime/TruncateTime textual
+    wiring, and a converter call inside a where-condition — all
+    DuckDB-replicable (the non-SQL funcs XXH3/XXH128/Murmur3Hash128
+    are pinned to reference vectors in tests/ instead)."""
+    from opentelemetry_collector_contrib_ray.ottl import parse_statements
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        TransformStage,
+    )
+
+    ds = read_table(sf_dir, "events")
+    textual = parse_statements([
+        'set(toks, Split(props, ":"))',
+        'set(joined, Reduce(toks, "", (acc, _, v) => Concat([acc, String(v), ";"], "")))',
+        'set(day, FormatTime(ts, "%Y-%m-%d"))',
+        'set(ts_min, TruncateTime(ts, Duration("1m")))',
+        'set(flag, "epoch+") where UnixSeconds(ts) > 0',
+    ])
+    structural = [
+        # assign_keys + merge_maps + kv-concat need struct columns,
+        # which the textual path can't construct from flat tables
+        {"editor": "assign_keys",
+         "args": {"target": "kv", "src": "toks", "keys": ["head", "tail"]}},
+        {"editor": "split",
+         "args": {"target": "toks2", "src": "props", "sep": " "}},
+        {"editor": "assign_keys",
+         "args": {"target": "kv2", "src": "toks2", "keys": ["k_part", "v_part"]}},
+        {"editor": "merge_maps",
+         "args": {"target": "kv", "src": "kv2", "strategy": "upsert"}},
+        {"editor": "map_reduce_concat",
+         "args": {"target": "kvs", "src": "kv", "kv_sep": "=",
+                  "entry_sep": ";"}},
+    ]
+    stage = TransformStage(list(textual) + structural,
+                           error_mode="propagate")
+    return stage.apply(ds).select_columns(
+        ["event_id", "joined", "day", "ts_min", "flag", "kvs"])
+
+
+def _q_events_iforest(sf_dir: str):
+    """Real isolation forest (processor/isolationforestprocessor):
+    train on a capped deterministic sample of (value, hour-of-day),
+    broadcast the packed forest, score the stream vectorized.
+    Rows-only: model-based scoring has no SQL oracle; the scoring
+    math and recall are pinned in tests/test_iforest.py."""
+    from opentelemetry_collector_contrib_ray.stages.iforest import (
+        score_iforest,
+        train_iforest,
+    )
+
+    ds = read_table(sf_dir, "events")
+
+    def features(b: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.hour(b["ts"]), pa.float64())
+        return pa.table({
+            "event_id": b["event_id"],
+            "value": pc.cast(b["value"], pa.float64()),
+            "hour": hour,
+        })
+
+    feats = ds.map_batches(features, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None)
+    model = train_iforest(feats, ["value", "hour"],
+                          num_trees=50, sample_cap=256)
+    scored = score_iforest(feats, model, threshold=0.6)
+    return scored.select_columns(["event_id", "anomaly_score", "is_anomaly"])
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join (training-data custom operator; oracle = DuckDB
     ASOF LEFT JOIN): every event joined to the user's latest
@@ -1294,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new round-3 queries --
         "tail_policies": _q_tail_policies,
         "dedup_windowed": _q_dedup_windowed,
+        "ottl_funcs2": _q_ottl_funcs2,
+        "events_iforest": _q_events_iforest,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1524,6 +1596,18 @@ SELECT event_id,
   starts_with(event_type, 's') AS is_signup,
   regexp_replace(event_type, 'up$', '') AS trimmed,
   CASE WHEN value > 0 THEN ln(value) END AS lg
+FROM events""",
+        "ottl_funcs2": """
+SELECT event_id,
+  array_to_string(list_transform(string_split(props, ':'), x -> x || ';'), '')
+    AS joined,
+  strftime(ts, '%Y-%m-%d') AS day,
+  date_trunc('minute', ts) AS ts_min,
+  CASE WHEN epoch(ts) > 0 THEN 'epoch+' END AS flag,
+  'head=' || string_split(props, ':')[1] ||
+  ';tail=' || string_split(props, ':')[2] ||
+  ';k_part=' || string_split(props, ' ')[1] ||
+  ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
 FROM events""",
         "asof_join": """
 SELECT e.event_id, e.user_id, p.last_purchase_value, p.last_purchase_ts

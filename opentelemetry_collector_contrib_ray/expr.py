@@ -48,6 +48,15 @@ def _value(tbl: pa.Table, v: Any, n: int):
     if isinstance(v, Col):
         c = tbl[v.name]
         return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    if isinstance(v, dict) and "__converter__" in v:
+        # a converter call inside a condition (where UnixMicro(time) > 0):
+        # evaluate the editor into a scratch column, compare on that
+        from .stages.transform import Statement
+
+        out = Statement(v["__converter__"],
+                        {**v["args"], "target": "__cond__"})(tbl)
+        c = out["__cond__"]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
     return v  # scalar literal; Arrow kernels broadcast
 
 

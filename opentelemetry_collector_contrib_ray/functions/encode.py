@@ -466,6 +466,91 @@ def murmur3_32_hex(arr) -> pa.Array:
     return _hex_of(h.astype("<u4").view(np.uint8).reshape(n, 4))
 
 
+def murmur3_128_hex(arr) -> pa.Array:
+    """func_murmur3_hash128.go: MurmurHash3 x64 128-bit (seed 0), hex
+    of the digest bytes (h1 then h2, little-endian — "Hello World" ->
+    "dbc2a0c1ab26631a27b4c09fcf1fe683", "" -> 32 zeros). Vectorized:
+    16-byte blocks iterate to the batch max under an active-row mask;
+    the zero-padded row buffer makes the tail switch a plain 8-byte
+    little-endian read."""
+    data, starts, lens = _flat_utf8(arr)
+    n = len(lens)
+    if n == 0:
+        return pa.array([], pa.string())
+    c1 = np.uint64(0x87C37B91114253D5)
+    c2 = np.uint64(0x4CF5AD432745937F)
+    nblocks = (lens // 16).astype(np.int64)
+    maxb = int(nblocks.max())
+    width = maxb * 16 + 16  # zero pad so tail reads stay in-bounds
+    buf = np.zeros((n, width), dtype=np.uint8)
+    total = int(lens.sum())
+    if total:
+        rows = np.repeat(np.arange(n), lens)
+        head = np.cumsum(lens) - lens
+        within = np.arange(total) - np.repeat(head, lens)
+        buf[rows, within] = data[np.repeat(starts, lens) + within]
+    words = buf[:, : (maxb + 1) * 16].reshape(n, (maxb + 1) * 2, 8) \
+        .view("<u8").reshape(n, (maxb + 1) * 2)
+
+    def rotl(x, s):
+        return (x << np.uint64(s)) | (x >> np.uint64(64 - s))
+
+    h1 = np.zeros(n, np.uint64)
+    h2 = np.zeros(n, np.uint64)
+    for j in range(maxb):
+        m = nblocks > j
+        k1 = words[:, 2 * j].copy()
+        k2 = words[:, 2 * j + 1].copy()
+        k1 *= c1
+        k1 = rotl(k1, 31)
+        k1 *= c2
+        n1 = h1 ^ k1
+        n1 = rotl(n1, 27)
+        n1 += h2
+        n1 = n1 * np.uint64(5) + np.uint64(0x52DCE729)
+        k2 *= c2
+        k2 = rotl(k2, 33)
+        k2 *= c1
+        n2 = h2 ^ k2
+        n2 = rotl(n2, 31)
+        n2 += n1
+        n2 = n2 * np.uint64(5) + np.uint64(0x38495AB5)
+        h1 = np.where(m, n1, h1)
+        h2 = np.where(m, n2, h2)
+    rem = (lens % 16).astype(np.int64)
+    t1 = words[np.arange(n), 2 * nblocks].copy()
+    t2 = words[np.arange(n), 2 * nblocks + 1].copy()
+    k2 = t2 * c2
+    k2 = rotl(k2, 33)
+    k2 *= c1
+    h2 = np.where(rem > 8, h2 ^ k2, h2)
+    k1 = t1 * c1
+    k1 = rotl(k1, 31)
+    k1 *= c2
+    h1 = np.where(rem > 0, h1 ^ k1, h1)
+    ul = lens.astype(np.uint64)
+    h1 ^= ul
+    h2 ^= ul
+    h1 += h2
+    h2 += h1
+
+    def fmix(x):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+        return x
+
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 += h2
+    h2 += h1
+    dig = np.concatenate([h1.astype("<u8").view(np.uint8).reshape(n, 8),
+                          h2.astype("<u8").view(np.uint8).reshape(n, 8)], axis=1)
+    return _hex_of(dig)
+
+
 def uuid4_strings(n: int, rng: np.random.Generator | None = None) -> pa.Array:
     """func_uuid.go: one random RFC-4122 v4 UUID string per row."""
     rng = rng or np.random.default_rng()

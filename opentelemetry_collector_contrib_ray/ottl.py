@@ -49,7 +49,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op>==|!=|<=|>=|<|>|\(|\)|\[|\]|,|\.)
+  | (?P<op>==|!=|<=|>=|=>|<|>|\(|\)|\[|\]|\{|\}|,|\.|:|\+|\*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -113,7 +113,47 @@ class _Parser:
             return self.parse_path()
         if tok == "[":
             return self.parse_list()
+        if tok == "{":
+            return self.parse_map()
+        if tok == "(":
+            return self.parse_lambda()
         raise OTTLParseError(f"unexpected {tok!r} in value position in {self.text!r}")
+
+    def parse_map(self) -> dict:
+        """{"k": value, ...} literal (Reduce sources in the e2e corpus)."""
+        self.expect("{")
+        out = {}
+        while self.peek()[1] != "}":
+            k, key = self.next()
+            if k != "string":
+                raise OTTLParseError(f"map keys must be strings: {self.text!r}")
+            self.expect(":")
+            out[key[1:-1]] = self.parse_value()
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect("}")
+        return out
+
+    def parse_lambda(self) -> dict:
+        """(acc, k, v) => body — the OTTL lambda shape Reduce takes.
+        Body grammar recognized: value | value (+|*) value, where each
+        value is a name, literal, or converter call."""
+        self.expect("(")
+        params = []
+        while self.peek()[1] != ")":
+            _, nm = self.next()
+            params.append(nm)
+            if self.peek()[1] == ",":
+                self.next()
+        self.expect(")")
+        self.expect("=>")
+        left = self.parse_value()
+        if self.peek()[1] in ("+", "*"):
+            _, arith = self.next()
+            right = self.parse_value()
+            return {"__lambda__": params,
+                    "body": ("arith", arith, left, right)}
+        return {"__lambda__": params, "body": ("value", left)}
 
     def parse_list(self) -> list:
         self.expect("[")
@@ -164,8 +204,9 @@ class _Parser:
         "SHA1": ("sha1", "src"), "SHA256": ("sha256", "src"),
         "SHA512": ("sha512", "src"), "MD5": ("md5_hex", "src"),
         "FNV": ("hash", "src"), "Murmur3Hash": ("murmur3", "src"),
+        "Murmur3Hash128": ("murmur3_128", "src"),
+        "XXH3": ("xxh3", "src"), "XXH128": ("xxh128", "src"),
         "Base64Encode": ("base64_encode", "src"),
-        "Base64Decode": ("base64_decode", "src"),
         "Hex": ("hex_encode", "src"),
         "ParseXML": ("parse_xml", "src"),
         "ParseSimplifiedXML": ("parse_simplified_xml", "src"),
@@ -192,6 +233,21 @@ class _Parser:
                           "HasPrefix": ("has_prefix", "prefix"),
                           "HasSuffix": ("has_suffix", "suffix")}
 
+    @staticmethod
+    def _fold1(editor: str, args: dict, lit: Any, src_key: str = "src"):
+        """Evaluate a converter over a LITERAL argument at compile time
+        (the reference evaluates literal getters per row; in a columnar
+        engine that is a constant, so fold it once) by running the
+        editor on a one-row table."""
+        import pyarrow as _pa
+
+        from .stages.transform import Statement as _St
+
+        tbl = _pa.table({"__lit__": [lit]})
+        out = _St(editor, {**args, src_key: "__lit__",
+                           "target": "__out__"})(tbl)
+        return out["__out__"][0].as_py()
+
     def parse_converter(self) -> dict:
         """Returns {'__converter__': editor_name, 'args': {...}} for
         the compile step to attach a target."""
@@ -205,9 +261,15 @@ class _Parser:
         self.expect(")")
         if name in self._CONVERTER_EDITORS:
             editor, src_key = self._CONVERTER_EDITORS[name]
-            if len(args) != 1 or not isinstance(args[0], Col):
-                raise OTTLParseError(f"{name}() takes one path argument: {self.text!r}")
-            return {"__converter__": editor, "args": {src_key: args[0].name}}
+            if len(args) != 1:
+                raise OTTLParseError(f"{name}() takes one argument: {self.text!r}")
+            if isinstance(args[0], Col):
+                return {"__converter__": editor, "args": {src_key: args[0].name}}
+            if isinstance(args[0], (str, int, float, bool)) or (
+                    isinstance(args[0], dict) and "__converter__" not in args[0]
+                    and "__lambda__" not in args[0]):
+                return self._fold1(editor, {}, args[0], src_key)
+            raise OTTLParseError(f"{name}() takes a path or literal: {self.text!r}")
         if name == "UUID":
             if args:
                 raise OTTLParseError(f"UUID() takes no arguments: {self.text!r}")
@@ -217,14 +279,31 @@ class _Parser:
                 raise OTTLParseError(f"Concat([parts], sep) expected: {self.text!r}")
             return {"__converter__": "concat", "args": {"parts": args[0], "sep": args[1]}}
         if name == "Substring":
-            if len(args) != 3 or not isinstance(args[0], Col):
+            if len(args) != 3:
+                raise OTTLParseError(f"Substring(path, start, len) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("substring",
+                                   {"start": args[1], "length": args[2]}, args[0])
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Substring(path, start, len) expected: {self.text!r}")
             return {"__converter__": "substring",
                     "args": {"src": args[0].name, "start": args[1], "length": args[2]}}
         if name == "Sort":
             order = args[1] if len(args) > 1 else "asc"
+            if isinstance(args[0], list):  # literal list: fold
+                return sorted(args[0], reverse=(order == "desc"))
+            if not isinstance(args[0], Col):
+                raise OTTLParseError(
+                    f"Sort() takes a path or literal list: {self.text!r}")
             return {"__converter__": "list_sort", "args": {"src": args[0].name, "order": order}}
         if name in ("Int", "Double", "String"):
+            if len(args) == 1 and not isinstance(args[0], (Col, dict, list)):
+                v = args[0]  # literal: fold like the reference's getters
+                if name == "Int":
+                    return int(v)
+                if name == "Double":
+                    return float(v)
+                return ("true" if v else "false") if isinstance(v, bool) else str(v)
             to = {"Int": "int64", "Double": "float64", "String": "str"}[name]
             return {"__converter__": "cast", "args": {"src": args[0].name, "to": to}}
         if name in self._TIME_CONVERTERS:
@@ -234,11 +313,18 @@ class _Parser:
                     "args": {"src": args[0].name, "part": name.lower()}}
         if name in self._DUR_UNIT_CONVERTERS:
             # Hours(Duration-string path): parse + convert in one step
+            unit = self._DUR_UNIT_CONVERTERS[name]
+            if len(args) == 1 and isinstance(args[0], str):
+                return self._fold1("duration", {"unit": unit}, args[0])
+            if len(args) == 1 and isinstance(args[0], (int, float)):
+                # an already-folded Duration(...) literal, in seconds
+                from .stages.transform import Statement as _St
+
+                return float(args[0]) * _St._DUR_UNIT[unit]
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "duration",
-                    "args": {"src": args[0].name,
-                             "unit": self._DUR_UNIT_CONVERTERS[name]}}
+                    "args": {"src": args[0].name, "unit": unit}}
         if name in self._UNIX_CONVERTERS:
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
@@ -252,34 +338,89 @@ class _Parser:
             return {"__converter__": editor,
                     "args": {"src": args[0].name, key: args[1]}}
         if name in self._CASE_CONVERTERS:
-            if len(args) != 1 or not isinstance(args[0], Col):
+            if len(args) != 1:
+                raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("convert_case",
+                                   {"case": self._CASE_CONVERTERS[name]}, args[0])
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "convert_case",
                     "args": {"src": args[0].name,
                              "case": self._CASE_CONVERTERS[name]}}
         if name == "GetXML":
-            if len(args) != 2 or not isinstance(args[0], Col):
+            if len(args) != 2:
                 raise OTTLParseError(f"GetXML(path, xpath) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("get_xml", {"xpath": args[1]}, args[0])
             return {"__converter__": "get_xml",
                     "args": {"src": args[0].name, "xpath": args[1]}}
         if name == "RemoveXML":
-            if len(args) != 2 or not isinstance(args[0], Col):
+            if len(args) != 2:
                 raise OTTLParseError(f"RemoveXML(path, xpath) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("remove_xml", {"xpath": args[1]}, args[0])
             return {"__converter__": "remove_xml",
                     "args": {"src": args[0].name, "xpath": args[1]}}
         if name == "InsertXML":
-            if len(args) != 3 or not isinstance(args[0], Col):
+            if len(args) != 3:
                 raise OTTLParseError(f"InsertXML(path, xpath, sub) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("insert_xml", {"xpath": args[1],
+                                                  "sub_document": args[2]}, args[0])
             return {"__converter__": "insert_xml",
                     "args": {"src": args[0].name, "xpath": args[1],
                              "sub_document": args[2]}}
-        if name == "ConvertCase":
+        if name == "ExtractPatterns":
+            # literal source folds to a struct-like dict of named groups
+            if len(args) != 2 or not isinstance(args[1], str):
+                raise OTTLParseError(
+                    f"ExtractPatterns(x, pattern) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                m = re.search(args[1], args[0])
+                return {k: v for k, v in (m.groupdict() if m else {}).items()}
+            raise OTTLParseError(
+                f"ExtractPatterns over paths: use the extract_patterns editor: {self.text!r}")
+        if name == "Index":
+            # func_index.go over string literals: substring position
+            if len(args) == 2 and isinstance(args[0], str) and isinstance(args[1], str):
+                return args[0].find(args[1])
+            raise OTTLParseError(f"Index(str, substr) literals expected: {self.text!r}")
+        if name == "FormatTime":
             if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
+                raise OTTLParseError(f"FormatTime(path, fmt) expected: {self.text!r}")
+            return {"__converter__": "format_time",
+                    "args": {"src": args[0].name, "format": args[1]}}
+        if name == "TruncateTime":
+            # second arg is a (folded) Duration in seconds; map the
+            # reference's common granularities to floor_temporal units
+            if len(args) != 2 or not isinstance(args[0], Col) \
+                    or not isinstance(args[1], (int, float)):
+                raise OTTLParseError(
+                    f"TruncateTime(path, Duration(...)) expected: {self.text!r}")
+            units = {1.0: "second", 60.0: "minute", 3600.0: "hour",
+                     86400.0: "day", 1e-3: "millisecond", 1e-6: "microsecond"}
+            unit = units.get(float(args[1]))
+            if unit is None:
+                raise OTTLParseError(
+                    f"TruncateTime: unsupported granularity {args[1]}: {self.text!r}")
+            return {"__converter__": "truncate_time",
+                    "args": {"src": args[0].name, "unit": unit}}
+        if name == "ConvertCase":
+            if len(args) != 2 or not isinstance(args[1], str):
+                raise OTTLParseError(f"ConvertCase(path, case) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("convert_case", {"case": args[1]}, args[0])
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"ConvertCase(path, case) expected: {self.text!r}")
             return {"__converter__": "convert_case",
                     "args": {"src": args[0].name, "case": args[1]}}
         if name == "Split":
-            if len(args) != 2 or not isinstance(args[0], Col):
+            if len(args) != 2:
+                raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("split", {"sep": args[1]}, args[0])
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
             return {"__converter__": "split",
                     "args": {"src": args[0].name, "sep": args[1]}}
@@ -293,8 +434,22 @@ class _Parser:
                 raise OTTLParseError(f"ContainsValue(path, value) expected: {self.text!r}")
             return {"__converter__": "contains_value",
                     "args": {"src": args[0].name, "value": args[1]}}
+        if name == "Base64Decode":
+            # func_base64decode.go returns a STRING (deprecated alias
+            # of Decode(x, "base64")); the binary-returning
+            # base64_decode editor stays engine-internal
+            if len(args) != 1:
+                raise OTTLParseError(f"Base64Decode(x) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("decode", {"encoding": "base64"}, args[0])
+            return {"__converter__": "decode",
+                    "args": {"src": args[0].name, "encoding": "base64"}}
         if name == "Decode":
-            if len(args) != 2 or not isinstance(args[0], Col):
+            if len(args) != 2 or not isinstance(args[1], str):
+                raise OTTLParseError(f"Decode(path, encoding) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("decode", {"encoding": args[1]}, args[0])
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Decode(path, encoding) expected: {self.text!r}")
             return {"__converter__": "decode",
                     "args": {"src": args[0].name, "encoding": args[1]}}
@@ -314,7 +469,113 @@ class _Parser:
                 raise OTTLParseError(f"Format(fmt, [args]) expected: {self.text!r}")
             return {"__converter__": "format",
                     "args": {"fmt": args[0], "args": args[1]}}
+        if name == "ConvertAttributesToElementsXML":
+            xpath = args[1] if len(args) > 1 else None
+            if isinstance(args[0], str):  # literal doc: fold at compile
+                from .stages.transform import attrs_to_elements_xml
+
+                return attrs_to_elements_xml(args[0], xpath)
+            return {"__converter__": "convert_attrs_xml",
+                    "args": {"src": args[0].name, "xpath": xpath}}
+        if name == "ConvertTextToElementsXML":
+            xpath = args[1] if len(args) > 1 else None
+            elem = args[2] if len(args) > 2 else "value"
+            if isinstance(args[0], str):
+                from .stages.transform import text_to_elements_xml
+
+                return text_to_elements_xml(args[0], xpath, elem)
+            return {"__converter__": "convert_text_xml",
+                    "args": {"src": args[0].name, "xpath": xpath,
+                             "element_name": elem}}
+        if name == "Reduce":
+            if len(args) != 3 or not isinstance(args[2], dict) \
+                    or "__lambda__" not in args[2]:
+                raise OTTLParseError(
+                    f"Reduce(source, seed, (acc, k, v) => ...) expected: {self.text!r}")
+            return self._compile_reduce(args[0], args[1], args[2])
         raise OTTLParseError(f"unsupported converter {name}() in {self.text!r}")
+
+    # ------------------------------------------------------------ Reduce
+
+    def _compile_reduce(self, source, seed, lam):
+        """func_reduce.go through the textual front-end: recognize the
+        accumulator shapes the columnar engine can vectorize (numeric
+        fold, value concat, key-value concat). Literal sources fold at
+        compile time; path sources become list_reduce /
+        map_reduce_concat editors."""
+        params = lam["__lambda__"]
+        if len(params) != 3:
+            raise OTTLParseError(
+                f"Reduce lambda must take (acc, key, value): {self.text!r}")
+        acc_n, key_n, val_n = params
+        body = lam["body"]
+
+        def is_param(x, nm):
+            return isinstance(x, Col) and x.name == nm
+
+        def is_val_expr(x):
+            # v | Int(v) | Double(v) | String(v)
+            if is_param(x, val_n):
+                return True
+            return (isinstance(x, dict) and x.get("__converter__") == "cast"
+                    and x["args"].get("src") == val_n)
+
+        kind = None
+        if body[0] == "arith" and is_param(body[2], acc_n) and is_val_expr(body[3]):
+            kind = ("numeric", {"+": "sum", "*": "product"}[body[1]])
+        elif body[0] == "value" and isinstance(body[1], dict) \
+                and body[1].get("__converter__") == "concat":
+            parts = body[1]["args"]["parts"]
+            sep = body[1]["args"]["sep"]
+            # only sep=="" folds to a segment concat (acc is a running
+            # prefix, so a non-empty sep would also separate acc from
+            # each appended piece — not expressible as one join)
+            if sep == "" and len(parts) >= 2 and is_param(parts[0], acc_n):
+                rest = parts[1:]
+                if len(rest) <= 2 and is_val_expr(rest[0]) and \
+                        all(isinstance(r, str) for r in rest[1:]):
+                    kind = ("list_concat", "",
+                            rest[1] if len(rest) > 1 else "")
+                elif len(rest) == 4 and is_param(rest[0], key_n) \
+                        and isinstance(rest[1], str) and is_val_expr(rest[2]) \
+                        and isinstance(rest[3], str):
+                    kind = ("kv_concat", rest[1], rest[3])
+        if kind is None:
+            raise OTTLParseError(
+                f"unsupported Reduce accumulator shape: {self.text!r}")
+
+        if isinstance(source, (list, dict)):  # literal: fold now
+            if kind[0] == "numeric":
+                items = source.values() if isinstance(source, dict) else source
+                acc = seed
+                for v in items:
+                    acc = acc + v if kind[1] == "sum" else acc * v
+                return acc
+            if kind[0] == "list_concat":
+                if not isinstance(source, list):
+                    raise OTTLParseError(
+                        f"value-concat Reduce needs a list source: {self.text!r}")
+                _, _, suffix = kind
+                return str(seed) + "".join(str(v) + suffix for v in source)
+            if not isinstance(source, dict):
+                raise OTTLParseError(
+                    f"key-value Reduce needs a map source: {self.text!r}")
+            _, kv_sep, entry_sep = kind
+            return str(seed) + "".join(
+                f"{k}{kv_sep}{v}{entry_sep}" for k, v in source.items())
+
+        if not isinstance(source, Col):
+            raise OTTLParseError(f"Reduce source must be a path or literal: {self.text!r}")
+        if kind[0] == "numeric":
+            return {"__converter__": "list_reduce",
+                    "args": {"src": source.name, "op": kind[1], "seed": seed}}
+        if kind[0] == "list_concat":
+            return {"__converter__": "list_reduce",
+                    "args": {"src": source.name, "op": "concat", "seed": seed,
+                             "sep": kind[1], "suffix": kind[2]}}
+        return {"__converter__": "map_reduce_concat",
+                "args": {"src": source.name, "kv_sep": kind[1],
+                         "entry_sep": kind[2], "seed": str(seed)}}
 
     # ------------------------------------------------------- conditions
 
@@ -448,6 +709,15 @@ class _Parser:
                 raise OTTLParseError(f"append(path, value) expected: {self.text!r}")
             return Statement("append", {"target": args[0].name,
                                         "value": args[1]}, where)
+        if editor == "merge_maps":
+            # merge_maps(target_map, source_map, "insert"|"update"|"upsert")
+            if len(args) != 3 or not isinstance(args[0], Col) \
+                    or not isinstance(args[1], Col) or not isinstance(args[2], str):
+                raise OTTLParseError(
+                    f"merge_maps(target, source, strategy) expected: {self.text!r}")
+            return Statement("merge_maps", {"target": args[0].name,
+                                            "src": args[1].name,
+                                            "strategy": args[2]}, where)
         if editor == "limit":
             # limit(attributes_struct, max, ["priority", ...])
             if len(args) < 2 or not isinstance(args[0], Col):

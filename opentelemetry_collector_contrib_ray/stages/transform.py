@@ -278,6 +278,21 @@ class Statement:
 
         return _masked(tbl, target, murmur3_32_hex(_val(tbl, Col(src))), mask)
 
+    def _op_murmur3_128(self, tbl, mask, target: str, src: str):
+        from ..functions.encode import murmur3_128_hex
+
+        return _masked(tbl, target, murmur3_128_hex(_val(tbl, Col(src))), mask)
+
+    def _op_xxh3(self, tbl, mask, target: str, src: str):
+        from ..functions.xxh import xxh3_64_hex
+
+        return _masked(tbl, target, xxh3_64_hex(_val(tbl, Col(src))), mask)
+
+    def _op_xxh128(self, tbl, mask, target: str, src: str):
+        from ..functions.xxh import xxh128_hex
+
+        return _masked(tbl, target, xxh128_hex(_val(tbl, Col(src))), mask)
+
     def _op_uuid(self, tbl, mask, target: str):
         from ..functions.encode import uuid4_strings
 
@@ -1068,6 +1083,131 @@ class Statement:
             tbl = _masked(tbl, k, pc.cast(_val(tbl, Col(k)), pa.string()), mask)
         return tbl
 
+    def _op_merge_maps(self, tbl, mask, target: str, src: str,
+                       strategy: str = "upsert"):
+        # func_merge_maps.go:46-69: merge the source map into the
+        # target map. Columnar model: struct columns carry a fixed key
+        # set, so "key absent in this row" = null field value.
+        #   insert: keep target where present, fill absent from source
+        #   update: overwrite only keys target already has (source-only
+        #           fields are dropped, row-absent target keys stay null)
+        #   upsert: source wins where present, union of fields
+        if strategy not in ("insert", "update", "upsert"):
+            raise ValueError(f"merge_maps: invalid strategy {strategy!r}")
+        tcol = _val(tbl, Col(target))
+        scol = _val(tbl, Col(src))
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if isinstance(scol, pa.ChunkedArray):
+            scol = scol.combine_chunks()
+        tnames = [f.name for f in tcol.type]
+        snames = [f.name for f in scol.type]
+        out_names = list(tnames)
+        if strategy != "update":
+            out_names += [n for n in snames if n not in tnames]
+        arrays, names = [], []
+        for nm in out_names:
+            tv = pc.struct_field(tcol, nm) if nm in tnames else None
+            sv = pc.struct_field(scol, nm) if nm in snames else None
+            if tv is not None and sv is not None and tv.type != sv.type:
+                if pa.types.is_null(tv.type):  # all-absent target field
+                    tv = pc.cast(tv, sv.type)
+                else:
+                    sv = pc.cast(sv, tv.type, safe=False)
+            if sv is None:
+                v = tv
+            elif tv is None:
+                v = sv
+            elif strategy == "insert":
+                v = pc.coalesce(tv, sv)
+            elif strategy == "update":
+                v = pc.if_else(
+                    pc.and_kleene(pc.is_valid(tv), pc.is_valid(sv)), sv, tv)
+            else:
+                v = pc.coalesce(sv, tv)
+            arrays.append(v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v)
+            names.append(nm)
+        out = pa.StructArray.from_arrays(arrays, names=names)
+        return _masked(tbl, target, out, mask)
+
+    def _op_list_reduce(self, tbl, mask, target: str, src: str, op: str,
+                        seed: Any = None, sep: str = "", suffix: str = ""):
+        # func_reduce.go over a list column, for the recognized
+        # accumulator shapes the textual front-end folds to:
+        #   sum/product/min/max — segmented numpy reduceat, null items
+        #   skipped (identity element), empty list -> seed
+        #   concat — seed + join(item + suffix for items, sep)
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        n = tbl.num_rows
+        row_null = pc.is_null(col_)
+        if op == "concat":
+            items = pc.cast(col_.flatten(), pa.string())
+            if suffix:
+                items = pc.binary_join_element_wise(
+                    items, pa.scalar(suffix), "")
+            rebuilt = pa.ListArray.from_arrays(col_.offsets, items)
+            joined = pc.binary_join(rebuilt, sep)
+            if seed:
+                joined = pc.binary_join_element_wise(
+                    pa.scalar(str(seed)), joined, "")
+            out = pc.if_else(row_null, pa.nulls(n, pa.string()), joined)
+            return _masked(tbl, target, out, mask)
+        flat = col_.flatten()
+        vals = pc.cast(flat, pa.float64()).to_numpy(zero_copy_only=False)
+        ident = {"sum": 0.0, "product": 1.0,
+                 "min": np.inf, "max": -np.inf}[op]
+        item_ok = (~np.isnan(vals)).astype(np.float64)
+        vals = np.where(np.isnan(vals), ident, vals)
+        offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]  # flatten() starts at the slice origin
+        lens = np.diff(offs)
+        ufunc = {"sum": np.add, "product": np.multiply,
+                 "min": np.minimum, "max": np.maximum}[op]
+        # pad one identity element so start offsets equal to len(vals)
+        # (trailing empty lists) stay valid without shifting segments
+        vals_p = np.append(vals, ident)
+        agg = ufunc.reduceat(vals_p, offs[:-1]) if n else np.empty(0)
+        agg = np.where(lens == 0, ident, agg)
+        # rows with no usable value AND no seed have no fold result
+        # (min/max identity is +-inf — never a valid output)
+        n_ok = np.add.reduceat(np.append(item_ok, 0.0), offs[:-1]) if n \
+            else np.empty(0)
+        n_ok = np.where(lens == 0, 0.0, n_ok)
+        no_result = (n_ok == 0) & (seed is None)
+        if seed is not None:
+            agg = ufunc(agg, float(seed))
+        int_out = (pa.types.is_integer(flat.type)
+                   and (seed is None or isinstance(seed, int)))
+        agg = np.where(no_result, 0.0, agg)  # placeholder under the null
+        arr = pa.array(agg.astype(np.int64) if int_out else agg)
+        bad = pa.array(no_result) if no_result.any() else None
+        out = pc.if_else(row_null, pa.nulls(n, arr.type), arr)
+        if bad is not None:
+            out = pc.if_else(bad, pa.nulls(n, arr.type), out)
+        return _masked(tbl, target, out, mask)
+
+    def _op_map_reduce_concat(self, tbl, mask, target: str, src: str,
+                              kv_sep: str = "=", entry_sep: str = ";",
+                              seed: str = ""):
+        # The Reduce(map, seed, (acc, k, v) => Concat([acc, k, kv_sep,
+        # String(v), entry_sep], "")) shape from the reference e2e
+        # corpus (pkg/ottl/e2e/e2e_test.go): seed + per-entry
+        # k<kv_sep>v<entry_sep>, null field values (absent keys) skipped.
+        col_ = _val(tbl, Col(src))
+        pieces: list[Any] = []
+        for field in col_.type:
+            v = pc.cast(pc.struct_field(col_, field.name), pa.string())
+            entry = pc.binary_join_element_wise(
+                pa.scalar(field.name + kv_sep), v, pa.scalar(entry_sep), "")
+            pieces.append(pc.fill_null(entry, ""))
+        if pieces:
+            out = pc.binary_join_element_wise(pa.scalar(seed), *pieces, "")
+        else:
+            out = pa.array([seed] * tbl.num_rows, pa.string())
+        return _masked(tbl, target, out, mask)
+
     # --- XML edit family (attr-sized payloads, like parse_xml) ---
 
     def _xml_apply(self, tbl, mask, target, src, fn):
@@ -1088,9 +1228,9 @@ class Statement:
         from xml.etree import ElementTree
 
         def fn(root):
-            hits = root.findall(xpath)
+            hits = _et_findall_abs(root, xpath)
             return "".join(
-                ElementTree.tostring(h, encoding="unicode") for h in hits)
+                ElementTree.tostring(h, encoding="unicode", short_empty_elements=False) for h in hits)
 
         return self._xml_apply(tbl, mask, target, src, fn)
 
@@ -1101,12 +1241,12 @@ class Statement:
         def fn(root):
             # ElementTree removal needs the parent; collect victims by
             # identity, then walk every parent and detach
-            victims = set(id(e) for e in root.findall(xpath))
+            victims = set(id(e) for e in _et_findall_abs(root, xpath))
             for parent in list(root.iter()):
                 for child in list(parent):
                     if id(child) in victims:
                         parent.remove(child)
-            return ElementTree.tostring(root, encoding="unicode")
+            return ElementTree.tostring(root, encoding="unicode", short_empty_elements=False)
 
         return self._xml_apply(tbl, mask, target, src, fn)
 
@@ -1119,38 +1259,170 @@ class Statement:
         sub = ElementTree.fromstring(sub_document)
 
         def fn(root):
-            for hit in root.findall(xpath) or ([root] if xpath in (".", "") else []):
+            for hit in _et_findall_abs(root, xpath) or ([root] if xpath in (".", "") else []):
                 import copy
 
                 hit.append(copy.deepcopy(sub))
-            return ElementTree.tostring(root, encoding="unicode")
+            return ElementTree.tostring(root, encoding="unicode", short_empty_elements=False)
 
         return self._xml_apply(tbl, mask, target, src, fn)
+
+    def _op_convert_attrs_xml(self, tbl, mask, target: str, src: str,
+                              xpath: str | None = None):
+        # func_convert_attributes_to_elements_xml.go
+        from xml.etree import ElementTree
+
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            try:
+                outs.append(None if s is None else attrs_to_elements_xml(s, xpath))
+            except ElementTree.ParseError:
+                outs.append(None)  # invalid XML: null, like _xml_apply
+        return _masked(tbl, target, pa.array(outs, pa.string()), mask)
+
+    def _op_convert_text_xml(self, tbl, mask, target: str, src: str,
+                             xpath: str | None = None,
+                             element_name: str = "value"):
+        # func_convert_text_to_elements_xml.go
+        from xml.etree import ElementTree
+
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            try:
+                outs.append(None if s is None
+                            else text_to_elements_xml(s, xpath, element_name))
+            except ElementTree.ParseError:
+                outs.append(None)
+        return _masked(tbl, target, pa.array(outs, pa.string()), mask)
 
     def _op_format(self, tbl, mask, target: str, fmt: str, args: list[Any]):
         # func_format.go (fmt.Sprintf subset): %s and %d verbs,
         # literals interleaved; column args vectorize via cast+join
         import re as _re
 
-        pieces = _re.split(r"(%[sd])", fmt)
+        pieces = _re.split(r"(%0?\d*[sd])", fmt)
         cols: list[Any] = []
         ai = 0
         for p in pieces:
-            if p in ("%s", "%d"):
+            if _re.fullmatch(r"%0?\d*[sd]", p):
                 if ai >= len(args):
                     raise ValueError("format: not enough args")
                 v = _val(tbl, args[ai])
                 ai += 1
+                width = int(p[1:-1].lstrip("0") or 0) if len(p) > 2 else 0
+                pad = "0" if p[1] == "0" else " "
                 if isinstance(v, (pa.Array, pa.ChunkedArray)):
-                    if p == "%d":
+                    if p.endswith("d"):
                         v = pc.cast(v, pa.int64())
-                    cols.append(pc.cast(v, pa.string()))
+                    v = pc.cast(v, pa.string())
+                    if width:
+                        v = pc.utf8_lpad(v, width=width, padding=pad)
+                    cols.append(v)
                 else:
-                    cols.append(str(v))
+                    if p.endswith("d"):
+                        v = int(v)
+                    cols.append(str(v).rjust(width, pad) if width else str(v))
             elif p:
                 cols.append(p)
         out = pc.binary_join_element_wise(*cols, "") if len(cols) > 1 else cols[0]
         return _masked(tbl, target, out, mask)
+
+
+def _et_parse_keep_decl(text: str):
+    """ElementTree drops the <?xml?> declaration; remember it so the
+    reference's round-trip outputs (which keep it) compare equal."""
+    from xml.etree import ElementTree
+
+    decl = ""
+    stripped = text.lstrip()
+    if stripped.startswith("<?xml"):
+        end = stripped.index("?>") + 2
+        decl = stripped[:end]
+    return decl, ElementTree.fromstring(text)
+
+
+def _et_findall_abs(root, path: str) -> list:
+    """The reference uses absolute xmlquery XPaths (/a/b); translate
+    the subset ElementTree understands: strip a leading /<root-tag>,
+    map // to .//."""
+    if path.startswith("//"):
+        return root.findall("." + path)
+    if path.startswith("/"):
+        segs = path[1:].split("/")
+        if segs[0] != root.tag:
+            return []
+        rel = "/".join(segs[1:])
+        if rel.startswith("/"):  # /root//x — descendant axis mid-path
+            rel = "./" + rel     # "/x" -> ".//x"
+        return [root] if not rel else root.findall(rel)
+    return root.findall(path)
+
+
+def attrs_to_elements_xml(text: str, xpath: str | None = None) -> str:
+    """func_convert_attributes_to_elements_xml.go: convert attributes
+    of the matched elements (default //@* = everywhere) into child
+    elements appended last, in attribute order; selecting an element
+    (not its attributes) converts nothing, as in the reference."""
+    from xml.etree import ElementTree
+
+    decl, root = _et_parse_keep_decl(text)
+    if not xpath or xpath == "//@*":
+        targets = list(root.iter())
+    elif xpath.endswith("/@*"):
+        targets = _et_findall_abs(root, xpath[:-3])
+    else:
+        targets = []  # element-node matches are skipped by the reference
+    for el in targets:
+        for k, v in list(el.attrib.items()):
+            child = ElementTree.Element(k)
+            child.text = v
+            el.append(child)
+        el.attrib.clear()
+    return decl + ElementTree.tostring(root, encoding="unicode",
+                                       short_empty_elements=False)
+
+
+def text_to_elements_xml(text: str, xpath: str | None = None,
+                         element_name: str = "value") -> str:
+    """func_convert_text_to_elements_xml.go: wrap extraneous text
+    nodes in a dedicated element. A text node is extraneous when its
+    parent holds more than one text/element child; a lone text child
+    stays bare (reference rule: valueCount==0 or value+element<=1
+    leaves the node alone)."""
+    from xml.etree import ElementTree
+
+    decl, root = _et_parse_keep_decl(text)
+
+    def wrap(el):
+        for c in list(el):
+            wrap(c)
+        value_count = (1 if el.text else 0) + sum(1 for c in el if c.tail)
+        if value_count == 0 or value_count + len(el) <= 1:
+            return
+        new_children = []
+        if el.text:
+            w = ElementTree.Element(element_name)
+            w.text = el.text
+            el.text = None
+            new_children.append(w)
+        for c in list(el):
+            new_children.append(c)
+            if c.tail:
+                w = ElementTree.Element(element_name)
+                w.text = c.tail
+                c.tail = None
+                new_children.append(w)
+        for c in list(el):
+            el.remove(c)
+        el.extend(new_children)
+
+    for el in (_et_findall_abs(root, xpath) if xpath and xpath != "/"
+               else [root]):
+        wrap(el)
+    return decl + ElementTree.tostring(root, encoding="unicode",
+                                       short_empty_elements=False)
 
 
 @register("transform")
