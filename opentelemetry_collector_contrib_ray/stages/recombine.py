@@ -75,14 +75,17 @@ class Recombine:
             rows.append(row)
         return pd.DataFrame(rows)
 
-    def apply(self, ds: ray.data.Dataset, strategy: str = "groupby",
+    def apply(self, ds: ray.data.Dataset, strategy: str | None = None,
               merge: str = "stream") -> ray.data.Dataset:
-        """strategy='groupby' (default): shuffle whole groups and scan
-        each once — measured faster here (ray's sort costs more than
-        its groupby shuffle at these sizes). strategy='sort': the
-        sort + per-block-partial variant, which bounds per-task memory
-        by block size instead of group size — use it when a single
-        group (hot conv) cannot fit one task.
+        """strategy=None (default) resolves to the VECTORIZED paths:
+        'sort' when there is no is_first_entry predicate, else the
+        segmented sort variant — both bound per-task memory by block
+        size and never build a per-group pandas frame over raw rows.
+        strategy='groupby': shuffle whole groups and scan each once
+        (per-group pandas — kept for parity testing and for callers
+        whose groups are tiny). strategy='sort': sort +
+        per-block-partial; use when a single group (hot conv) cannot
+        fit one task.
 
         merge='stream' (default): the partial stream feeds ONE merge
         groupby while partials are still being produced — fastest on
@@ -94,6 +97,10 @@ class Recombine:
         shape (shuffled bytes are O(block boundaries), not O(corpus));
         costs a materialize + extra pass locally."""
         self._merge_mode = merge
+        if strategy is None:
+            strategy = "sort" if self.first_pred is None else "segmented"
+        if strategy in ("sort", "segmented") and self.first_pred is not None:
+            return self._apply_segmented(ds)
         if strategy == "sort" and self.first_pred is None:
             return self._apply_sorted(ds)
         if strategy == "presorted" and self.first_pred is None:
@@ -117,10 +124,25 @@ class Recombine:
         over millions of raw rows."""
         return self._merge_partials(self._block_partials(ds.sort([self.group_key, self.order_key])))
 
-    def _block_partials(self, sorted_ds: ray.data.Dataset) -> ray.data.Dataset:
+    def _apply_segmented(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """is_first_entry with no per-group pandas over raw rows: sort
+        by (group, order), break block partials at group changes AND
+        marker rows (each partial then lies inside one segment), and
+        merge per group over PARTIAL rows only — bounded by
+        #segments + #block-boundaries, not raw turns. Segment
+        numbering carries across blocks because a partial's first row
+        is a marker iff it starts a segment, so the partial-level
+        marker cumsum equals the row-level one."""
+        sorted_ds = ds.sort([self.group_key, self.order_key])
+        return self._merge_partials_segmented(
+            self._block_partials(sorted_ds, segmented=True))
+
+    def _block_partials(self, sorted_ds: ray.data.Dataset,
+                        segmented: bool = False) -> ray.data.Dataset:
         group_key, order_key = self.group_key, self.order_key
         combine_field, combine_with = self.combine_field, self.combine_with
         keep_fields = self.keep_fields
+        first_pred = self.first_pred if segmented else None
 
         def block_partial(b: "pa.Table") -> "pa.Table":
             # groups are contiguous within a (pre)sorted block, so the
@@ -139,11 +161,17 @@ class Recombine:
                     "n_turns": pa.array([], pa.int64()),
                     "first_" + order_key: pa.array([], b.schema.field(order_key).type),
                 }
+                if first_pred is not None:
+                    cols["_marker"] = pa.array([], pa.bool_())
                 for f in keep_fields:
                     cols[f] = pa.array([], b.schema.field(f).type)
                 return pa.table(cols)
             keys = b[group_key].to_numpy(zero_copy_only=False)
-            starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+            brk = np.concatenate([[True], keys[1:] != keys[:-1]])
+            if first_pred is not None:
+                marker = first_pred(b).to_numpy(zero_copy_only=False)
+                brk |= marker
+            starts = np.nonzero(brk)[0]
             offs = pa.array(np.append(starts, n).astype(np.int32), pa.int32())
             texts = b[combine_field]
             if isinstance(texts, pa.ChunkedArray):
@@ -162,6 +190,8 @@ class Recombine:
                                        if isinstance(b[order_key], pa.ChunkedArray)
                                        else b[order_key]).take(idx),
             }
+            if first_pred is not None:
+                cols["_marker"] = pa.array(marker[starts])
             for f in keep_fields:
                 c = b[f].combine_chunks() if isinstance(b[f], pa.ChunkedArray) else b[f]
                 cols[f] = c.take(idx)
@@ -169,6 +199,32 @@ class Recombine:
 
         return sorted_ds.map_batches(
             block_partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def _merge_partials_segmented(self, partials: ray.data.Dataset) -> ray.data.Dataset:
+        group_key, order_key = self.group_key, self.order_key
+        combine_field, combine_with = self.combine_field, self.combine_with
+        keep_fields = self.keep_fields
+        first_key = "first_" + order_key
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(first_key, kind="mergesort")
+            seg = g["_marker"].astype(int).cumsum()
+            seg[seg == 0] = 1  # leading partials before any marker
+            rows = []
+            for seg_id, sg in g.groupby(seg.values, sort=True):
+                row = {
+                    group_key: sg[group_key].iloc[0],
+                    "segment": int(seg_id),
+                    combine_field: combine_with.join(sg[combine_field]),
+                    "n_turns": int(sg["n_turns"].sum()),
+                    first_key: sg[first_key].iloc[0],
+                }
+                for f in keep_fields:
+                    row[f] = sg[f].iloc[0]
+                rows.append(row)
+            return pd.DataFrame(rows)
+
+        return partials.groupby(group_key).map_groups(merge, batch_format="pandas")
 
     def _merge_partials(self, partials: ray.data.Dataset) -> ray.data.Dataset:
         if getattr(self, "_merge_mode", "stream") == "bypass":

