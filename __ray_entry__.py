@@ -1211,6 +1211,43 @@ def _q_events_iforest(sf_dir: str):
     return scored.select_columns(["event_id", "anomaly_score", "is_anomaly"])
 
 
+def _q_geoip_enrich(sf_dir: str):
+    """GeoIP-shape range enrichment (processor/geoipprocessor as a
+    broadcast CIDR lookup; oracle = DuckDB BETWEEN join on the ip
+    integer): derive a deterministic IPv4 per event, enrich from a
+    150-block /16 database; blocks 150-199 intentionally uncovered so
+    the left-join null path is exercised."""
+    from opentelemetry_collector_contrib_ray.stages.geoip import (
+        cidr_to_ranges,
+        geoip_enrich,
+    )
+
+    ds = read_table(sf_dir, "events")
+
+    def with_ip(b: pa.Table) -> pa.Table:
+        uid = pc.cast(b["user_id"], pa.int64())
+        eid = pc.cast(b["event_id"], pa.int64())
+        o2 = pc.cast(pc.subtract(uid, pc.multiply(pc.divide(uid, 200), 200)),
+                     pa.string())
+        o3 = pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 250), 250)),
+                     pa.string())
+        ip = pc.binary_join_element_wise("10.", o2, ".", o3, ".1", "")
+        return pa.table({"event_id": b["event_id"], "ip": ip})
+
+    withip = ds.map_batches(with_ip, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+    countries = ["US", "DE", "JP"]
+    db = pa.table({
+        "cidr": [f"10.{n}.0.0/16" for n in range(150)],
+        "geo_region": [f"region-{n}" for n in range(150)],
+        "geo_country": [countries[n % 3] for n in range(150)],
+    })
+    ranges = cidr_to_ranges(db)
+    out = geoip_enrich(withip, "ip", ranges,
+                       ["geo_region", "geo_country"], how="left")
+    return out.select_columns(["event_id", "ip", "geo_region", "geo_country"])
+
+
 def _q_asof_join(sf_dir: str):
     """As-of join (training-data custom operator; oracle = DuckDB
     ASOF LEFT JOIN): every event joined to the user's latest
@@ -1366,6 +1403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_windowed": _q_dedup_windowed,
         "ottl_funcs2": _q_ottl_funcs2,
         "events_iforest": _q_events_iforest,
+        "geoip_enrich": _q_geoip_enrich,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1609,6 +1647,24 @@ SELECT event_id,
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
 FROM events""",
+        "geoip_enrich": """
+WITH ips AS (
+  SELECT event_id,
+    '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+          || CAST(event_id % 250 AS VARCHAR) || '.1' AS ip,
+    167772160 + (user_id % 200) * 65536 + (event_id % 250) * 256 + 1 AS ip_int
+  FROM events),
+db AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    167772160 + CAST(n AS BIGINT) * 65536 AS range_start,
+    167772160 + CAST(n AS BIGINT) * 65536 + 65535 AS range_end,
+    'region-' || CAST(n AS VARCHAR) AS geo_region,
+    CASE WHEN n % 3 = 0 THEN 'US' WHEN n % 3 = 1 THEN 'DE'
+         ELSE 'JP' END AS geo_country
+  FROM range(150) t(n))
+SELECT i.event_id, i.ip, d.geo_region, d.geo_country
+FROM ips i LEFT JOIN db d
+  ON i.ip_int BETWEEN d.range_start AND d.range_end""",
         "asof_join": """
 SELECT e.event_id, e.user_id, p.last_purchase_value, p.last_purchase_ts
 FROM events e ASOF LEFT JOIN (
