@@ -126,4 +126,40 @@ def _compile(spec: Any) -> Predicate:
     if op == "not_null":
         c = args[0]
         return lambda tbl: pc.is_valid(_value(tbl, c, tbl.num_rows))
+    if op == "typecheck":
+        # OTTL IsString/IsDouble/IsBool/IsInt/IsMap/IsList over a
+        # column: the Arrow column type is uniform, so the per-row
+        # answer is is_valid(col) & (column type matches) — a null row
+        # models pdata's nil value, which every Is* rejects
+        c, kind = args
+        checks = {"string": pa.types.is_string,
+                  "double": pa.types.is_floating,
+                  "bool": pa.types.is_boolean,
+                  "int": pa.types.is_integer,
+                  "map": lambda t: pa.types.is_struct(t) or pa.types.is_map(t),
+                  "list": pa.types.is_list}
+        chk = checks[kind]
+
+        def f_type(tbl):
+            v = _value(tbl, c, tbl.num_rows)
+            if not chk(v.type):
+                return pa.array([False] * tbl.num_rows)
+            return pc.is_valid(v)
+
+        return f_type
+    if op == "isempty":
+        # OTTL IsEmpty: "" / empty list / empty map; null -> False
+        c = args[0]
+
+        def f_empty(tbl):
+            v = _value(tbl, c, tbl.num_rows)
+            if pa.types.is_string(v.type):
+                return pc.equal(pc.utf8_length(v), 0)
+            if pa.types.is_list(v.type) or pa.types.is_map(v.type):
+                return pc.equal(pc.list_value_length(v), 0)
+            if pa.types.is_struct(v.type):  # fixed schema: empty iff
+                return pa.array([False] * tbl.num_rows)  # no fields, never here
+            return pa.array([False] * tbl.num_rows)
+
+        return f_empty
     raise ValueError(f"unknown predicate op {op!r}")

@@ -259,6 +259,18 @@ class _Parser:
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
+        if name == "Hex" and len(args) == 1 and \
+                isinstance(args[0], (bool, int, float)) and not isinstance(args[0], str):
+            # func_hex.go: big-endian bytes of the value (bool -> one
+            # byte, int -> 8 bytes, double -> IEEE-754 8 bytes)
+            import struct as _struct
+
+            v = args[0]
+            if isinstance(v, bool):
+                return "01" if v else "00"
+            if isinstance(v, float):
+                return _struct.pack(">d", v).hex()
+            return _struct.pack(">q", v).hex()
         if name in self._CONVERTER_EDITORS:
             editor, src_key = self._CONVERTER_EDITORS[name]
             if len(args) != 1:
@@ -382,10 +394,26 @@ class _Parser:
             raise OTTLParseError(
                 f"ExtractPatterns over paths: use the extract_patterns editor: {self.text!r}")
         if name == "Index":
-            # func_index.go over string literals: substring position
+            # func_index.go: substring position over string literals,
+            # element position over a list path (-1 when absent)
             if len(args) == 2 and isinstance(args[0], str) and isinstance(args[1], str):
                 return args[0].find(args[1])
-            raise OTTLParseError(f"Index(str, substr) literals expected: {self.text!r}")
+            if len(args) == 2 and isinstance(args[0], Col):
+                return {"__converter__": "list_position",
+                        "args": {"src": args[0].name, "value": args[1]}}
+            raise OTTLParseError(f"Index(list_or_str, value) expected: {self.text!r}")
+        if name == "Coalesce":
+            # func_coalesce.go: first non-nil of a list of getters
+            if len(args) != 1 or not isinstance(args[0], list):
+                raise OTTLParseError(f"Coalesce([values]) expected: {self.text!r}")
+            return {"__converter__": "coalesce",
+                    "args": {"sources": args[0]}}
+        if name == "ParseInt":
+            # func_parse_int.go (strconv.ParseInt): literal fold;
+            # base 0 auto-detects 0x/0o/0b prefixes like Go
+            if len(args) == 2 and isinstance(args[0], str) and isinstance(args[1], int):
+                return int(args[0], args[1])
+            raise OTTLParseError(f"ParseInt(str, base) literals expected: {self.text!r}")
         if name == "FormatTime":
             if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
                 raise OTTLParseError(f"FormatTime(path, fmt) expected: {self.text!r}")
@@ -607,17 +635,51 @@ class _Parser:
             return c
         return self._parse_comparison()
 
+    _TYPE_PREDICATES = {"IsString": "string", "IsDouble": "double",
+                        "IsBool": "bool", "IsInt": "int",
+                        "IsMap": "map", "IsList": "list"}
+
     def _parse_comparison(self) -> Any:
         if self.peek() == ("name", "IsMatch"):
             self.next()
             self.expect("(")
-            path = self.parse_path()
+            target = self.parse_value()
             self.expect(",")
             k, pat = self.next()
             if k != "string":
                 raise OTTLParseError(f"IsMatch pattern must be a string: {self.text!r}")
             self.expect(")")
-            return ("match", path, pat[1:-1])
+            # unescape like parse_value does for every other string
+            pattern = pat[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            if isinstance(target, str):  # literal: fold now
+                return bool(re.search(pattern, target))
+            if not isinstance(target, Col):
+                raise OTTLParseError(f"IsMatch target must be a path or string: {self.text!r}")
+            return ("match", target, pattern)
+        kind0, tok0 = self.peek()
+        if kind0 == "name" and tok0 in self._TYPE_PREDICATES \
+                and self.toks[self.pos + 1][1] == "(":
+            self.next()
+            self.expect("(")
+            v = self.parse_value()
+            self.expect(")")
+            want = self._TYPE_PREDICATES[tok0]
+            if isinstance(v, Col):
+                return ("typecheck", v, want)
+            got = {str: "string", float: "double", bool: "bool",
+                   int: "int", dict: "map", list: "list"}.get(type(v))
+            return got == want  # literal: constant condition
+        if kind0 == "name" and tok0 == "IsEmpty" \
+                and self.toks[self.pos + 1][1] == "(":
+            self.next()
+            self.expect("(")
+            v = self.parse_value()
+            self.expect(")")
+            if isinstance(v, Col):
+                return ("isempty", v)
+            if isinstance(v, (str, list, dict)):
+                return len(v) == 0
+            raise OTTLParseError(f"IsEmpty over unsupported literal: {self.text!r}")
         left = self.parse_value()
         kind, op = self.next()
         if op == "==" and self.peek() == ("name", "nil"):
@@ -709,6 +771,16 @@ class _Parser:
                 raise OTTLParseError(f"append(path, value) expected: {self.text!r}")
             return Statement("append", {"target": args[0].name,
                                         "value": args[1]}, where)
+        if editor == "delete_index":
+            # delete_index(path, i) — the endIndex/converter-index
+            # variants stay unsupported (fail loud)
+            if len(args) != 2 or not isinstance(args[0], Col) \
+                    or not isinstance(args[1], int):
+                raise OTTLParseError(
+                    f"delete_index(path, int) expected: {self.text!r}")
+            return Statement("delete_index",
+                             {"target": args[0].name, "src": args[0].name,
+                              "index": args[1]}, where)
         if editor == "merge_maps":
             # merge_maps(target_map, source_map, "insert"|"update"|"upsert")
             if len(args) != 3 or not isinstance(args[0], Col) \

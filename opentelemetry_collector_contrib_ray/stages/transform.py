@@ -378,6 +378,20 @@ class Statement:
         out = pc.if_else(ok, sliced, pa.nulls(tbl.num_rows, sliced.type))
         return _masked(tbl, target, out, mask)
 
+    def _op_list_position(self, tbl, mask, target: str, src: str, value: Any):
+        # func_index.go over a slice: position of the first element
+        # equal to ``value``, -1 when absent (Go strings.Index shape)
+        offs, flat, keep = self._list_elem_mask(tbl, src, "==", value)
+        lens = np.diff(offs)
+        pos = np.arange(len(keep)) - np.repeat(offs[:-1], lens)
+        big = np.where(keep, pos, np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(np.append(big, np.iinfo(np.int64).max),
+                                    offs[:-1]) if len(offs) > 1 \
+            else np.empty(0, np.int64)
+        first = np.where(lens == 0, np.iinfo(np.int64).max, first)
+        out = np.where(first == np.iinfo(np.int64).max, -1, first)
+        return _masked(tbl, target, pa.array(out.astype(np.int64)), mask)
+
     def _op_list_len(self, tbl, mask, target: str, src: str):
         out = pc.cast(pc.list_value_length(_val(tbl, Col(src))), pa.int64())
         return _masked(tbl, target, out, mask)

@@ -38,6 +38,7 @@ def base_table() -> pa.Table:
         "things": pa.array([[{"name": "foo", "value": 2},
                              {"name": "bar", "value": 5}]]),
         "slice2": pa.array([["val", "foo", "bar", "baz"]]),
+        "slices": pa.array([["slice1", "slice2", "name"]]),
         "array": pa.array([["looong"]]),
         "values_int": pa.array([[1, 2, 3]]),
     })
@@ -147,6 +148,36 @@ SET_CASES = [
      "labels_str", "env=prod;"),
     ('set(attributes["total"], Reduce(attributes["values_int"], 0, (acc, _, v) => acc + Int(v)))',
      "total", 6),
+    # --- Coalesce / ParseInt / Hex / Index ---
+    ('set(attributes["test"], Coalesce([attributes["http.method"], attributes["http.path"], "fallback"]))',
+     "test", "get"),
+    ('set(attributes["test"], Coalesce([attributes["nonexistent"], attributes["http.method"], "fallback"]))',
+     "test", "get"),
+    ('set(attributes["test"], Coalesce([attributes["nonexistent"], attributes["also.missing"], "fallback"]))',
+     "test", "fallback"),
+    ('set(attributes["test"], ParseInt("0xAF", 0))', "test", 175),
+    ('set(attributes["test"], ParseInt("12345", 10))', "test", 12345),
+    ('set(attributes["test"], ParseInt("AF", 16))', "test", 175),
+    ('set(attributes["test"], Hex(1.0))', "test", "3ff0000000000000"),
+    ('set(attributes["test"], Hex(true))', "test", "01"),
+    ('set(attributes["test"], Hex(12))', "test", "000000000000000c"),
+    ('set(attributes["indexof"], Index(attributes["slices"], "name"))',
+     "indexof", 2),
+    ('set(attributes["indexof"], Index(attributes["slices"], "slice2"))',
+     "indexof", 1),
+    # --- Is* predicates in where-clauses ---
+    ('set(attributes["test"], "pass") where IsBool(false)', "test", "pass"),
+    ('set(attributes["test"], "pass") where IsDouble(1.0)', "test", "pass"),
+    ('set(attributes["test"], "pass") where IsMap(attributes["foo"])',
+     "test", "pass"),
+    ('set(attributes["test"], "pass") where IsList(attributes["things"])',
+     "test", "pass"),
+    ('set(attributes["test"], "pass") where IsMatch("aa123bb", "\\\\d{3}")',
+     "test", "pass"),
+    ('set(attributes["test"], "pass") where IsString("")', "test", "pass"),
+    ('set(attributes["test"], "pass") where IsEmpty("")', "test", "pass"),
+    ('set(attributes["test"], "pass") where not IsEmpty(attributes["foo"])',
+     "test", "pass"),
 ]
 
 
@@ -227,6 +258,11 @@ def test_corpus_merge_maps():
 def test_corpus_append():
     out = run1('append(attributes["array"], "sample_value")')
     assert got(out, "array") == ["looong", "sample_value"]
+
+
+def test_corpus_delete_index():
+    out = run1('delete_index(attributes["slice2"], 0)')
+    assert got(out, "slice2") == ["foo", "bar", "baz"]
 
 
 def test_corpus_time_truncate_and_format():
