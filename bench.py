@@ -149,6 +149,9 @@ def _run_bench() -> dict:
         "stratified_sample",
         "topk_per_group",
         "graph_components",
+        "ottl_funcs2",
+        "events_iforest",
+        "geoip_enrich",
     ]
     qs = e.queries()
     qtimes = {}
