@@ -49,7 +49,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op>==|!=|<=|>=|=>|<|>|\(|\)|\[|\]|\{|\}|,|\.|:|\+|\*)
+  | (?P<op>==|!=|<=|>=|=>|<|>|\(|\)|\[|\]|\{|\}|,|\.|:|\+|\*|=)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -67,6 +67,41 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
         if kind != "ws":
             out.append((kind, m.group()))
     out.append(("eof", ""))
+    return out
+
+
+def _parse_key_value_literal(text: str, delim: str, pair_delim: str) -> dict:
+    """parseutils.ParseKeyValuePairs for a literal string: split on
+    pair_delim outside double quotes, then on the first delim; quoted
+    values keep embedded delimiters and drop the quotes."""
+    pairs, cur, inq = [], [], False
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == '"':
+            inq = not inq
+            cur.append(ch)
+            i += 1
+            continue
+        if not inq and text.startswith(pair_delim, i):
+            pairs.append("".join(cur))
+            cur = []
+            i += len(pair_delim)
+            continue
+        cur.append(ch)
+        i += 1
+    pairs.append("".join(cur))
+    out = {}
+    for pr in pairs:
+        if not pr:
+            continue
+        k, sep, v = pr.partition(delim)
+        if not sep:
+            raise OTTLParseError(f"ParseKeyValue: no delimiter in {pr!r}")
+        v = v.strip()
+        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+            v = v[1:-1]
+        out[k.strip()] = v
     return out
 
 
@@ -107,6 +142,13 @@ class _Parser:
             if tok in ("true", "false"):
                 self.next()
                 return tok == "true"
+            if self.toks[self.pos + 1][1] == "=" \
+                    and self.toks[self.pos + 2][1] != "=":
+                # named argument: name=value (flatten depth=1, ParseCSV
+                # headerDelimiter="|", append values=[...])
+                self.next()
+                self.next()
+                return {"__kwarg__": tok, "value": self.parse_value()}
             # converter call or path
             if self.toks[self.pos + 1][1] == "(" and tok[0].isupper():
                 return self.parse_converter()
@@ -271,6 +313,21 @@ class _Parser:
             if isinstance(v, float):
                 return _struct.pack(">d", v).hex()
             return _struct.pack(">q", v).hex()
+        if name == "ToKeyValueString" and args and isinstance(args[0], dict) \
+                and "__converter__" not in args[0] and "__lambda__" not in args[0]:
+            # folded-map input: render directly (func_to_key_value_string.go;
+            # sortOutput=true in the corpus -> key order); values with the
+            # delimiters get quoted like the reference
+            delim = args[1] if len(args) > 1 else "="
+            pair_delim = args[2] if len(args) > 2 else " "
+            sort_out = args[3] if len(args) > 3 else False
+            items = sorted(args[0].items()) if sort_out else list(args[0].items())
+
+            def _rend(v):
+                v = str(v)
+                return f'"{v}"' if (delim in v or pair_delim in v) else v
+
+            return pair_delim.join(f"{k}{delim}{_rend(v)}" for k, v in items)
         if name in self._CONVERTER_EDITORS:
             editor, src_key = self._CONVERTER_EDITORS[name]
             if len(args) != 1:
@@ -319,6 +376,19 @@ class _Parser:
             to = {"Int": "int64", "Double": "float64", "String": "str"}[name]
             return {"__converter__": "cast", "args": {"src": args[0].name, "to": to}}
         if name in self._TIME_CONVERTERS:
+            import datetime as _dtmod
+
+            if len(args) == 1 and isinstance(args[0], _dtmod.datetime):
+                # Hour(Time("12", "%H")) — folded Time literal
+                d = args[0]
+                if name == "Weekday":  # Go: Sunday=0
+                    return (d.weekday() + 1) % 7
+                part = name.lower()
+                if part in ("year", "month", "day", "hour", "minute", "second"):
+                    return getattr(d, part)
+                return {"millisecond": d.microsecond // 1000,
+                        "microsecond": d.microsecond,
+                        "nanosecond": d.microsecond * 1000}[part]
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "time_extract",
@@ -462,6 +532,48 @@ class _Parser:
                 raise OTTLParseError(f"ContainsValue(path, value) expected: {self.text!r}")
             return {"__converter__": "contains_value",
                     "args": {"src": args[0].name, "value": args[1]}}
+        if name == "ParseKeyValue":
+            # func_parse_key_value.go over a literal: fold to a map.
+            # Values may be quoted (pair/kv delimiters inside quotes
+            # are literal), like the reference's parseutils splitter.
+            if not args or not isinstance(args[0], str):
+                raise OTTLParseError(
+                    f"ParseKeyValue(str[, delim[, pair_delim]]) expected: {self.text!r}")
+            delim = args[1] if len(args) > 1 else "="
+            pair_delim = args[2] if len(args) > 2 else " "
+            return _parse_key_value_literal(args[0], delim, pair_delim)
+        if name == "ParseJSON":
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise OTTLParseError(f"ParseJSON(str literal) expected: {self.text!r}")
+            import json as _json
+
+            return _json.loads(args[0])
+        if name == "ParseCSV":
+            # ParseCSV(row, header, delim=",", headerDelimiter=",", mode)
+            if len(args) < 2 or not all(isinstance(a, str) for a in args[:2]):
+                raise OTTLParseError(f"ParseCSV(row, header, ...) expected: {self.text!r}")
+            pos = [a for a in args[2:] if not isinstance(a, dict) or "__kwarg__" not in a]
+            kw = {a["__kwarg__"]: a["value"] for a in args[2:]
+                  if isinstance(a, dict) and "__kwarg__" in a}
+            delim = pos[0] if len(pos) > 0 else kw.get("delimiter", ",")
+            hdelim = pos[1] if len(pos) > 1 else kw.get("headerDelimiter", delim)
+            import csv as _csv
+            import io as _io
+
+            vals = next(_csv.reader(_io.StringIO(args[0]), delimiter=delim))
+            headers = args[1].split(hdelim)
+            if len(vals) != len(headers):
+                raise OTTLParseError(
+                    f"ParseCSV: {len(vals)} fields != {len(headers)} headers: {self.text!r}")
+            return dict(zip(headers, vals))
+        if name == "Time":
+            # func_time.go (ctimefmt): literal fold via strptime — the
+            # reference's %-directives match python's for the common set
+            if len(args) != 2 or not all(isinstance(a, str) for a in args):
+                raise OTTLParseError(f"Time(str, fmt) literals expected: {self.text!r}")
+            from datetime import datetime as _dt
+
+            return _dt.strptime(args[0], args[1])
         if name == "Base64Decode":
             # func_base64decode.go returns a STRING (deprecated alias
             # of Decode(x, "base64")); the binary-returning

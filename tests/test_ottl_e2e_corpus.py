@@ -165,6 +165,29 @@ SET_CASES = [
      "indexof", 2),
     ('set(attributes["indexof"], Index(attributes["slices"], "slice2"))',
      "indexof", 1),
+    # --- ParseKeyValue / ParseJSON / ParseCSV / ToKeyValueString / Time ---
+    ('set(attributes["test"], ParseKeyValue("k1=v1 k2=v2"))', "test",
+     {"k1": "v1", "k2": "v2"}),
+    ('set(attributes["test"], ParseKeyValue("k1!v1_k2!v2", "!", "_"))', "test",
+     {"k1": "v1", "k2": "v2"}),
+    ('set(attributes["test"], ParseKeyValue("k1!v1_k2!\\"v2__!__v2\\"", "!", "_"))',
+     "test", {"k1": "v1", "k2": "v2__!__v2"}),
+    ('set(attributes["test"], ParseJSON("{\\"id\\":1}"))', "test", {"id": 1}),
+    ('set(attributes["test"], ParseJSON("[\\"value1\\",\\"value2\\"]"))', "test",
+     ["value1", "value2"]),
+    ('set(attributes["test"], ParseCSV("val1;val2;val3","header1|header2|header3",";","|","strict"))',
+     "test", {"header1": "val1", "header2": "val2", "header3": "val3"}),
+    ('set(attributes["test"], ParseCSV("val1,val2,val3","header1|header2|header3",headerDelimiter="|",mode="strict"))',
+     "test", {"header1": "val1", "header2": "val2", "header3": "val3"}),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "=", " ", true))',
+     "test", "k1=v1 k2=v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1:v1,k2:v2", ":" , ","), ":", ",", true))',
+     "test", "k1:v1,k2:v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2"), "!", "+", true))',
+     "test", "k1!v1+k2!v2"),
+    ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true))',
+     "test", 'k1=v1 k2="v2=v3"'),
+    ('set(attributes["test"], Hour(Time("12", "%H")))', "test", 12),
     # --- Is* predicates in where-clauses ---
     ('set(attributes["test"], "pass") where IsBool(false)', "test", "pass"),
     ('set(attributes["test"], "pass") where IsDouble(1.0)', "test", "pass"),
