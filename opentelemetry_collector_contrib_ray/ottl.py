@@ -110,6 +110,25 @@ class _Parser:
         self.text = text
         self.toks = _tokenize(text)
         self.pos = 0
+        # scratch-column statements produced by NESTED converter calls
+        # (Sort(Split(path, "|"))): inner call -> temp column first
+        self._pre: list[Statement] = []
+        self._tmp_n = 0
+
+    def _as_col(self, v: Any) -> Col:
+        """A converter argument where a path is required: paths pass
+        through; a nested converter call evaluates into a scratch
+        column via a prerequisite statement (dropped after)."""
+        if isinstance(v, Col):
+            return v
+        if isinstance(v, dict) and "__converter__" in v:
+            self._tmp_n += 1
+            tmp = f"__ottl_tmp{self._tmp_n}__"
+            self._pre.append(Statement(v["__converter__"],
+                                       {"target": tmp, **v["args"]}))
+            return Col(tmp)
+        raise OTTLParseError(
+            f"expected a path or converter call, got {v!r}: {self.text!r}")
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.pos]
@@ -332,6 +351,8 @@ class _Parser:
             editor, src_key = self._CONVERTER_EDITORS[name]
             if len(args) != 1:
                 raise OTTLParseError(f"{name}() takes one argument: {self.text!r}")
+            if isinstance(args[0], dict) and "__converter__" in args[0]:
+                args = [self._as_col(args[0])]  # nested call
             if isinstance(args[0], Col):
                 return {"__converter__": editor, "args": {src_key: args[0].name}}
             if isinstance(args[0], (str, int, float, bool)) or (
@@ -361,10 +382,8 @@ class _Parser:
             order = args[1] if len(args) > 1 else "asc"
             if isinstance(args[0], list):  # literal list: fold
                 return sorted(args[0], reverse=(order == "desc"))
-            if not isinstance(args[0], Col):
-                raise OTTLParseError(
-                    f"Sort() takes a path or literal list: {self.text!r}")
-            return {"__converter__": "list_sort", "args": {"src": args[0].name, "order": order}}
+            src = self._as_col(args[0])  # path or nested converter
+            return {"__converter__": "list_sort", "args": {"src": src.name, "order": order}}
         if name in ("Int", "Double", "String"):
             if len(args) == 1 and not isinstance(args[0], (Col, dict, list)):
                 v = args[0]  # literal: fold like the reference's getters
@@ -825,7 +844,13 @@ class _Parser:
         if self.peek() == ("name", "where"):
             self.next()
             where = self.parse_condition()
-        return self._compile(editor, args, where)
+        st = self._compile(editor, args, where)
+        if self._pre:
+            from .stages.transform import ChainStatement
+
+            drop = [p.args["target"] for p in self._pre]
+            return ChainStatement(self._pre + [st], drop=drop)
+        return st
 
     def _compile(self, editor: str, args: list[Any], where: Any) -> Statement:
         if editor == "set":

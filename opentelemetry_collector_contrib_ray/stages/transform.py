@@ -233,7 +233,16 @@ class Statement:
         return _masked(tbl, target, out, mask)
 
     def _op_len(self, tbl, mask, target: str, src: str):
-        return _masked(tbl, target, pc.cast(pc.utf8_length(_val(tbl, Col(src))), pa.int64()), mask)
+        # func_len.go is polymorphic: string length, slice/map length,
+        # struct field count (fixed per schema)
+        col_ = _val(tbl, Col(src))
+        if pa.types.is_list(col_.type) or pa.types.is_map(col_.type):
+            out = pc.list_value_length(col_)
+        elif pa.types.is_struct(col_.type):
+            out = pa.array([col_.type.num_fields] * tbl.num_rows)
+        else:
+            out = pc.utf8_length(col_)
+        return _masked(tbl, target, pc.cast(out, pa.int64()), mask)
 
     # --- hash / encode converters (pkg/ottl/ottlfuncs func_sha*/md5/
     #     base64/hex/uuid) — vectorized kernels in functions/encode ---
@@ -1439,13 +1448,32 @@ def text_to_elements_xml(text: str, xpath: str | None = None,
                                        short_empty_elements=False)
 
 
+class ChainStatement:
+    """A statement with prerequisite scratch-column statements (the
+    textual front-end's nested converter calls); applies each in order
+    and drops the scratch columns afterwards."""
+
+    def __init__(self, statements: list, drop: list[str]):
+        self.statements = statements
+        self.drop = set(drop)
+        self.editor = "chain"
+        self.args = {"steps": [st.editor for st in statements]}
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        for st in self.statements:
+            tbl = st(tbl)
+        keep = [c for c in tbl.column_names if c not in self.drop]
+        return tbl.select(keep)
+
+
 @register("transform")
 class TransformStage:
     """A fused statement sequence; one map_batches for the whole list."""
 
     def __init__(self, statements: list[dict[str, Any] | Statement], error_mode: str = "ignore"):
         self.statements = [
-            s if isinstance(s, Statement) else Statement(s["editor"], s.get("args", {}), s.get("where"))
+            s if not isinstance(s, dict)
+            else Statement(s["editor"], s.get("args", {}), s.get("where"))
             for s in statements
         ]
         self.error_mode = error_mode

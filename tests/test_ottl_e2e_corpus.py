@@ -39,6 +39,7 @@ def base_table() -> pa.Table:
                              {"name": "bar", "value": 5}]]),
         "slice2": pa.array([["val", "foo", "bar", "baz"]]),
         "slices": pa.array([["slice1", "slice2", "name"]]),
+        "padded": ["  get  "],
         "array": pa.array([["looong"]]),
         "values_int": pa.array([[1, 2, 3]]),
     })
@@ -188,6 +189,16 @@ SET_CASES = [
     ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true))',
      "test", 'k1=v1 k2="v2=v3"'),
     ('set(attributes["test"], Hour(Time("12", "%H")))', "test", 12),
+    # --- nested converters over paths (scratch-column chaining) ---
+    ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',
+     "test", ["C", "B", "A"]),
+    ('set(attributes["test"], Upper(Trim(attributes["padded"])))',
+     "test", "GET"),
+    ('set(attributes["test"], SHA256(ToUpperCase(attributes["http.method"])))',
+     "test",
+     "14e30cd163c732912e048c4c837e15c4e90c062ebb795ab947d57706e2d10dd8"),
+    ('set(attributes["test"], Len(Split(attributes["flags"], "|")))',
+     "test", 3),
     # --- Is* predicates in where-clauses ---
     ('set(attributes["test"], "pass") where IsBool(false)', "test", "pass"),
     ('set(attributes["test"], "pass") where IsDouble(1.0)', "test", "pass"),
@@ -317,7 +328,6 @@ def test_unsupported_shapes_fail_loud():
         'set(attributes["foo"]["test"], "pass")',   # nested index
         'set(attributes["array"][0.0], "bar")',     # indexed write
         'set(attributes[attributes["flags"]], "x")',  # dynamic key
-        'set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',  # nested col converters
     ]:
         with pytest.raises(OTTLParseError):
             parse_statement(bad)
