@@ -894,11 +894,27 @@ class _Parser:
                              {"pattern": args[1], "replacement": args[2],
                               "keys": None}, where)
         if editor == "replace_pattern":
-            if len(args) != 3 or not isinstance(args[0], Col):
-                raise OTTLParseError(f"replace_pattern(path, re, repl) expected: {self.text!r}")
+            if len(args) not in (3, 4) or not isinstance(args[0], Col):
+                raise OTTLParseError(f"replace_pattern(path, re, repl[, Fn]) expected: {self.text!r}")
+            repl = args[2]
+            if len(args) == 4:
+                # optional hash Function (func_replace_pattern.go:67-92):
+                # fn applies to the EXPANDED replacement per match; with
+                # no $-backrefs that is a constant, foldable here — the
+                # backref form would need per-match hashing (unsupported)
+                fn = args[3]
+                if not isinstance(fn, Col) or fn.name not in self._CONVERTER_EDITORS:
+                    raise OTTLParseError(
+                        f"replace_pattern function must name a converter: {self.text!r}")
+                if "$" in repl:
+                    raise OTTLParseError(
+                        "replace_pattern with a Function and $-backrefs needs "
+                        f"per-match hashing — unsupported: {self.text!r}")
+                ed, _ = self._CONVERTER_EDITORS[fn.name]
+                repl = self._fold1(ed, {}, repl)
             return Statement("replace_pattern",
                              {"target": args[0].name, "pattern": args[1],
-                              "replacement": args[2]}, where)
+                              "replacement": repl}, where)
         if editor == "flatten":
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"flatten(path) expected: {self.text!r}")

@@ -271,6 +271,17 @@ def test_corpus_replace_match_and_patterns():
     assert got(out, "http.method") == "get"  # no '/'
 
 
+def test_corpus_replace_pattern_with_hash_function():
+    # `replace_pattern(attributes["http.path"], "/", "@", SHA256)` —
+    # the Function hashes the expanded replacement per match
+    import hashlib
+
+    out = run1('replace_pattern(attributes["http.path"], "/", "@", SHA256)')
+    assert got(out, "http.path") == hashlib.sha256(b"@").hexdigest() + "health"
+    with pytest.raises(OTTLParseError):  # $-backref + Function: per-match
+        parse_statement('replace_pattern(body, "(a)", "$1", SHA256)')
+
+
 def test_corpus_merge_maps():
     # merge_maps(attributes, attributes["foo"], strategy) — the corpus
     # merges a nested map into the top-level one; columnar model:
