@@ -1211,6 +1211,32 @@ def _q_events_iforest(sf_dir: str):
     return scored.select_columns(["event_id", "anomaly_score", "is_anomaly"])
 
 
+def _q_filter_rows(sf_dir: str):
+    """filterprocessor / stanza filter 'drop matching' (FilterStage):
+    drop view-events below value 1.0; oracle = WHERE NOT COALESCE(...)
+    (the engine's null-predicate = False matches COALESCE false)."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.transform import FilterStage
+
+    ds = read_table(sf_dir, "events")
+    stage = FilterStage(("and", ("==", col("event_type"), "view"),
+                         ("<", col("value"), 1.0)), mode="drop")
+    return stage.apply(ds).select_columns(
+        ["event_id", "event_type", "value"])
+
+
+def _q_redact_props(sf_dir: str):
+    """redactionprocessor (Redaction): keep an allowlist of columns and
+    mask long digit runs in every string column; the int column rides
+    through untouched under error_mode=ignore."""
+    from opentelemetry_collector_contrib_ray.stages.attributes import Redaction
+
+    ds = read_table(sf_dir, "events")
+    stage = Redaction(allowed_keys=["event_id", "event_type", "props"],
+                      blocked_value_patterns=["[0-9]{2,}"])
+    return stage.apply(ds)
+
+
 def _q_geoip_enrich(sf_dir: str):
     """GeoIP-shape range enrichment (processor/geoipprocessor as a
     broadcast CIDR lookup; oracle = DuckDB BETWEEN join on the ip
@@ -1404,6 +1430,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ottl_funcs2": _q_ottl_funcs2,
         "events_iforest": _q_events_iforest,
         "geoip_enrich": _q_geoip_enrich,
+        "filter_rows": _q_filter_rows,
+        "redact_props": _q_redact_props,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1646,6 +1674,15 @@ SELECT event_id,
   ';tail=' || string_split(props, ':')[2] ||
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
+FROM events""",
+        "filter_rows": """
+SELECT event_id, event_type, value
+FROM events
+WHERE NOT COALESCE(event_type = 'view' AND value < 1.0, FALSE)""",
+        "redact_props": """
+SELECT event_id,
+  regexp_replace(event_type, '[0-9]{2,}', '****', 'g') AS event_type,
+  regexp_replace(props, '[0-9]{2,}', '****', 'g') AS props
 FROM events""",
         "geoip_enrich": """
 WITH ips AS (
