@@ -1237,6 +1237,24 @@ def _q_redact_props(sf_dir: str):
     return stage.apply(ds)
 
 
+def _q_genai_norm(sf_dir: str):
+    """genainormalizer: map source attribute names onto the GenAI
+    semconv names (coalesce keeps existing targets) and fold values;
+    oracle = CASE + aliasing in DuckDB."""
+    from opentelemetry_collector_contrib_ray.stages.genai import genai_normalizer
+
+    ds = read_table(sf_dir, "events")
+    stage = genai_normalizer([{
+        "name": "custom_events",
+        "mappings": {"event_type": "gen_ai.operation.name",
+                     "props": "gen_ai.request.model"},
+        "value_mappings": {"gen_ai.operation.name":
+                           {"view": "read", "click": "interact"}},
+    }])
+    return stage.apply(ds).select_columns(
+        ["event_id", "gen_ai.operation.name", "gen_ai.request.model"])
+
+
 def _q_geoip_enrich(sf_dir: str):
     """GeoIP-shape range enrichment (processor/geoipprocessor as a
     broadcast CIDR lookup; oracle = DuckDB BETWEEN join on the ip
@@ -1432,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geoip_enrich": _q_geoip_enrich,
         "filter_rows": _q_filter_rows,
         "redact_props": _q_redact_props,
+        "genai_norm": _q_genai_norm,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1674,6 +1693,12 @@ SELECT event_id,
   ';tail=' || string_split(props, ':')[2] ||
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
+FROM events""",
+        "genai_norm": """
+SELECT event_id,
+  CASE event_type WHEN 'view' THEN 'read' WHEN 'click' THEN 'interact'
+       ELSE event_type END AS "gen_ai.operation.name",
+  props AS "gen_ai.request.model"
 FROM events""",
         "filter_rows": """
 SELECT event_id, event_type, value
