@@ -1237,6 +1237,26 @@ def _q_redact_props(sf_dir: str):
     return stage.apply(ds)
 
 
+def _q_attrs_actions(sf_dir: str):
+    """attributesprocessor action list (insert/hash/extract/delete
+    over the events table); oracle = literal column + DuckDB's
+    md5_number_lower + regexp_extract."""
+    from opentelemetry_collector_contrib_ray.stages.attributes import (
+        AttributesProcessor,
+    )
+
+    ds = read_table(sf_dir, "events")
+    stage = AttributesProcessor([
+        {"action": "insert", "key": "env", "value": "prod"},
+        {"action": "hash", "key": "props"},
+        {"action": "extract", "key": "event_type",
+         "pattern": "^(?P<ev_head>[a-z]{3})"},
+        {"action": "delete", "key": "user_id"},
+    ])
+    out = stage.apply(ds)
+    return out.select_columns(["event_id", "env", "props", "ev_head"])
+
+
 def _q_genai_norm(sf_dir: str):
     """genainormalizer: map source attribute names onto the GenAI
     semconv names (coalesce keeps existing targets) and fold values;
@@ -1451,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_rows": _q_filter_rows,
         "redact_props": _q_redact_props,
         "genai_norm": _q_genai_norm,
+        "attrs_actions": _q_attrs_actions,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1693,6 +1714,11 @@ SELECT event_id,
   ';tail=' || string_split(props, ':')[2] ||
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
+FROM events""",
+        "attrs_actions": """
+SELECT event_id, 'prod' AS env,
+  md5_number_lower(props) AS props,
+  regexp_extract(event_type, '^([a-z]{3})', 1) AS ev_head
 FROM events""",
         "genai_norm": """
 SELECT event_id,
