@@ -17,14 +17,25 @@ registry's editor dicts (stages/transform.Statement):
   * paths: ``attributes["k"]``, ``resource.attributes["k"]``,
     ``body``, ``cache["k"]`` and bare names — all map to COLUMNS
     (``body`` -> the ``body`` column; attribute keys -> their name);
-  * editors: set, delete_key, delete_matching_keys, keep_keys,
-    keep_matching_keys, truncate_all, replace_pattern, flatten;
-  * converters as set() values: Upper, Lower, Trim, Len, Concat,
-    Substring, SHA1, SHA256, SHA512, MD5, FNV->hash, Murmur3Hash,
-    Base64Encode, Base64Decode, Hex, UUID, Sort, Keys, Values,
-    ParseXML, Int, Double, String (cast family);
+  * editors: set, delete_key(s), delete/keep_matching_keys, keep_keys,
+    truncate_all, replace_match/pattern(+hash Function), append,
+    limit, flatten, merge_maps, delete_index;
+  * converters as set() values: the case/trim/prefix families,
+    Concat, Substring, Split, Format (%0Nd widths), the hash family
+    (SHA1/256/512, MD5, FNV, Murmur3Hash(128), XXH3, XXH128), the
+    encode family (Base64*, Hex, Decode), the XML family (Parse*,
+    Get/Remove/InsertXML, ConvertAttributes/TextToElementsXML), the
+    time family (Year..Weekday, Unix*, Duration units, FormatTime,
+    TruncateTime), the collection family (Sort, Keys, Values, Index,
+    Len, SliceToMap shapes), Reduce with the OTTL lambda grammar,
+    Coalesce, casts (Int/Double/String), and named arguments;
+  * literal converter args FOLD at compile time (the reference
+    evaluates literal getters per row; here they are constants), and
+    NESTED converter calls in path position chain through scratch
+    columns (Sort(Split(path, "|")));
   * where-clauses: ==, !=, <, <=, >, >=, and/or/not (with parens),
-    IsMatch(path, "re"), nil, true/false, string/number literals.
+    IsMatch, the Is* type predicates, IsEmpty, converter calls as
+    comparison operands, nil, true/false, string/number literals.
 
 Unsupported syntax (nested indexing like ``attributes["a"]["b"]``,
 arithmetic in paths, multi-context paths) raises ``OTTLParseError``
