@@ -41,13 +41,22 @@ class Recombine:
         combine_field: str = "text",
         combine_with: str = "\n",
         is_first_entry: Any | None = None,
+        is_last_entry: Any | None = None,
         keep_fields: list[str] | None = None,
     ):
+        if is_first_entry is not None and is_last_entry is not None:
+            # same exclusivity as the reference config (config.go)
+            raise ValueError("recombine: is_first_entry and is_last_entry "
+                             "are mutually exclusive")
         self.group_key = group_key
         self.order_key = order_key
         self.combine_field = combine_field
         self.combine_with = combine_with
         self.first_pred = compile_predicate(is_first_entry) if is_first_entry is not None else None
+        # is_last_entry (transformer.go:223-226): the matching row is
+        # INCLUDED in the current segment and flushes it — the break
+        # lands AFTER the marker row
+        self.last_pred = compile_predicate(is_last_entry) if is_last_entry is not None else None
         self.keep_fields = keep_fields or []
 
     def _combine_group(self, g: pd.DataFrame) -> pd.DataFrame:
@@ -58,6 +67,14 @@ class Recombine:
             mask = self.first_pred(pa.Table.from_pandas(g, preserve_index=False)).to_numpy(zero_copy_only=False)
             seg = mask.cumsum()
             seg[seg == 0] = 1  # leading rows before any first-marker join segment 1
+        elif self.last_pred is not None:
+            import numpy as np
+            import pyarrow as pa
+
+            mask = self.last_pred(pa.Table.from_pandas(g, preserve_index=False)).to_numpy(zero_copy_only=False)
+            # break AFTER the marker: row i starts a new segment iff
+            # row i-1 matched
+            seg = 1 + np.concatenate([[False], mask[:-1]]).cumsum()
         else:
             seg = 1
         g = g.assign(_seg=seg)
@@ -97,9 +114,10 @@ class Recombine:
         shape (shuffled bytes are O(block boundaries), not O(corpus));
         costs a materialize + extra pass locally."""
         self._merge_mode = merge
+        has_marker = self.first_pred is not None or self.last_pred is not None
         if strategy is None:
-            strategy = "sort" if self.first_pred is None else "segmented"
-        if strategy in ("sort", "segmented") and self.first_pred is not None:
+            strategy = "segmented" if has_marker else "sort"
+        if strategy in ("sort", "segmented") and has_marker:
             return self._apply_segmented(ds)
         if strategy == "sort" and self.first_pred is None:
             return self._apply_sorted(ds)
@@ -143,6 +161,7 @@ class Recombine:
         combine_field, combine_with = self.combine_field, self.combine_with
         keep_fields = self.keep_fields
         first_pred = self.first_pred if segmented else None
+        last_pred = self.last_pred if segmented else None
 
         def block_partial(b: "pa.Table") -> "pa.Table":
             # groups are contiguous within a (pre)sorted block, so the
@@ -163,6 +182,8 @@ class Recombine:
                 }
                 if first_pred is not None:
                     cols["_marker"] = pa.array([], pa.bool_())
+                if last_pred is not None:
+                    cols["_endm"] = pa.array([], pa.bool_())
                 for f in keep_fields:
                     cols[f] = pa.array([], b.schema.field(f).type)
                 return pa.table(cols)
@@ -171,6 +192,10 @@ class Recombine:
             if first_pred is not None:
                 marker = first_pred(b).to_numpy(zero_copy_only=False)
                 brk |= marker
+            elif last_pred is not None:
+                # break AFTER a last-entry marker (transformer.go:223)
+                marker = last_pred(b).to_numpy(zero_copy_only=False)
+                brk[1:] |= marker[:-1]
             starts = np.nonzero(brk)[0]
             offs = pa.array(np.append(starts, n).astype(np.int32), pa.int32())
             texts = b[combine_field]
@@ -192,6 +217,9 @@ class Recombine:
             }
             if first_pred is not None:
                 cols["_marker"] = pa.array(marker[starts])
+            if last_pred is not None:
+                ends = np.append(starts[1:], n)
+                cols["_endm"] = pa.array(marker[ends - 1])
             for f in keep_fields:
                 c = b[f].combine_chunks() if isinstance(b[f], pa.ChunkedArray) else b[f]
                 cols[f] = c.take(idx)
@@ -208,8 +236,12 @@ class Recombine:
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(first_key, kind="mergesort")
-            seg = g["_marker"].astype(int).cumsum()
-            seg[seg == 0] = 1  # leading partials before any marker
+            if "_marker" in g.columns:  # first-entry mode
+                seg = g["_marker"].astype(int).cumsum()
+                seg[seg == 0] = 1  # leading partials before any marker
+            else:  # last-entry mode: new segment after an ending marker
+                prev = g["_endm"].shift(1, fill_value=False)
+                seg = 1 + prev.astype(int).cumsum()
             rows = []
             for seg_id, sg in g.groupby(seg.values, sort=True):
                 row = {

@@ -262,3 +262,39 @@ def test_recombine_default_is_vectorized_and_segmented_parity():
     assert (m["text_a"] == m["text_b"]).all()
     assert (m["n_turns_a"] == m["n_turns_b"]).all()
     assert (m["first_turn_idx_a"] == m["first_turn_idx_b"]).all()
+
+
+def test_recombine_is_last_entry_modes_agree():
+    # is_last_entry (transformer.go:223-226): marker row is INCLUDED
+    # in the segment, the break lands after it — segmented default vs
+    # the groupby reference path, with markers adjacent to block
+    # boundaries (repartition forces cross-block carries)
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    rng_rows = 60
+    tbl = pa.table({
+        "conv_id": ["A"] * rng_rows + ["B"] * 10,
+        "turn_idx": list(range(rng_rows)) + list(range(10)),
+        "text": [f"a{i}" for i in range(rng_rows)] + [f"b{i}" for i in range(10)],
+        # markers every 7th row of A, last row of B
+        "end": [(i % 7 == 6) for i in range(rng_rows)]
+               + [False] * 9 + [True],
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    pred = ("==", col("end"), True)
+    cols = ["conv_id", "segment", "text", "n_turns"]
+    seg = Recombine(is_last_entry=pred).apply(ds).to_pandas() \
+        .sort_values(["conv_id", "segment"]).reset_index(drop=True)[cols]
+    ref = Recombine(is_last_entry=pred).apply(ds, strategy="groupby") \
+        .to_pandas().sort_values(["conv_id", "segment"]) \
+        .reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(seg, ref)
+    # the marker row ends its segment: every A segment but the tail is
+    # 7 turns and ends at the marker
+    a = seg[seg.conv_id == "A"]
+    assert list(a["n_turns"])[:-1] == [7] * (len(a) - 1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Recombine(is_first_entry=pred, is_last_entry=pred)
