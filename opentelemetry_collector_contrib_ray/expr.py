@@ -44,10 +44,35 @@ def col(name: str) -> Col:
     return Col(name)
 
 
+def resolve_col(tbl: pa.Table, name: str):
+    """A Col reference: exact column first, else the longest column
+    prefix with the rest as struct-field steps — the columnar read for
+    nested paths (attributes["foo"]["bar"] -> struct column foo,
+    field bar). Dotted COLUMN names (http.method) keep priority."""
+    if name in tbl.column_names:
+        c = tbl[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    parts = name.split(".")
+    for i in range(len(parts) - 1, 0, -1):
+        head = ".".join(parts[:i])
+        if head not in tbl.column_names:
+            continue
+        c = tbl[head]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        for f in parts[i:]:
+            if not pa.types.is_struct(c.type):
+                raise KeyError(
+                    f"{name!r}: {head!r} is not a struct at field {f!r}")
+            c = pc.struct_field(c, f)
+            head += "." + f
+        return c
+    raise KeyError(f'Field "{name}" does not exist in schema')
+
+
 def _value(tbl: pa.Table, v: Any, n: int):
     if isinstance(v, Col):
-        c = tbl[v.name]
-        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return resolve_col(tbl, v.name)
     if isinstance(v, dict) and "__converter__" in v:
         # a converter call inside a condition (where UnixMicro(time) > 0):
         # evaluate the editor into a scratch column, compare on that

@@ -37,9 +37,12 @@ registry's editor dicts (stages/transform.Statement):
     IsMatch, the Is* type predicates, IsEmpty, converter calls as
     comparison operands, nil, true/false, string/number literals.
 
-Unsupported syntax (nested indexing like ``attributes["a"]["b"]``,
-arithmetic in paths, multi-context paths) raises ``OTTLParseError``
-naming the offending token — fail loud, never mis-compile.
+Nested STRING indexing (``attributes["a"]["b"]``) reads through
+struct columns and writes flat dotted columns (exact-name priority on
+read keeps the two coherent). Unsupported syntax (integer/dynamic
+path indices, arithmetic in paths, multi-context paths) raises
+``OTTLParseError`` naming the offending token — fail loud, never
+mis-compile.
 """
 
 from __future__ import annotations
@@ -256,16 +259,22 @@ class _Parser:
         else:
             base = ".".join(segments)
         if self.peek()[1] == "[":
-            self.next()
-            k, key = self.next()
-            if k != "string":
-                raise OTTLParseError(
-                    f"only string keys are supported in paths, got {key!r} in {self.text!r}")
-            self.expect("]")
-            if self.peek()[1] == "[":
-                raise OTTLParseError(
-                    f"nested path indexing is not supported: {self.text!r}")
-            return Col(key[1:-1])
+            # chained string keys become a dotted reference: reads
+            # resolve through struct columns (expr.resolve_col — exact
+            # column name first, then struct-field steps), writes
+            # create the flat dotted column, which later reads find by
+            # the exact-name priority. Non-string indices (list
+            # positions, dynamic keys) stay unsupported — fail loud.
+            keys = []
+            while self.peek()[1] == "[":
+                self.next()
+                k, key = self.next()
+                if k != "string":
+                    raise OTTLParseError(
+                        f"only string keys are supported in paths, got {key!r} in {self.text!r}")
+                self.expect("]")
+                keys.append(key[1:-1])
+            return Col(".".join(keys))
         return Col(base)
 
     # ------------------------------------------------------- converters

@@ -28,15 +28,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..expr import Col, compile_predicate
+from ..expr import Col, compile_predicate, resolve_col
 from ..functions.hashing import md5_number_lower_arrow
 from . import register
 
 
 def _val(tbl: pa.Table, v: Any):
     if isinstance(v, Col):
-        c = tbl[v.name]
-        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return resolve_col(tbl, v.name)
     return v
 
 

@@ -333,11 +333,32 @@ def test_corpus_xxh_vectors():
     assert got(out, "test") == "77e70e155a37ea73f2a881ffc51a7e8e"
 
 
+def test_nested_string_paths():
+    # reads resolve through struct columns; writes create the flat
+    # dotted column, which subsequent reads find by exact-name priority
+    tbl = pa.table({"foo": pa.array([{"bar": "pass",
+                                      "nested": {"test": "pass"},
+                                      "slice": ["val"]}])})
+    out = parse_statement('set(attributes["test"], attributes["foo"]["bar"])')(tbl)
+    assert got(out, "test") == "pass"
+    out = parse_statement(
+        'set(attributes["test"], attributes["foo"]["nested"]["test"])')(tbl)
+    assert got(out, "test") == "pass"
+    out = parse_statement('set(attributes["foo"]["test"], "pass")')(tbl)
+    assert got(out, "foo.test") == "pass"
+    out = parse_statement(
+        'set(attributes["test"], "pass") where IsList(attributes["foo"]["slice"])')(tbl)
+    assert got(out, "test") == "pass"
+    out = parse_statement(
+        'set(attributes["test"], Len(attributes["foo"]["slice"]))')(tbl)
+    assert got(out, "test") == 1
+
+
 def test_unsupported_shapes_fail_loud():
     # corpus shapes the columnar subset rejects must raise, not mis-run
     for bad in [
-        'set(attributes["foo"]["test"], "pass")',   # nested index
-        'set(attributes["array"][0.0], "bar")',     # indexed write
+        'set(attributes["array"][0.0], "bar")',     # float index
+        'set(attributes["things"][1], "x")',        # integer index
         'set(attributes[attributes["flags"]], "x")',  # dynamic key
     ]:
         with pytest.raises(OTTLParseError):

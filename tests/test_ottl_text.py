@@ -96,7 +96,7 @@ def test_via_dataset():
 
 def test_unsupported_syntax_fails_loud():
     with pytest.raises(OTTLParseError):
-        parse_statement('set(attributes["foo"]["test"], "pass")')  # nested index
+        parse_statement('set(attributes["a"][0], "pass")')  # integer index
     with pytest.raises(OTTLParseError):
         parse_statement('set(attributes["x"], UnknownConverter(body))')
     with pytest.raises(OTTLParseError):
