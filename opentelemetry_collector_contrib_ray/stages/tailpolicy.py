@@ -147,8 +147,13 @@ def _collect_leaves(policies: list[dict]) -> list[dict]:
 # ------------------------------------------------------- feature pass
 
 def _trace_features(ds: ray.data.Dataset, group_key: str, ts_col: str,
-                    leaves: list[dict]) -> ray.data.Dataset:
-    """One row per trace: n, min_ts, max_ts, any_<i> per leaf."""
+                    leaves: list[dict],
+                    driver_limit: int = 2_000_000) -> ray.data.Dataset:
+    """One row per trace: n, min_ts, max_ts, any_<i> per leaf. The
+    per-block partials (traces x blocks rows) merge on the DRIVER when
+    they fit ``driver_limit`` — one Arrow group_by beats a distributed
+    shuffle's multi-second executor floor on a thousand-row table —
+    and through the distributed groupby otherwise."""
     mask_fns = [_leaf_mask_fn(p) for p in leaves]
     leaf_cols = [f"any_{i}" for i in range(len(leaves))]
 
@@ -163,7 +168,22 @@ def _trace_features(ds: ray.data.Dataset, group_key: str, ts_col: str,
         return g.rename_columns([group_key, "n", "min_ts", "max_ts"] + leaf_cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
+                              zero_copy_batch=True, batch_size=None) \
+                 .materialize()
+    if partials.count() <= driver_limit:
+        tabs = [t for t in (ray.get(r) for r in partials.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return partials
+        tbl = pa.concat_tables(tabs, promote_options="permissive")
+        aggs2 = [("n", "sum"), ("min_ts", "min"), ("max_ts", "max")]
+        aggs2 += [(c, "max") for c in leaf_cols]
+        g = tbl.group_by(group_key, use_threads=True).aggregate(aggs2)
+        g = g.rename_columns([group_key, "n", "min_ts", "max_ts"] + leaf_cols)
+        for c in ("min_ts", "max_ts"):
+            g = g.set_column(g.column_names.index(c), c,
+                             pc.cast(g[c], pa.timestamp("us")))
+        return ray.data.from_arrow(g)
     from ray.data.aggregate import Max, Min, Sum
 
     aggs = [Sum("n"), Min("min_ts"), Max("max_ts")]
@@ -171,9 +191,18 @@ def _trace_features(ds: ray.data.Dataset, group_key: str, ts_col: str,
     merged = partials.groupby(group_key).aggregate(*aggs)
     ren = {"sum(n)": "n", "min(min_ts)": "min_ts", "max(max_ts)": "max_ts"}
     ren.update({f"max({c})": c for c in leaf_cols})
-    return merged.map_batches(
-        lambda b: b.rename_columns([ren.get(c, c) for c in b.column_names]),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+    def rename_norm(b: pa.Table) -> pa.Table:
+        b = b.rename_columns([ren.get(c, c) for c in b.column_names])
+        # Ray's Min/Max can emit differing timestamp UNITS per block
+        # (s vs ms); normalize so downstream concat/sort see one schema
+        for c in ("min_ts", "max_ts"):
+            b = b.set_column(b.column_names.index(c), c,
+                             pc.cast(b[c], pa.timestamp("us")))
+        return b
+
+    return merged.map_batches(rename_norm, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
 
 
 # ------------------------------------------------------ decision pass
@@ -234,6 +263,25 @@ def _second_col(b: pa.Table, ts_col: str) -> pa.Array:
         pa.int64())
 
 
+def _driver_cumsum(tbl: "pa.Table", key_col: str, ts_col: str,
+                   val_col: str, out_col: str,
+                   tiebreak_col: str) -> "pa.Table":
+    """keyed_cumsum's driver twin for the size-gated small-trace-set
+    fast path: one table sort + segmented inclusive cumsum — byte-equal
+    semantics to scan.keyed_cumsum (per-key running sum in
+    (ts, tiebreak) order), parity-tested in test_tailpolicy."""
+    st = tbl.sort_by([(key_col, "ascending"), (ts_col, "ascending"),
+                      (tiebreak_col, "ascending")])
+    k = st[key_col].to_numpy(zero_copy_only=False)
+    v = st[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.nonzero(np.concatenate([[True], k[1:] != k[:-1]]))[0]
+    cs = np.cumsum(v)
+    seg_base = cs[starts] - v[starts]
+    lens = np.diff(np.append(starts, len(v)))
+    out = cs - np.repeat(seg_base, lens)
+    return st.append_column(out_col, pa.array(out))
+
+
 def tail_sample_policies(
     ds: ray.data.Dataset,
     group_key: str,
@@ -242,6 +290,7 @@ def tail_sample_policies(
     *,
     hash_seed: int = 0,
     broadcast_key_limit: int = 2_000_000,
+    driver_trace_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Apply a tailsampling policy list to the stream; returns every
     row of the traces the tree samples. Policy dicts mirror the
@@ -259,7 +308,8 @@ def tail_sample_policies(
         # index annotation survives pickling into workers (object ids
         # don't, so an id()-keyed map would break inside map_batches)
         p["_leaf_i"] = i
-    feats = _trace_features(ds, group_key, ts_col, leaves).materialize()
+    feats = _trace_features(ds, group_key, ts_col, leaves,
+                            driver_limit=driver_trace_limit).materialize()
 
     # ---- stateless decisions + stateful-policy inputs, one pass ----
     stateful = [p for p in policies if p["type"] in ("rate_limiting", "composite")]
@@ -291,31 +341,17 @@ def tail_sample_policies(
             t = t.append_column(f"__claim_{k}", pa.array(claim))
         return t
 
-    decided = feats.map_batches(decide, batch_format="pyarrow",
-                                zero_copy_batch=True, batch_size=None)
+    def add_key(b: pa.Table, kk: int) -> pa.Table:
+        sec = _col(b, "__sec").to_numpy(zero_copy_only=False)
+        claim = _col(b, f"__claim_{kk}").to_numpy(zero_copy_only=False)
+        # claim+1 so UNCLAIMED traces (-1) get their own segment
+        # and never consume sub-policy 0's budget
+        return b.append_column(
+            f"__ckey_{kk}", pa.array(sec * 65 + claim + 1))
 
-    # ---- stateful policies: per-second ordered token budgets ----
-    for k, p in enumerate(stateful):
-        out_col = f"__cum_{k}"
-        if p["type"] == "rate_limiting":
-            decided = keyed_cumsum(decided, "__sec", "min_ts", "n",
-                                   out_col=out_col, tiebreak_col=group_key)
-        else:  # composite: budget per (second, claiming sub-policy)
-            if len(p["sub_policies"]) > 64:
-                raise ValueError("composite supports at most 64 sub-policies")
-
-            def add_key(b: pa.Table, kk=k) -> pa.Table:
-                sec = _col(b, "__sec").to_numpy(zero_copy_only=False)
-                claim = _col(b, f"__claim_{kk}").to_numpy(zero_copy_only=False)
-                # claim+1 so UNCLAIMED traces (-1) get their own segment
-                # and never consume sub-policy 0's budget
-                return b.append_column(
-                    f"__ckey_{kk}", pa.array(sec * 65 + claim + 1))
-
-            decided = decided.map_batches(add_key, batch_format="pyarrow",
-                                          zero_copy_batch=True, batch_size=None)
-            decided = keyed_cumsum(decided, f"__ckey_{k}", "min_ts", "n",
-                                   out_col=out_col, tiebreak_col=group_key)
+    for p in stateful:
+        if p["type"] == "composite" and len(p["sub_policies"]) > 64:
+            raise ValueError("composite supports at most 64 sub-policies")
 
     def finalize(b: pa.Table) -> pa.Table:
         sampled = _col(b, "__sampled0")
@@ -333,6 +369,57 @@ def tail_sample_policies(
             sampled = pc.or_(sampled, pa.array(ok))
         keep = pc.and_(sampled, pc.invert(_col(b, "__dropped")))
         return pa.table({group_key: _col(b, group_key)}).filter(keep)
+
+    # ---- decision + per-second ordered token budgets --------------
+    # SIZE GATE: the per-trace feature table is usually tiny relative
+    # to the stream (one row per trace). Below the gate the whole
+    # decide -> cumsum -> finalize chain runs on the driver with the
+    # SAME batch kernels — each Dataset sort/execution costs seconds of
+    # fixed executor floor that dwarfs a thousand-row table. Above the
+    # gate the distributed path runs unchanged.
+    n_traces = feats.count()
+    if n_traces <= driver_trace_limit:
+        tabs = [t for t in (ray.get(r) for r in feats.to_arrow_refs())
+                if t.num_rows]
+        tbl = pa.concat_tables(tabs, promote_options="none") if tabs             else None
+        if tbl is None:
+            return ds.limit(0)
+        t = decide(tbl)
+        for k, p in enumerate(stateful):
+            out_col = f"__cum_{k}"
+            if p["type"] == "rate_limiting":
+                t = _driver_cumsum(t, "__sec", "min_ts", "n",
+                                   out_col, group_key)
+            else:
+                t = add_key(t, k)
+                t = _driver_cumsum(t, f"__ckey_{k}", "min_ts", "n",
+                                   out_col, group_key)
+        kept_tbl = finalize(t)
+        keys_arr = pc.unique(kept_tbl[group_key].combine_chunks()
+                             if isinstance(kept_tbl[group_key], pa.ChunkedArray)
+                             else kept_tbl[group_key])
+        ref = ray.put(keys_arr)
+
+        def keep_small(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(_col(b, group_key),
+                                     value_set=ray.get(ref)))
+
+        return ds.map_batches(keep_small, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    else:
+        decided = feats.map_batches(decide, batch_format="pyarrow",
+                                    zero_copy_batch=True, batch_size=None)
+        for k, p in enumerate(stateful):
+            out_col = f"__cum_{k}"
+            if p["type"] == "rate_limiting":
+                decided = keyed_cumsum(decided, "__sec", "min_ts", "n",
+                                       out_col=out_col, tiebreak_col=group_key)
+            else:  # composite: budget per (second, claiming sub-policy)
+                decided = decided.map_batches(
+                    lambda b, kk=k: add_key(b, kk), batch_format="pyarrow",
+                    zero_copy_batch=True, batch_size=None)
+                decided = keyed_cumsum(decided, f"__ckey_{k}", "min_ts", "n",
+                                       out_col=out_col, tiebreak_col=group_key)
 
     kept_keys = decided.map_batches(finalize, batch_format="pyarrow",
                                     zero_copy_batch=True, batch_size=None) \

@@ -138,3 +138,46 @@ def test_semi_join_fallback_parity(ray_session):
     a = _kept(_tbl(rows), pol)
     b = _kept(_tbl(rows), pol, broadcast_key_limit=0)
     assert a == b == {"slow", "err"}
+
+
+def test_driver_fast_path_matches_distributed(ray_session):
+    # the size-gated driver decision pipeline (decide -> cumsum ->
+    # finalize on the collected per-trace features) must match the
+    # distributed keyed_cumsum path row for row
+    from datetime import datetime, timedelta
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    base = datetime(2024, 1, 1)
+    rows = {"conv_id": [], "ts": [], "tool": []}
+    for c in range(200):
+        n = int(rng.integers(1, 15))
+        sec = int(rng.integers(0, 20))
+        for i in range(n):
+            rows["conv_id"].append(f"c{c}")
+            rows["ts"].append(base + timedelta(seconds=sec, milliseconds=i))
+            rows["tool"].append(str(rng.choice(["search", "editor", "none"])))
+    ds = ray.data.from_arrow(pa.table(rows)).repartition(6)
+    pols = [
+        {"type": "and", "sub_policies": [
+            {"type": "string_attribute", "key": "tool", "values": ["search"]},
+            {"type": "span_count", "min_spans": 8}]},
+        {"type": "rate_limiting", "spans_per_second": 20},
+        {"type": "composite", "max_total_spans_per_second": 25,
+         "sub_policies": [
+             {"type": "string_attribute", "key": "tool", "values": ["none"],
+              "max_spans_per_second": 12},
+             {"type": "span_count", "min_spans": 4,
+              "max_spans_per_second": 12}]},
+        {"type": "drop", "sub_policy": {
+            "type": "string_attribute", "key": "tool", "values": ["editor"]}},
+    ]
+    fast = tail_sample_policies(ds, "conv_id", "ts", pols).to_pandas() \
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    dist = tail_sample_policies(ds, "conv_id", "ts", pols,
+                                driver_trace_limit=0).to_pandas() \
+        .sort_values(["conv_id", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, dist)
+    assert len(fast) > 0
