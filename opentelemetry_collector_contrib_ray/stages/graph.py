@@ -25,12 +25,33 @@ because per-node state is a single int.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 from ray.data.aggregate import Sum
 
 from .dedup import normalize_empty_blocks
+
+
+def _components_driver(a: np.ndarray, b: np.ndarray) -> "pa.Table":
+    """Hash-min over driver arrays for the size-gated small-graph fast
+    path: the SAME algorithm as the distributed loop (relax both edge
+    directions, pointer-jump, until fixpoint), as numpy scatter-min
+    rounds. Factorization via np.unique handles string node ids."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        for _ in range(3):  # pointer jumping
+            lab = lab[lab]
+        if np.array_equal(lab, prev):
+            break
+    return pa.table({"node": pa.array(nodes), "component": pa.array(nodes[lab])})
 
 
 def _rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
@@ -46,6 +67,7 @@ def label_propagation_components(
     dst: str = "dst",
     max_iters: int = 25,
     num_partitions: int | None = None,
+    driver_edge_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Connected components of the undirected graph given by an edge
     Dataset. Returns (node, component) where component is the minimum
@@ -68,8 +90,22 @@ def label_propagation_components(
     und = edges.map_batches(fwd, batch_format="pyarrow", zero_copy_batch=True, batch_size=None).union(
         edges.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     ).materialize()
+    n_und = und.count()
+    if n_und <= 2 * driver_edge_limit:  # und carries both directions
+        # SIZE GATE: each distributed round costs ~3 executor floors
+        # (seconds) regardless of graph size; below the gate the same
+        # hash-min runs as numpy scatter-min rounds on two driver
+        # arrays (16 bytes/edge), parity-tested against the loop below
+        tabs = [t for t in (ray.get(r) for r in und.to_arrow_refs())
+                if t.num_rows]
+        if not tabs:
+            return _rename(und, ["node", "component"])
+        tbl = pa.concat_tables(tabs, promote_options="none")
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        return ray.data.from_arrow(_components_driver(a, b))
     if num_partitions is None:
-        num_partitions = max(2, min(64, und.count() // 4_000_000))
+        num_partitions = max(2, min(64, n_und // 4_000_000))
 
     # seed labels with one shuffle-free round of relaxation already
     # applied: labels[v] = min(v, min neighbor) — one groupby instead
@@ -81,7 +117,27 @@ def label_propagation_components(
 
     labels = labels.map_batches(min_self, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     labels = normalize_empty_blocks(labels, {"node": node_t, "label": node_t}).materialize()
-    checksum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    if pa.types.is_string(node_t):
+        # string node ids: convergence checksum over a label hash (the
+        # scalar Sum can't add strings); equality-based detection needs
+        # no monotonicity, only stability
+        from ..functions.hashing import md5_number_lower_arrow
+
+        def _sum_col(ds_):
+            def h(b: pa.Table) -> pa.Table:
+                hv = pc.cast(md5_number_lower_arrow(b["label"]), pa.int64(),
+                             safe=False)
+                return pa.table({"__lh": hv})
+
+            hashed = ds_.map_batches(h, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+            return hashed.aggregate(Sum("__lh"))["sum(__lh)"]
+    else:
+        def _sum_col(ds_):
+            return ds_.aggregate(Sum("label"))["sum(label)"]
+
+    checksum = _sum_col(labels)
 
     def take_parent(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "label": b["p_label"]})
@@ -114,7 +170,7 @@ def label_propagation_components(
                          on=("label",), right_on=("p_node",))
         jumped = j.map_batches(take_parent, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         labels = normalize_empty_blocks(jumped, {"node": node_t, "label": node_t})
-        new_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        new_sum = _sum_col(labels)
         if new_sum == checksum:
             break
         checksum = new_sum

@@ -164,3 +164,24 @@ def test_label_propagation_matches_union_find_on_random_graph():
     cc = label_propagation_components(ray.data.from_arrow(e).repartition(3)).to_pandas()
     got = dict(zip(cc["node"], cc["component"]))
     assert got == dict(uf)
+
+
+def test_label_propagation_driver_gate_parity():
+    # the size-gated driver scatter-min path must equal the distributed
+    # hash-join loop (forced via driver_edge_limit=0) on random graphs,
+    # including string node ids
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n_edges = 400
+    a = rng.integers(0, 150, n_edges)
+    b = rng.integers(0, 150, n_edges)
+    for typed in (lambda x: x.astype(np.int64),
+                  lambda x: np.array([f"n{v}" for v in x])):
+        e = pa.table({"src": typed(a), "dst": typed(b)})
+        ds = ray.data.from_arrow(e).repartition(4)
+        fast = label_propagation_components(ds).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        dist = label_propagation_components(ds, driver_edge_limit=0) \
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        assert fast.equals(dist), typed
