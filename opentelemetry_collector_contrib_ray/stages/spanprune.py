@@ -56,6 +56,7 @@ def prune_spans(
     order_col: str,
     min_group_size: int = 2,
     broadcast_key_limit: int = 2_000_000,
+    driver_partial_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Collapse every (trace, group_cols) group with at least
     ``min_group_size`` rows into one summary row; pass smaller groups
@@ -79,16 +80,33 @@ def prune_spans(
         return g.rename_columns(keys + ["n", "dsum", "dmin", "dmax", "omin"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True, batch_size=None)
-    from ray.data.aggregate import Max, Min, Sum
+                              zero_copy_batch=True, batch_size=None) \
+                 .materialize()
+    if partials.count() <= driver_partial_limit:
+        # SIZE GATE (same shape as tailpolicy._trace_features): one
+        # driver Arrow group_by beats a distributed shuffle's fixed
+        # executor floor while the partial set is thousands of rows;
+        # the distributed merge below is unchanged past the gate
+        tabs = [t for t in (ray.get(r) for r in partials.to_arrow_refs())
+                if t.num_rows]
+        gt = pa.concat_tables(tabs, promote_options="permissive")             .group_by(keys, use_threads=True).aggregate([
+                ("n", "sum"), ("dsum", "sum"), ("dmin", "min"),
+                ("dmax", "max"), ("omin", "min")]) if tabs else None
+        if gt is None:
+            merged = partials
+        else:
+            gt = gt.rename_columns(keys + ["n", "dsum", "dmin", "dmax", "omin"])
+            merged = ray.data.from_arrow(gt)
+    else:
+        from ray.data.aggregate import Max, Min, Sum
 
-    merged = partials.groupby(keys).aggregate(
-        Sum("n"), Sum("dsum"), Min("dmin"), Max("dmax"), Min("omin"))
-    ren = {"sum(n)": "n", "sum(dsum)": "dsum", "min(dmin)": "dmin",
-           "max(dmax)": "dmax", "min(omin)": "omin"}
-    merged = merged.map_batches(
-        lambda b: b.rename_columns([ren.get(c, c) for c in b.column_names]),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        merged = partials.groupby(keys).aggregate(
+            Sum("n"), Sum("dsum"), Min("dmin"), Max("dmax"), Min("omin"))
+        ren = {"sum(n)": "n", "sum(dsum)": "dsum", "min(dmin)": "dmin",
+               "max(dmax)": "dmax", "min(omin)": "omin"}
+        merged = merged.map_batches(
+            lambda b: b.rename_columns([ren.get(c, c) for c in b.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
     k = int(min_group_size)
     pruned = merged.map_batches(
