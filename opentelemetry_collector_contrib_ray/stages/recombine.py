@@ -65,8 +65,10 @@ class Recombine:
             import pyarrow as pa
 
             mask = self.first_pred(pa.Table.from_pandas(g, preserve_index=False)).to_numpy(zero_copy_only=False)
-            seg = mask.cumsum()
-            seg[seg == 0] = 1  # leading rows before any first-marker join segment 1
+            # +1, NOT a clamp: rows before the first marker are their
+            # OWN batch, flushed when the marker arrives
+            # (transformer.go:213-219 flushes the existing batch first)
+            seg = mask.cumsum() + 1
         elif self.last_pred is not None:
             import numpy as np
             import pyarrow as pa
@@ -237,8 +239,9 @@ class Recombine:
         def merge(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(first_key, kind="mergesort")
             if "_marker" in g.columns:  # first-entry mode
-                seg = g["_marker"].astype(int).cumsum()
-                seg[seg == 0] = 1  # leading partials before any marker
+                # +1, not a clamp: leading partials before any marker
+                # are their own segment (transformer.go:213-219)
+                seg = g["_marker"].astype(int).cumsum() + 1
             else:  # last-entry mode: new segment after an ending marker
                 prev = g["_endm"].shift(1, fill_value=False)
                 seg = 1 + prev.astype(int).cumsum()

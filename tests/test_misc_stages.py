@@ -298,3 +298,41 @@ def test_recombine_is_last_entry_modes_agree():
     assert list(a["n_turns"])[:-1] == [7] * (len(a) - 1)
     with pytest.raises(ValueError, match="mutually exclusive"):
         Recombine(is_first_entry=pred, is_last_entry=pred)
+
+
+def test_recombine_reference_case_table():
+    # transformer_test.go semantic cases on the finite-table model
+    # (end-of-input flushes the trailing batch)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    def run(texts, **kw):
+        t = pa.table({"conv_id": ["c"] * len(texts),
+                      "turn_idx": list(range(len(texts))),
+                      "text": texts})
+        out = Recombine(**kw).apply(ray.data.from_arrow(t)) \
+            .to_pandas().sort_values("segment")
+        return list(out["text"])
+
+    first_t1 = ("==", col("text"), "test1")
+    last_t2 = ("==", col("text"), "test2")
+    # TwoEntriesLast: marker row joins ITS batch, then flushes
+    assert run(["test1", "test2"], is_last_entry=last_t2) == ["test1\ntest2"]
+    # CombineWithEmptyString
+    assert run(["test1", "test2"], is_last_entry=last_t2,
+               combine_with="") == ["test1test2"]
+    # EntriesNonMatchingForFirstEntry: no marker -> one combined batch
+    assert run(["test2", "test3", "test4"], is_first_entry=first_t1) \
+        == ["test2\ntest3\ntest4"]
+    # leading rows BEFORE the first marker are their own batch,
+    # flushed when the marker arrives (transformer.go:213-219)
+    assert run(["test2", "test3", "test1", "tail"],
+               is_first_entry=first_t1) == ["test2\ntest3", "test1\ntail"]
+    # ThreeEntriesFirst*: a mid-stream marker splits; the trailing
+    # batch flushes at end-of-input
+    assert run(["test1", "test2", "test1"], is_first_entry=first_t1) \
+        == ["test1\ntest2", "test1"]
+    # OneEntryLast
+    assert run(["test"], is_last_entry=("==", col("text"), "never")) \
+        == ["test"]
