@@ -286,8 +286,13 @@ class KeyValueParser:
         self.delimiter = delimiter
         self.on_error = on_error
         self.prefix = prefix
+        # parseutils quoting: a double-quoted value keeps embedded
+        # spaces/delimiters and drops the quotes (the unquoted branch
+        # extracts "" for the quoted group and vice versa — RE2 empty,
+        # not null — so the reader picks the non-empty one)
         self._pats = {
-            k: rf"(?:^|\s){_re.escape(k)}{_re.escape(delimiter)}(?P<v>\S+)" for k in keys
+            k: rf'(?:^|\s){_re.escape(k)}{_re.escape(delimiter)}'
+               rf'(?:"(?P<q>[^"]*)"|(?P<v>\S+))' for k in keys
         }
 
     def fn(self, batch: pa.Table) -> pa.Table:
@@ -297,7 +302,9 @@ class KeyValueParser:
         any_ok = None
         for k, typ in self.keys.items():
             res = pc.extract_regex(src, pattern=self._pats[k])
-            val = pc.struct_field(res, "v")
+            q = pc.struct_field(res, "q")
+            v = pc.struct_field(res, "v")
+            val = pc.if_else(pc.equal(pc.fill_null(v, ""), ""), q, v)
             ok = res.is_valid()
             any_ok = ok if any_ok is None else pc.or_(any_ok, ok)
             if typ != pa.string():

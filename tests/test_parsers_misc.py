@@ -97,3 +97,18 @@ def test_flatten_struct_editor():
     out = Statement("flatten", {"src": "nested"})(t)
     assert out.column_names == ["id", "x", "y"]
     assert out["x"].to_pylist() == [1, 2]
+
+
+def test_key_value_parser_quoted_values():
+    # parseutils quoting: double-quoted values keep embedded
+    # spaces/delimiters, quotes dropped
+    from opentelemetry_collector_contrib_ray.stages.parse import KeyValueParser
+
+    t = pa.table({"raw": ['k1=v1 k2="v2 with space" n=5',
+                          'k2="x=y" k1=plain n="7"',
+                          'k1=a', None]})
+    out = KeyValueParser("raw", {"k1": "string", "k2": "string",
+                                 "n": "int64"}).fn(t)
+    assert out["k1"].to_pylist() == ["v1", "plain", "a", None]
+    assert out["k2"].to_pylist() == ["v2 with space", "x=y", None, None]
+    assert out["n"].to_pylist() == [5, 7, None, None]
