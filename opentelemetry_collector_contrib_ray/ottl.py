@@ -852,7 +852,6 @@ class _Parser:
         _, editor = self.next()
         self.expect("(")
         args: list[Any] = []
-        raw_tokens_ok = True
         # first arg may be a bare context name (attributes) for
         # delete_key/flatten-style editors
         while self.peek()[1] != ")":
