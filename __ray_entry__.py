@@ -1237,6 +1237,18 @@ def _q_redact_props(sf_dir: str):
     return stage.apply(ds)
 
 
+def _q_events_quantiles(sf_dir: str):
+    """Exact distributed order statistics (stages/sketch.exact_quantiles:
+    one range-partitioned sort, O(blocks) counts to the driver, <=|qs|
+    block fetches); oracle = DuckDB quantile_disc, bit-exact by the
+    shared rank formula max(1, ceil(q*n))."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import exact_quantiles
+
+    ds = read_table(sf_dir, "events")
+    return exact_quantiles(ds, "value",
+                           [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_attrs_actions(sf_dir: str):
     """attributesprocessor action list (insert/hash/extract/delete
     over the events table); oracle = literal column + DuckDB's
@@ -1472,6 +1484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": _q_redact_props,
         "genai_norm": _q_genai_norm,
         "attrs_actions": _q_attrs_actions,
+        "events_quantiles": _q_events_quantiles,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1715,6 +1728,13 @@ SELECT event_id,
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
 FROM events""",
+        "events_quantiles": """
+WITH vs AS (SELECT quantile_disc(value, [0.01, 0.1, 0.25, 0.5, 0.75,
+                                         0.9, 0.99]) AS v FROM events),
+qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+              generate_subscripts([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                                   0.99], 1) AS i)
+SELECT qs.q, vs.v[qs.i] AS value FROM qs, vs""",
         "attrs_actions": """
 SELECT event_id, 'prod' AS env,
   md5_number_lower(props) AS props,

@@ -34,9 +34,12 @@ by the concat in tree_reduce's combine).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data
 
 from ..functions.hashing import md5_number_lower_arrow
@@ -256,3 +259,52 @@ def kmv_distinct_estimate(sample: pa.Table, k: int) -> float:
         return float(sample.num_rows)
     h_k = int(sample["h"][k - 1].as_py())
     return (k - 1) / (h_k / 2.0**64)
+
+
+def exact_quantiles(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: list[float],
+) -> pa.Table:
+    """EXACT order statistics at any scale: one range-partitioned sort
+    of the single value column, per-block row COUNTS to the driver
+    (O(blocks) ints, fetched by tiny remote probes — the data itself
+    stays put), then at most len(qs) block fetches to read the ranked
+    rows. Rank formula = DuckDB's quantile_disc (1-indexed
+    max(1, ceil(q*n))), so the oracle replays bit-exact. Null values
+    sort to the END under Ray's sort and are excluded from n, matching
+    SQL aggregate semantics."""
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.drop_null()
+
+    sorted_ds = ds.select_columns([value_col]) \
+        .map_batches(drop_null, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .sort(value_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(block: pa.Table) -> int:
+        return block.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    cache: dict[int, pa.Table] = {}
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+        if n == 0:
+            out_q.append(q)
+            out_v.append(None)
+            continue
+        rank = max(1, int(math.ceil(q * n)))  # DuckDB quantile_disc
+        bi = int(np.searchsorted(cum, rank, side="left"))
+        if bi not in cache:
+            cache[bi] = ray.get(refs[bi])
+        before = int(cum[bi - 1]) if bi else 0
+        out_q.append(q)
+        out_v.append(cache[bi][value_col][rank - before - 1].as_py())
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})

@@ -185,3 +185,26 @@ def test_label_propagation_driver_gate_parity():
         dist = label_propagation_components(ds, driver_edge_limit=0) \
             .to_pandas().sort_values("node").reset_index(drop=True)
         assert fast.equals(dist), typed
+
+
+def test_exact_quantiles_duckdb_parity():
+    import duckdb
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import exact_quantiles
+
+    rng = np.random.default_rng(2)
+    vals = list(rng.normal(0, 5, 20_000))
+    for i in range(0, len(vals), 61):
+        vals[i] = None  # nulls excluded from n, like SQL aggregates
+    tbl = pa.table({"v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    qs = [0.0, 0.05, 0.5, 0.95, 1.0]
+    got = exact_quantiles(ds, "v", qs)
+    con = duckdb.connect()
+    for q, v in zip(got["q"].to_pylist(), got["value"].to_pylist()):
+        ref = con.sql(f"SELECT quantile_disc(v, {q}) FROM tbl").fetchone()[0]
+        assert v == ref, (q, v, ref)
+    # empty input -> null values
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert exact_quantiles(empty, "v", [0.5])["value"].to_pylist() == [None]
