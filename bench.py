@@ -152,6 +152,7 @@ def _run_bench() -> dict:
         "ottl_funcs2",
         "events_iforest",
         "geoip_enrich",
+        "events_quantiles",
     ]
     qs = e.queries()
     qtimes = {}
