@@ -375,7 +375,7 @@ class _Parser:
                 args = [self._as_col(args[0])]  # nested call
             if isinstance(args[0], Col):
                 return {"__converter__": editor, "args": {src_key: args[0].name}}
-            if isinstance(args[0], (str, int, float, bool)) or (
+            if isinstance(args[0], (str, int, float, bool, list)) or (
                     isinstance(args[0], dict) and "__converter__" not in args[0]
                     and "__lambda__" not in args[0]):
                 return self._fold1(editor, {}, args[0], src_key)
@@ -666,6 +666,16 @@ class _Parser:
             return {"__converter__": "convert_text_xml",
                     "args": {"src": args[0].name, "xpath": xpath,
                              "element_name": elem}}
+        if name == "SliceToMap":
+            # func_slice_to_map.go: list<struct> keyed by a field path
+            if len(args) >= 2 and isinstance(args[0], Col) \
+                    and isinstance(args[1], list) and len(args[1]) == 1 \
+                    and isinstance(args[1][0], str):
+                return {"__converter__": "slice_to_map",
+                        "args": {"src": args[0].name,
+                                 "key_field": args[1][0]}}
+            raise OTTLParseError(
+                f"SliceToMap(path, [key_field]) expected: {self.text!r}")
         if name == "Reduce":
             if len(args) != 3 or not isinstance(args[2], dict) \
                     or "__lambda__" not in args[2]:

@@ -189,6 +189,11 @@ SET_CASES = [
     ('set(attributes["test"], ToKeyValueString(ParseKeyValue("k1=v1 k2=v2=v3"), "=", " ", true))',
      "test", 'k1=v1 k2="v2=v3"'),
     ('set(attributes["test"], Hour(Time("12", "%H")))', "test", 12),
+    # --- literal map/list set values + Len over literals ---
+    ('set(attributes["test"], {"list":[{"foo":"bar"}]})', "test",
+     {"list": [{"foo": "bar"}]}),
+    ('set(attributes["test"], Len([{"list":[{"foo":"bar"}]}, {"bar":"baz"}]))',
+     "test", 2),
     # --- nested converters over paths (scratch-column chaining) ---
     ('set(attributes["test"], Sort(Split(attributes["flags"], "|"), "desc"))',
      "test", ["C", "B", "A"]),
@@ -269,6 +274,14 @@ def test_corpus_replace_match_and_patterns():
     assert got(out, "http.path") == "test"
     assert got(out, "http.url") == "test"
     assert got(out, "http.method") == "get"  # no '/'
+
+
+def test_corpus_slice_to_map():
+    # `set(attributes["test"], SliceToMap(attributes["things"], ["name"]))`
+    out = run1('set(attributes["test"], SliceToMap(attributes["things"], ["name"]))')
+    m = dict(got(out, "test"))
+    assert m == {"foo": {"name": "foo", "value": 2},
+                 "bar": {"name": "bar", "value": 5}}
 
 
 def test_corpus_replace_pattern_with_hash_function():
