@@ -1249,6 +1249,19 @@ def _q_events_quantiles(sf_dir: str):
                            [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
 
 
+def _q_quantiles_by_type(sf_dir: str):
+    """Per-group exact order statistics (stages/sketch.grouped_quantiles
+    — the spanmetrics p50/p95/p99-per-dimension shape): one sort by
+    (group, value), O(groups + blocks) run summaries to the driver,
+    one fetch per block holding a ranked row; oracle = DuckDB
+    per-group quantile_disc."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import grouped_quantiles
+
+    ds = read_table(sf_dir, "events")
+    out = grouped_quantiles(ds, "event_type", "value", [0.1, 0.5, 0.9, 0.99])
+    return out.sort_by([("event_type", "ascending"), ("q", "ascending")])
+
+
 def _q_attrs_actions(sf_dir: str):
     """attributesprocessor action list (insert/hash/extract/delete
     over the events table); oracle = literal column + DuckDB's
@@ -1485,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "genai_norm": _q_genai_norm,
         "attrs_actions": _q_attrs_actions,
         "events_quantiles": _q_events_quantiles,
+        "quantiles_by_type": _q_quantiles_by_type,
         # -- queries whose implementation changed in round 3 --
         "interval_last": _q_interval_last,
         "heavy_hitters": _q_heavy_hitters,
@@ -1728,6 +1742,13 @@ SELECT event_id,
   ';k_part=' || string_split(props, ' ')[1] ||
   ';v_part=' || string_split(props, ' ')[2] || ';' AS kvs
 FROM events""",
+        "quantiles_by_type": """
+WITH vs AS (SELECT event_type, quantile_disc(value, [0.1, 0.5, 0.9, 0.99])
+                   AS arr FROM events GROUP BY event_type),
+qs AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
+              generate_subscripts([0.1, 0.5, 0.9, 0.99], 1) AS i)
+SELECT vs.event_type, qs.q, vs.arr[qs.i] AS value
+FROM vs, qs ORDER BY event_type, q""",
         "events_quantiles": """
 WITH vs AS (SELECT quantile_disc(value, [0.01, 0.1, 0.25, 0.5, 0.75,
                                          0.9, 0.99]) AS v FROM events),

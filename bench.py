@@ -153,6 +153,7 @@ def _run_bench() -> dict:
         "events_iforest",
         "geoip_enrich",
         "events_quantiles",
+        "quantiles_by_type",
     ]
     qs = e.queries()
     qtimes = {}

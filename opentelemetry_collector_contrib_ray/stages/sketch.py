@@ -308,3 +308,79 @@ def exact_quantiles(
         out_v.append(cache[bi][value_col][rank - before - 1].as_py())
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v)})
+
+
+def grouped_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    max_segments: int = 4_000_000,
+) -> pa.Table:
+    """EXACT per-group order statistics (the spanmetrics
+    p50/p95/p99-per-dimension shape): one sort by (group, value), then
+    per-block (group, run-length) summaries to the driver — sorted
+    runs make that O(groups + blocks) rows, capped by
+    ``max_segments`` (fail loud, the cue to pre-bucket groups) — and
+    one fetch per block that holds a ranked row. Rank formula =
+    DuckDB quantile_disc, null values dropped like SQL aggregates;
+    null groups kept (SQL GROUP BY keeps them)."""
+    def drop_null_vals(b: pa.Table) -> pa.Table:
+        col = b[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return b.filter(pc.is_valid(col))
+
+    sorted_ds = ds.select_columns([group_col, value_col]) \
+        .map_batches(drop_null_vals, batch_format="pyarrow",
+                     zero_copy_batch=True, batch_size=None) \
+        .sort([group_col, value_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def seg_meta(block: pa.Table):
+        if block.num_rows == 0:
+            return [], []
+        g = block[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        gn = g.to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate([[True], gn[1:] != gn[:-1]]))[0]
+        lens = np.diff(np.append(starts, block.num_rows))
+        return list(g.take(pa.array(starts)).to_pylist()), lens.tolist()
+
+    metas = ray.get([seg_meta.remote(r) for r in refs])
+    # runs per group in global order: [(block_i, start_off, length)]
+    runs: dict = {}
+    totals: dict = {}
+    n_segments = 0
+    for bi, (gvals, lens) in enumerate(metas):
+        off = 0
+        for gv, ln in zip(gvals, lens):
+            runs.setdefault(gv, []).append((bi, off, ln))
+            totals[gv] = totals.get(gv, 0) + ln
+            off += ln
+            n_segments += 1
+        if n_segments > max_segments:
+            raise ValueError(
+                "grouped_quantiles: segment count exceeds "
+                f"{max_segments} — pre-bucket the group column")
+    cache: dict[int, pa.Table] = {}
+    out_g, out_q, out_v = [], [], []
+    for gv, rs in runs.items():
+        n = totals[gv]
+        lens = np.array([r[2] for r in rs], np.int64)
+        cum = np.cumsum(lens)
+        for q in qs:
+            rank = max(1, int(math.ceil(q * n)))
+            ri = int(np.searchsorted(cum, rank, side="left"))
+            bi, off, _ = rs[ri]
+            before = int(cum[ri - 1]) if ri else 0
+            if bi not in cache:
+                cache[bi] = ray.get(refs[bi])
+            out_g.append(gv)
+            out_q.append(q)
+            out_v.append(cache[bi][value_col][off + rank - before - 1].as_py())
+    return pa.table({group_col: pa.array(out_g),
+                     "q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})

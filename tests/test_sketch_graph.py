@@ -208,3 +208,30 @@ def test_exact_quantiles_duckdb_parity():
     # empty input -> null values
     empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     assert exact_quantiles(empty, "v", [0.5])["value"].to_pylist() == [None]
+
+
+def test_grouped_quantiles_duckdb_parity():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(4)
+    n = 20_000
+    g = rng.choice(["a", "b", "c"], n)
+    v = list(rng.normal(0, 3, n))
+    for i in range(0, n, 53):
+        v[i] = None
+    tbl = pa.table({"g": g, "v": pa.array(v, pa.float64())})
+    got = grouped_quantiles(ray.data.from_arrow(tbl).repartition(6),
+                            "g", "v", [0.1, 0.5, 0.9]).to_pandas() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    con = duckdb.connect()
+    ref = con.sql("""
+WITH vs AS (SELECT g, quantile_disc(v, [0.1, 0.5, 0.9]) AS arr
+            FROM tbl GROUP BY g),
+qs AS (SELECT unnest([0.1, 0.5, 0.9]) AS q,
+              generate_subscripts([0.1, 0.5, 0.9], 1) AS i)
+SELECT vs.g, qs.q, vs.arr[qs.i] AS value FROM vs, qs ORDER BY g, q""").df()
+    pd.testing.assert_frame_equal(got, ref)
