@@ -1177,11 +1177,25 @@ class Statement:
             out = pc.if_else(row_null, pa.nulls(n, pa.string()), joined)
             return _masked(tbl, target, out, mask)
         flat = col_.flatten()
-        vals = pc.cast(flat, pa.float64()).to_numpy(zero_copy_only=False)
-        ident = {"sum": 0.0, "product": 1.0,
-                 "min": np.inf, "max": -np.inf}[op]
-        item_ok = (~np.isnan(vals)).astype(np.float64)
-        vals = np.where(np.isnan(vals), ident, vals)
+        # integer lists fold in int64 (float64 loses exactness past
+        # 2^53 — a hypothesis fold-parity test caught a big product
+        # rounding off by one); float lists fold in float64
+        int_mode = (pa.types.is_integer(flat.type)
+                    and (seed is None or isinstance(seed, int)))
+        if int_mode:
+            ident = {"sum": 0, "product": 1,
+                     "min": np.iinfo(np.int64).max,
+                     "max": np.iinfo(np.int64).min}[op]
+            item_ok = pc.is_valid(flat).to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            vals = pc.fill_null(pc.cast(flat, pa.int64()), int(ident)) \
+                .to_numpy(zero_copy_only=False)
+        else:
+            ident = {"sum": 0.0, "product": 1.0,
+                     "min": np.inf, "max": -np.inf}[op]
+            vals = pc.cast(flat, pa.float64()).to_numpy(zero_copy_only=False)
+            item_ok = (~np.isnan(vals)).astype(np.float64)
+            vals = np.where(np.isnan(vals), ident, vals)
         offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         offs = offs - offs[0]  # flatten() starts at the slice origin
         lens = np.diff(offs)
@@ -1190,20 +1204,24 @@ class Statement:
         # pad one identity element so start offsets equal to len(vals)
         # (trailing empty lists) stay valid without shifting segments
         vals_p = np.append(vals, ident)
-        agg = ufunc.reduceat(vals_p, offs[:-1]) if n else np.empty(0)
+        agg = ufunc.reduceat(vals_p, offs[:-1]) if n \
+            else np.empty(0, vals.dtype)
         agg = np.where(lens == 0, ident, agg)
         # rows with no usable value AND no seed have no fold result
-        # (min/max identity is +-inf — never a valid output)
+        # (min/max identity is an extreme — never a valid output)
         n_ok = np.add.reduceat(np.append(item_ok, 0.0), offs[:-1]) if n \
             else np.empty(0)
         n_ok = np.where(lens == 0, 0.0, n_ok)
         no_result = (n_ok == 0) & (seed is None)
         if seed is not None:
-            agg = ufunc(agg, float(seed))
-        int_out = (pa.types.is_integer(flat.type)
-                   and (seed is None or isinstance(seed, int)))
-        agg = np.where(no_result, 0.0, agg)  # placeholder under the null
-        arr = pa.array(agg.astype(np.int64) if int_out else agg)
+            agg = ufunc(agg, int(seed) if int_mode else float(seed))
+            # min/max over no values with a seed IS the seed — never
+            # let the identity extreme leak through the combine
+            if op in ("min", "max"):
+                agg = np.where(n_ok == 0,
+                               int(seed) if int_mode else float(seed), agg)
+        agg = np.where(no_result, ident if int_mode else 0.0, agg)
+        arr = pa.array(agg.astype(np.int64) if int_mode else agg)
         bad = pa.array(no_result) if no_result.any() else None
         out = pc.if_else(row_null, pa.nulls(n, arr.type), arr)
         if bad is not None:

