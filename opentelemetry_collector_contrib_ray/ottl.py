@@ -340,6 +340,21 @@ class _Parser:
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
+        if name == "Base64Encode" and len(args) == 2:
+            # 2-arg variant: encoding name (base64-url etc) per
+            # func_base64encode.go — must run before the generic
+            # single-arg converter table
+            if not isinstance(args[0], str) or not isinstance(args[1], str):
+                raise OTTLParseError(
+                    f"Base64Encode(str, encoding) literals expected: {self.text!r}")
+            import base64 as _b64
+
+            raw = args[0].encode()
+            if args[1] in ("base64-url", "base64url"):
+                return _b64.urlsafe_b64encode(raw).decode()
+            if args[1] in ("base64", "base64-std"):
+                return _b64.b64encode(raw).decode()
+            raise OTTLParseError(f"unknown base64 variant {args[1]!r}: {self.text!r}")
         if name == "Hex" and len(args) == 1 and \
                 isinstance(args[0], (bool, int, float)) and not isinstance(args[0], str):
             # func_hex.go: big-endian bytes of the value (bool -> one
@@ -613,6 +628,26 @@ class _Parser:
             from datetime import datetime as _dt
 
             return _dt.strptime(args[0], args[1])
+        if name == "UserAgent":
+            # func_useragent.go over a literal: fold by running the
+            # useragent editor on a one-row table and collecting the
+            # prefix columns into the semconv attribute map
+            if len(args) == 1 and isinstance(args[0], str):
+                import pyarrow as _pa
+
+                from .stages.transform import Statement as _St
+
+                tbl = _pa.table({"__lit__": [args[0]]})
+                out = _St("useragent", {"src": "__lit__",
+                                        "prefix": "user_agent."})(tbl)
+                return {"user_agent.original": args[0],
+                        "user_agent.name": out["user_agent.name"][0].as_py(),
+                        "user_agent.version": out["user_agent.version"][0].as_py(),
+                        "os.name": out["user_agent.os"][0].as_py()}
+            if len(args) == 1 and isinstance(args[0], Col):
+                return {"__converter__": "useragent",
+                        "args": {"src": args[0].name}}
+            raise OTTLParseError(f"UserAgent(x) expected: {self.text!r}")
         if name == "Base64Decode":
             # func_base64decode.go returns a STRING (deprecated alias
             # of Decode(x, "base64")); the binary-returning

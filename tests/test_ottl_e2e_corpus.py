@@ -63,6 +63,8 @@ SET_CASES = [
     ('set(attributes["test"], String(attributes["http.method"]))', "test", "get"),
     # --- hash / encode family ---
     ('set(attributes["test"], Base64Encode("pass"))', "test", "cGFzcw=="),
+    ('set(attributes["test"], Base64Encode("data+values/items", "base64-url"))',
+     "test", "ZGF0YSt2YWx1ZXMvaXRlbXM="),
     ('set(attributes["test"], Base64Decode("cGFzcw=="))', "test", "pass"),
     ('set(attributes["test"], Decode("cGFzcw==", "base64"))', "test", "pass"),
     ('set(attributes["test"], MD5("pass"))', "test",
@@ -274,6 +276,15 @@ def test_corpus_replace_match_and_patterns():
     assert got(out, "http.path") == "test"
     assert got(out, "http.url") == "test"
     assert got(out, "http.method") == "get"  # no '/'
+
+
+def test_corpus_useragent_literal():
+    # `set(attributes["test"], UserAgent("curl/7.81.0"))`
+    out = run1('set(attributes["test"], UserAgent("curl/7.81.0"))')
+    v = got(out, "test")
+    assert v["user_agent.original"] == "curl/7.81.0"
+    assert v["user_agent.name"] == "curl"
+    assert v["user_agent.version"] == "7.81.0"
 
 
 def test_corpus_slice_to_map():
