@@ -72,7 +72,13 @@ def resolve_col(tbl: pa.Table, name: str):
 
 def _value(tbl: pa.Table, v: Any, n: int):
     if isinstance(v, Col):
-        return resolve_col(tbl, v.name)
+        # a missing attribute reads as nil in OTTL conditions
+        # (`where attributes["absent"] == nil` must be TRUE, e2e
+        # corpus) — an all-null column, never a KeyError
+        try:
+            return resolve_col(tbl, v.name)
+        except KeyError:
+            return pa.nulls(n)
     if isinstance(v, dict) and "__converter__" in v:
         # a converter call inside a condition (where UnixMicro(time) > 0):
         # evaluate the editor into a scratch column, compare on that

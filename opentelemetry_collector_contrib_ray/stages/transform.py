@@ -84,6 +84,10 @@ class Statement:
     # --- editors (mutating, func_set.go / func_delete_key.go / ...) ---
 
     def _op_set(self, tbl, mask, target: str, value: Any):
+        # pkg/ottl setters IGNORE nil values (e2e corpus:
+        # `set(attributes["test"], nil)` leaves the record unchanged)
+        if value is None:
+            return tbl
         return _masked(tbl, target, _val(tbl, value), mask)
 
     def _op_delete_keys(self, tbl, mask, keys: list[str]):
@@ -114,15 +118,25 @@ class Statement:
         return tbl.rename_columns(names)
 
     def _op_copy(self, tbl, mask, src: str, dst: str):
-        return _masked(tbl, dst, _val(tbl, Col(src)), mask)
+        # a missing source reads as nil, and nil sets are ignored
+        # (corpus: `set(attributes["test"], attributes["unknown"])`)
+        try:
+            v = _val(tbl, Col(src))
+        except KeyError:
+            return tbl
+        return _masked(tbl, dst, v, mask)
 
-    def _op_concat(self, tbl, mask, target: str, parts: list[Any], sep: str = ""):
+    def _op_concat(self, tbl, mask, target: str, parts: list[Any], sep: Any = ""):
         arrs = []
         for p in parts:
             v = _val(tbl, p)
             if not isinstance(v, (pa.Array, pa.ChunkedArray)):
                 v = pa.array([str(v)] * tbl.num_rows)
             arrs.append(pc.cast(v, pa.string()))
+        # Concat(parts, attributes["delim"]): the separator may be a
+        # path — binary_join_element_wise takes an array separator
+        if isinstance(sep, Col):
+            sep = pc.cast(_val(tbl, sep), pa.string())
         out = pc.binary_join_element_wise(*arrs, sep)
         return _masked(tbl, target, out, mask)
 
@@ -151,7 +165,29 @@ class Statement:
     def _op_lower(self, tbl, mask, target: str, src: str | None = None):
         return _masked(tbl, target, pc.utf8_lower(_val(tbl, Col(src or target))), mask)
 
-    def _op_substring(self, tbl, mask, target: str, src: str, start: int, length: int):
+    def _op_substring(self, tbl, mask, target: str, src: str, start: int, length: int,
+                      utf8_safe: bool = False):
+        if utf8_safe:
+            # func_substring.go utf8Safe mode: BYTE offsets, snapped to
+            # rune boundaries (start forward, end backward); a range
+            # past the byte length errors like the reference
+            col_ = _val(tbl, Col(src))
+            outs = []
+            for s in col_.to_pylist():
+                if s is None:
+                    outs.append(None)
+                    continue
+                raw = s.encode()
+                if start > len(raw) or length > len(raw) - start:
+                    raise pa.ArrowInvalid(
+                        "invalid range for substring function")
+                b, e = start, start + length
+                while b < len(raw) and (raw[b] & 0xC0) == 0x80:
+                    b += 1
+                while b < e and e < len(raw) and (raw[e] & 0xC0) == 0x80:
+                    e -= 1
+                outs.append(raw[b:max(b, e)].decode("utf-8", "ignore"))
+            return _masked(tbl, target, pa.array(outs, pa.string()), mask)
         out = pc.utf8_slice_codeunits(_val(tbl, Col(src)), start=start, stop=start + length)
         return _masked(tbl, target, out, mask)
 
@@ -428,6 +464,14 @@ class Statement:
                "match": lambda a, v: pc.match_substring_regex(a, pattern=v)}[op]
         col_ = _val(tbl, Col(src))
         offs, flat = self._list_parts(col_)
+        if isinstance(value, Col):
+            # per-row comparison value: repeat each row's value across
+            # its elements (Index(slices, attributes["k"]) shape)
+            v = _val(tbl, value)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            value = v.take(pa.array(np.repeat(np.arange(len(offs) - 1),
+                                              np.diff(offs))))
         keep = pc.fill_null(cmp(flat, value), False).to_numpy(zero_copy_only=False)
         return offs, flat, keep
 
@@ -464,17 +508,41 @@ class Statement:
         out = pc.if_else(pa.array(found), vals, pa.nulls(len(lens), vals.type))
         return _masked(tbl, target, out, mask)
 
-    def _op_delete_index(self, tbl, mask, target: str, src: str, index: int):
-        # func_delete_index.go: drop the element at index per row
+    def _op_delete_index(self, tbl, mask, target: str, src: str,
+                         index: int | None = None, end_index: int | None = None,
+                         from_len: int | None = None,
+                         position_of: Any = None):
+        # func_delete_index.go: drop element(s) per row.
+        #   index               — one literal position
+        #   index + end_index   — the [index, end_index) range
+        #   from_len=-1         — Len(list) + from_len (delete last)
+        #   position_of=value   — Index(list, value) per row
         col_ = _val(tbl, Col(src))
         offs, flat = self._list_parts(col_)
         lens = np.diff(offs)
         pos = np.arange(len(flat)) - np.repeat(offs[:-1], lens)
-        keep = pos != index
+        if position_of is not None:
+            _, _, hit = self._list_elem_mask(tbl, src, "==", position_of)
+            big = np.where(hit, pos, np.iinfo(np.int64).max)
+            first = np.minimum.reduceat(np.append(big, np.iinfo(np.int64).max),
+                                        offs[:-1]) if len(offs) > 1 \
+                else np.empty(0, np.int64)
+            first = np.where(lens == 0, np.iinfo(np.int64).max, first)
+            drop = pos == np.repeat(first, lens)
+        elif from_len is not None:
+            target_idx = lens + from_len
+            drop = pos == np.repeat(target_idx, lens)
+        elif end_index is not None:
+            drop = (pos >= index) & (pos < end_index)
+        else:
+            drop = pos == index
+        keep = ~drop
         new_flat = flat.filter(pa.array(keep))
-        new_lens = lens - ((lens > index).astype(np.int64))
+        kept_per_row = np.add.reduceat(keep.astype(np.int64), offs[:-1]) \
+            if len(keep) else np.zeros(len(offs) - 1, np.int64)
+        kept_per_row[lens == 0] = 0
         new_offs = np.zeros(len(offs), dtype=np.int64)
-        np.cumsum(new_lens, out=new_offs[1:])
+        np.cumsum(kept_per_row, out=new_offs[1:])
         out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
         return _masked(tbl, target, out, mask)
 
@@ -521,14 +589,40 @@ class Statement:
             out = pa.ListArray.from_arrays(offs, flat)
         return _masked(tbl, target, out, mask)
 
-    def _op_slice_to_map(self, tbl, mask, target: str, src: str, key_field: str):
-        # func_slice_to_map.go: list<struct> -> map keyed by a field
+    def _op_slice_to_map(self, tbl, mask, target: str, src: str,
+                         key_field: str | None = None,
+                         value_field: str | None = None):
+        # func_slice_to_map.go: list -> map.
+        #   key_field given  — list<struct> keyed by that field (a
+        #                      missing field errors like the reference)
+        #   key_field None   — keyed by the element INDEX as a string
+        #   value_field      — map values are that field, not the
+        #                      whole element
         col_ = _val(tbl, Col(src))
         if isinstance(col_, pa.ChunkedArray):
             col_ = col_.combine_chunks()
         flat = col_.flatten()
-        keys = pc.cast(pc.struct_field(flat, key_field), pa.string())
-        out = pa.MapArray.from_arrays(col_.offsets, keys, flat)
+        if key_field is not None:
+            if not pa.types.is_struct(flat.type) or \
+                    key_field not in [f.name for f in flat.type]:
+                raise pa.ArrowInvalid(
+                    f"SliceToMap: could not extract key from element "
+                    f"({key_field!r})")
+            keys = pc.cast(pc.struct_field(flat, key_field), pa.string())
+        else:
+            offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            pos = np.arange(len(flat)) - np.repeat(offs[:-1], np.diff(offs))
+            keys = pc.cast(pa.array(pos), pa.string())
+        items = flat
+        if value_field is not None:
+            if not pa.types.is_struct(flat.type) or \
+                    value_field not in [f.name for f in flat.type]:
+                raise pa.ArrowInvalid(
+                    f"SliceToMap: provided object does not contain the "
+                    f"path ({value_field!r})")
+            items = pc.struct_field(flat, value_field)
+        out = pa.MapArray.from_arrays(col_.offsets, keys, items)
         return _masked(tbl, target, out, mask)
 
     def _op_value_map(self, tbl, mask, target: str, mapping: dict, src: str | None = None,
@@ -686,12 +780,28 @@ class Statement:
             pattern=_re.escape(suffix) + "$", replacement="", max_replacements=1)
         return _masked(tbl, target, out, mask)
 
-    def _op_has_prefix(self, tbl, mask, target: str, src: str, prefix: str):
-        # func_has_prefix.go -> bool column
+    def _op_has_prefix(self, tbl, mask, target: str, src: str, prefix: Any):
+        # func_has_prefix.go -> bool column; a Col prefix (dynamic
+        # per-row prefix) compares substring(src, 0, len(prefix)) ==
+        # prefix via a per-row loop — rare shape, not a hot-path op
+        if isinstance(prefix, Col):
+            a = _val(tbl, Col(src)).to_pylist()
+            b = _val(tbl, prefix).to_pylist()
+            out = pa.array([None if (x is None or p is None)
+                            else x.startswith(p) for x, p in zip(a, b)],
+                           pa.bool_())
+            return _masked(tbl, target, out, mask)
         return _masked(tbl, target,
                        pc.starts_with(_val(tbl, Col(src)), pattern=prefix), mask)
 
-    def _op_has_suffix(self, tbl, mask, target: str, src: str, suffix: str):
+    def _op_has_suffix(self, tbl, mask, target: str, src: str, suffix: Any):
+        if isinstance(suffix, Col):
+            a = _val(tbl, Col(src)).to_pylist()
+            b = _val(tbl, suffix).to_pylist()
+            out = pa.array([None if (x is None or p is None)
+                            else x.endswith(p) for x, p in zip(a, b)],
+                           pa.bool_())
+            return _masked(tbl, target, out, mask)
         return _masked(tbl, target,
                        pc.ends_with(_val(tbl, Col(src)), pattern=suffix), mask)
 
@@ -854,13 +964,13 @@ class Statement:
         out = pc.if_else(pc.is_valid(col_), out, pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
-    def _op_is_in_cidr(self, tbl, mask, target: str, src: str, cidr: str):
-        # IsInCIDR-style IPv4 membership; malformed addresses -> null
+    def _op_is_in_cidr(self, tbl, mask, target: str, src: str, cidr: Any):
+        # IsInCIDR-style IPv4 membership (func_is_in_cidr.go takes a
+        # LIST of ranges — membership in any); malformed addrs -> null
         import ipaddress
 
-        net = ipaddress.ip_network(cidr, strict=False)
-        net_int = int(net.network_address)
-        mask_int = int(net.netmask)
+        nets = [ipaddress.ip_network(c, strict=False)
+                for c in (cidr if isinstance(cidr, list) else [cidr])]
         col_ = _val(tbl, Col(src))
         ex = pc.extract_regex(
             col_,
@@ -869,15 +979,29 @@ class Statement:
                 .to_numpy(zero_copy_only=False) for i in range(4)]
         in_range = (octs[0] < 256) & (octs[1] < 256) & (octs[2] < 256) & (octs[3] < 256)
         ip = (octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]
-        member = (ip & mask_int) == net_int
+        member = np.zeros(len(ip), dtype=bool)
+        for net in nets:
+            member |= (ip & int(net.netmask)) == int(net.network_address)
         valid = pc.and_(pc.is_valid(ex), pa.array(in_range))
         out = pc.if_else(valid, pa.array(member), pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
-    def _op_decode(self, tbl, mask, target: str, src: str, encoding: str):
-        # func_decode.go: base64 / hex / text charsets -> string
+    def _op_decode(self, tbl, mask, target: str, src: str, encoding: Any):
+        # func_decode.go: base64 / hex / text charsets -> string.
+        # A Col encoding (per-row encoding name) partitions the batch
+        # by DISTINCT encoding and applies each group's kernel under a
+        # sub-mask — stays vectorized per encoding, no row loop.
         from ..functions.encode import base64_decode, hex_decode
 
+        if isinstance(encoding, Col):
+            enc_col = _val(tbl, encoding)
+            for enc in pc.unique(enc_col).to_pylist():
+                if enc is None:
+                    continue
+                sub = pc.equal(enc_col, enc)
+                sub = pc.and_(mask, sub) if mask is not None else sub
+                tbl = self._op_decode(tbl, sub, target, src, enc)
+            return tbl
         col_ = _val(tbl, Col(src))
         if encoding in ("base64", "base64-std"):
             raw = base64_decode(col_)
@@ -1034,32 +1158,56 @@ class Statement:
         arrays = [pc.struct_field(col_, i) for i in range(len(names))]
         return _masked(tbl, src, pa.StructArray.from_arrays(arrays, names=names), mask)
 
-    def _op_append(self, tbl, mask, target: str, value: Any, src: str | None = None):
-        # func_append.go: append a scalar (or column) value to each
-        # row's list. Vectorized interleave: old flat values keep their
-        # slots, the appended value lands at each row's new tail slot.
-        col_ = _val(tbl, Col(src or target))
+    def _op_append(self, tbl, mask, target: str, value: Any = None,
+                   src: str | None = None, values: list | None = None):
+        # func_append.go: append value(s) to each row's list. A scalar
+        # (non-list) column is promoted to a one-element list first; a
+        # missing column starts empty — both reference behaviors.
+        # Vectorized interleave: old flat values keep their slots, the
+        # k appended values land at each row's new tail slots.
+        n = tbl.num_rows
+        to_add = values if values is not None else [value]
+        try:
+            col_ = _val(tbl, Col(src or target))
+        except KeyError:
+            return _masked(tbl, target, pa.array([to_add] * n), mask)
         if isinstance(col_, pa.ChunkedArray):
             col_ = col_.combine_chunks()
+        if not pa.types.is_list(col_.type):
+            col_ = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)), col_)
         offs = col_.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
         flat = col_.flatten()
-        n = len(offs) - 1
         lens = np.diff(offs)
-        new_offs = np.concatenate([[0], np.cumsum(lens + 1)])
+        k = len(to_add)
+        new_offs = np.concatenate([[0], np.cumsum(lens + k)])
         out_len = int(new_offs[-1])
         is_tail = np.zeros(out_len, dtype=bool)
-        is_tail[new_offs[1:] - 1] = True
+        for j in range(k):
+            is_tail[new_offs[1:] - 1 - j] = True
         src_idx = np.zeros(out_len, dtype=np.int64)
         src_idx[~is_tail] = np.arange(len(flat))
-        vals = _val(tbl, value)
-        if isinstance(vals, (pa.Array, pa.ChunkedArray)):
-            if isinstance(vals, pa.ChunkedArray):
-                vals = vals.combine_chunks()
-            appended = vals.cast(flat.type)
+        tails = []
+        for v in to_add:
+            vv = _val(tbl, v)
+            if isinstance(vv, (pa.Array, pa.ChunkedArray)):
+                if isinstance(vv, pa.ChunkedArray):
+                    vv = vv.combine_chunks()
+                tails.append(vv.cast(flat.type))
+            else:
+                tails.append(pa.array([vv] * n).cast(flat.type))
+        # row-major tail order: row i gets to_add[0..k-1] at slots
+        # new_offs[i+1]-k .. new_offs[i+1]-1; concat(tails) is
+        # column-major (tails[j][i] at j*n+i), permute to row-major
+        if k > 1:
+            r = np.arange(n * k)
+            tail_flat = pa.concat_arrays(tails).take(
+                pa.array((r % k) * n + r // k))
         else:
-            appended = pa.array([vals] * n, flat.type)
-        src_idx[is_tail] = np.arange(n) + len(flat)
-        all_vals = pa.concat_arrays([flat, appended])
+            tail_flat = tails[0]
+        src_idx[is_tail] = len(flat) + np.arange(n * k)
+        all_vals = pa.concat_arrays([flat, tail_flat])
         new_flat = all_vals.take(pa.array(src_idx))
         out = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()), new_flat)
         return _masked(tbl, target, out, mask)
@@ -1093,16 +1241,17 @@ class Statement:
         return _masked(tbl, target, out, mask)
 
     def _op_stringify_all(self, tbl, mask, keys: list[str] | None = None):
-        # stringify_all semantics on the flat model: cast every (or
-        # the named) non-string column to its string rendering
+        # func_stringify_all.go on the flat model: every non-string
+        # column becomes its string rendering — nested values as the
+        # pdata compact-JSON form, scalars Go-style
         names = keys if keys is not None else list(tbl.column_names)
         for k in names:
             if k not in tbl.column_names:
                 continue
             typ = tbl.schema.field(k).type
-            if pa.types.is_string(typ) or pa.types.is_nested(typ):
+            if pa.types.is_string(typ):
                 continue
-            tbl = _masked(tbl, k, pc.cast(_val(tbl, Col(k)), pa.string()), mask)
+            tbl = _masked(tbl, k, self._go_str_array(_val(tbl, Col(k))), mask)
         return tbl
 
     def _op_merge_maps(self, tbl, mask, target: str, src: str,
@@ -1367,6 +1516,422 @@ class Statement:
             elif p:
                 cols.append(p)
         out = pc.binary_join_element_wise(*cols, "") if len(cols) > 1 else cols[0]
+        return _masked(tbl, target, out, mask)
+
+    # --- whole-attribute-set editors + remaining converter family
+    #     (flatten/limit/merge/stringify/replace_all_patterns over the
+    #     flat columnar attribute model; pkg/ottl/ottlfuncs) ---
+
+    @staticmethod
+    def _go_str_array(arr) -> pa.Array:
+        """pcommon.Value.AsString rendering for a column: strings as-is,
+        bools 'true'/'false', numbers decimal, nested values as compact
+        JSON (the pdata jsoniter rendering)."""
+        import json as _json
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        t = arr.type
+        if pa.types.is_string(t):
+            return arr
+        if pa.types.is_boolean(t):
+            return pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
+        if pa.types.is_integer(t) or pa.types.is_floating(t):
+            return pc.cast(arr, pa.string())
+        def strip(v):
+            if isinstance(v, dict):
+                return {k: strip(x) for k, x in v.items() if x is not None}
+            if isinstance(v, list):
+                return [strip(x) for x in v]
+            return v
+        return pa.array(
+            [None if v is None else _json.dumps(strip(v), separators=(",", ":"))
+             for v in arr.to_pylist()], pa.string())
+
+    def _op_stringify(self, tbl, mask, target: str, src: str):
+        # String(x) over nested values — JSON rendering like pdata
+        return _masked(tbl, target,
+                       self._go_str_array(_val(tbl, Col(src))), mask)
+
+    def _op_fnv64a(self, tbl, mask, target: str, src: str):
+        # func_fnv.go: FNV-1a 64 of the string, as int64 (two's
+        # complement of the unsigned digest, Go int64(h.Sum64()))
+        col_ = _val(tbl, Col(src))
+        outs = []
+        for s in col_.to_pylist():
+            if s is None:
+                outs.append(None)
+                continue
+            h = 0xCBF29CE484222325
+            for b in s.encode():
+                h ^= b
+                h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            outs.append(h - (1 << 64) if h >= (1 << 63) else h)
+        return _masked(tbl, target, pa.array(outs, pa.int64()), mask)
+
+    def _op_to_bool(self, tbl, mask, target: str, src: str):
+        # func_bool.go: strconv.ParseBool for strings, != 0 for
+        # numbers; unparseable strings -> null (per-row error shape)
+        col_ = _val(tbl, Col(src))
+        t = col_.type
+        if pa.types.is_boolean(t):
+            out = col_
+        elif pa.types.is_integer(t) or pa.types.is_floating(t):
+            out = pc.not_equal(col_, 0)
+        else:
+            truthy = pa.array(["1", "t", "T", "TRUE", "true", "True"],
+                              pa.string())
+            falsy = pa.array(["0", "f", "F", "FALSE", "false", "False"],
+                             pa.string())
+            is_t = pc.is_in(col_, value_set=truthy)
+            is_f = pc.is_in(col_, value_set=falsy)
+            out = pc.if_else(pc.or_(is_t, is_f), is_t,
+                             pa.nulls(tbl.num_rows, pa.bool_()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_is_empty(self, tbl, mask, target: str, src: str):
+        # func_is_empty.go as a VALUE converter (bool column)
+        col_ = _val(tbl, Col(src))
+        t = col_.type
+        if pa.types.is_string(t):
+            out = pc.equal(pc.utf8_length(col_), 0)
+        elif pa.types.is_list(t) or pa.types.is_map(t):
+            out = pc.equal(pc.list_value_length(col_), 0)
+        elif pa.types.is_struct(t):
+            out = pa.array([t.num_fields == 0] * tbl.num_rows)
+        else:
+            out = pa.array([False] * tbl.num_rows)
+        return _masked(tbl, target, pc.fill_null(out, False), mask)
+
+    def _op_list_enumerate_concat(self, tbl, mask, target: str, src: str,
+                                  sep: str = ":"):
+        # MapEach(slice, (i, v) => Concat([String(i), sep, String(v)],
+        # "")) — vectorized: element position within its row, joined
+        # with the element rendering
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        offs, flat = self._list_parts(col_)
+        offs = offs - offs[0]
+        pos = np.arange(len(flat)) - np.repeat(offs[:-1], np.diff(offs))
+        joined = pc.binary_join_element_wise(
+            pc.cast(pa.array(pos), pa.string()),
+            self._go_str_array(flat), sep)
+        out = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), joined)
+        return _masked(tbl, target, out, mask)
+
+    def _op_map_each_kv(self, tbl, mask, target: str, src: str,
+                        sep: str = ":"):
+        # MapEach(map, (k, v) => Concat([k, sep, String(v)], "")) —
+        # same keys, values rendered as "<k><sep><String(v)>"
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        arrays, names = [], []
+        for f in col_.type:
+            v = self._go_str_array(pc.struct_field(col_, f.name))
+            arrays.append(pc.binary_join_element_wise(
+                pa.scalar(f.name), v, sep).combine_chunks()
+                if isinstance(v, pa.ChunkedArray)
+                else pc.binary_join_element_wise(pa.scalar(f.name), v, sep))
+            names.append(f.name)
+        out = pa.StructArray.from_arrays(arrays, names=names)
+        return _masked(tbl, target, out, mask)
+
+    def _op_struct_rename(self, tbl, mask, target: str, src: str,
+                          prefix: str = "", mapping: dict | None = None):
+        # MapKeys(map, (k, _) => Concat([prefix, k], "")) — struct
+        # field names are schema constants, so renaming is free
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        arrays, names = [], []
+        for f in col_.type:
+            arrays.append(pc.struct_field(col_, f.name))
+            names.append((mapping or {}).get(f.name, prefix + f.name))
+        out = pa.StructArray.from_arrays(arrays, names=names)
+        return _masked(tbl, target, out, mask)
+
+    def _struct_select(self, tbl, mask, target, src, keep_names):
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        arrays, names = [], []
+        for f in col_.type:
+            if f.name in keep_names:
+                arrays.append(pc.struct_field(col_, f.name))
+                names.append(f.name)
+        if not arrays:
+            out = pa.nulls(tbl.num_rows, pa.struct([]))
+        else:
+            out = pa.StructArray.from_arrays(arrays, names=names)
+        return _masked(tbl, target, out, mask)
+
+    def _op_struct_keep_keys(self, tbl, mask, target: str, src: str,
+                             keys: list[str]):
+        # keep_keys(attributes["foo"], [...]) — nested-map variant
+        return self._struct_select(tbl, mask, target, src, set(keys))
+
+    def _op_struct_delete_keys(self, tbl, mask, target: str, src: str,
+                               keys: list[str]):
+        col_ = _val(tbl, Col(src))
+        keep = {f.name for f in col_.type} - set(keys)
+        return self._struct_select(tbl, mask, target, src, keep)
+
+    def _op_struct_keep_matching(self, tbl, mask, target: str, src: str,
+                                 pattern: str):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        col_ = _val(tbl, Col(src))
+        keep = {f.name for f in col_.type if rx.search(f.name)}
+        return self._struct_select(tbl, mask, target, src, keep)
+
+    def _op_struct_delete_matching(self, tbl, mask, target: str, src: str,
+                                   pattern: str):
+        import re as _re
+
+        rx = _re.compile(pattern)
+        col_ = _val(tbl, Col(src))
+        keep = {f.name for f in col_.type if not rx.search(f.name)}
+        return self._struct_select(tbl, mask, target, src, keep)
+
+    def _flatten_entries(self, n_rows: int, top: list, prefix: str,
+                         max_depth: int, resolve_conflicts: bool) -> list:
+        """func_flatten.go's flattenMap ported to columns: nested
+        columns expand to dotted names (list elements to `.i`, or to
+        the conflict-counter scheme with resolveConflicts), depth-
+        gated exactly like flattenData. Per-SCHEMA recursion — every
+        produced column stays a vectorized Arrow array."""
+        result: dict[str, Any] = {}
+        counters: dict[str, int] = {}
+
+        def put(key, arr):
+            if resolve_conflicts:
+                if key in result:
+                    nk = f"{key}.{counters[key]}"
+                    counters[key] += 1
+                    result[nk] = arr
+                else:
+                    counters[key] = 0
+                    result[key] = arr
+            else:
+                result[key] = arr  # later wins, position kept
+
+        def elems(arr):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            maxlen = pc.max(pc.list_value_length(arr)).as_py() or 0
+            for i in range(int(maxlen)):
+                yield i, pc.list_flatten(pc.list_slice(
+                    arr, start=i, stop=i + 1, return_fixed_size_list=True))
+
+        def flatten_map(arr, pfx, depth):
+            pfx = pfx + "." if pfx else ""
+            for f in arr.type:
+                flatten_value(pfx + f.name, pc.struct_field(arr, f.name), depth)
+
+        def flatten_value(key, arr, depth):
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = arr.type
+            if pa.types.is_struct(t) and depth < max_depth:
+                flatten_map(arr, key, depth + 1)
+            elif pa.types.is_list(t) and depth < max_depth:
+                for i, elem in elems(arr):
+                    et = elem.type
+                    if pa.types.is_struct(et) and depth + 1 < max_depth:
+                        flatten_map(elem, f"{key}.{i}", depth + 2)
+                    elif pa.types.is_list(et) and depth + 1 < max_depth:
+                        for j, e2 in elems(elem):
+                            flatten_value(f"{key}.{i}.{j}", e2, depth + 2)
+                    elif resolve_conflicts:
+                        put(key, elem)
+                    else:
+                        put(f"{key}.{i}", elem)
+            else:
+                put(key, arr)
+
+        pfx = prefix + "." if prefix else ""
+        for name, arr in top:
+            flatten_value(pfx + name, arr, 0)
+        return list(result.items())
+
+    def _op_flatten_all(self, tbl, mask, prefix: str = "",
+                        depth: int | None = None,
+                        resolve_conflicts: bool = False):
+        # flatten(attributes[, prefix][, depth=N][, resolveConflicts])
+        # over the whole flat attribute set
+        import sys
+
+        top = [(name, tbl[name]) for name in tbl.column_names]
+        entries = self._flatten_entries(
+            tbl.num_rows, top, prefix,
+            depth if depth is not None else sys.maxsize, resolve_conflicts)
+        cols = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for _, a in entries]
+        return pa.table(cols, names=[n for n, _ in entries])
+
+    def _op_struct_flatten(self, tbl, mask, target: str, src: str,
+                           depth: int | None = None,
+                           resolve_conflicts: bool = False):
+        # flatten(attributes["test"]) — flatten INSIDE a struct column
+        import sys
+
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        top = [(f.name, pc.struct_field(col_, f.name)) for f in col_.type]
+        entries = self._flatten_entries(
+            tbl.num_rows, top, "",
+            depth if depth is not None else sys.maxsize, resolve_conflicts)
+        arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                  for _, a in entries]
+        out = pa.StructArray.from_arrays(arrays, names=[n for n, _ in entries])
+        return _masked(tbl, target, out, mask)
+
+    def _op_limit_table(self, tbl, mask, max_keys: int,
+                        priority_keys: list[str] | None = None):
+        # func_limit.go over the whole attribute set: priority keys
+        # first, then column order, up to max_keys
+        if tbl.num_columns <= max_keys:
+            return tbl
+        keep = [k for k in (priority_keys or []) if k in tbl.column_names]
+        for c in tbl.column_names:
+            if len(keep) >= max_keys:
+                break
+            if c not in keep:
+                keep.append(c)
+        return tbl.select(keep[:max_keys])
+
+    def _op_merge_into(self, tbl, mask, strategy: str = "upsert",
+                       src: str | None = None, literal: dict | None = None):
+        # merge_maps(attributes, <src map>, strategy) with the whole
+        # attribute set as target: source fields become top-level
+        # columns. insert fills only nulls/absent; update only
+        # overwrites existing; upsert does both (func_merge_maps.go).
+        if strategy not in ("insert", "update", "upsert"):
+            raise ValueError(f"merge_maps: invalid strategy {strategy!r}")
+        n = tbl.num_rows
+        if src is not None:
+            scol = _val(tbl, Col(src))
+            if isinstance(scol, pa.ChunkedArray):
+                scol = scol.combine_chunks()
+            items = [(f.name, pc.struct_field(scol, f.name))
+                     for f in scol.type]
+        else:
+            items = [(k, pa.array([v] * n)) for k, v in (literal or {}).items()]
+        for name, sv in items:
+            if name in tbl.column_names:
+                tv = _val(tbl, Col(name))
+                if tv.type != sv.type:
+                    if pa.types.is_null(tv.type):
+                        tv = pc.cast(tv, sv.type)
+                    else:
+                        sv = pc.cast(sv, tv.type, safe=False)
+                if strategy == "insert":
+                    v = pc.coalesce(tv, sv)
+                elif strategy == "update":
+                    v = pc.if_else(pc.and_kleene(pc.is_valid(tv),
+                                                 pc.is_valid(sv)), sv, tv)
+                else:
+                    v = pc.coalesce(sv, tv)
+                tbl = _masked(tbl, name, v, mask)
+            elif strategy != "update":
+                tbl = _masked(tbl, name, sv, mask)
+        return tbl
+
+    def _op_set_all(self, tbl, mask, literal: dict):
+        # set(attributes, {literal map}): replace the entire attribute
+        # set with the literal's keys
+        n = tbl.num_rows
+        return pa.table({k: pa.array([v] * n) for k, v in literal.items()})
+
+    def _op_make_map(self, tbl, mask, target: str, spec: dict):
+        # set(path, {"k": <literal|path|converter>, ...}) — build a
+        # struct column from the spec; leaves are ["lit", v] /
+        # ["col", name] / ["map", {subspec}]
+        n = tbl.num_rows
+
+        def build(node):
+            kind, payload = node
+            if kind == "lit":
+                return (pa.nulls(n) if payload is None
+                        else pa.array([payload] * n))
+            if kind == "col":
+                v = resolve_col(tbl, payload)
+                return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+            arrays = [build(sub) for sub in payload.values()]
+            return pa.StructArray.from_arrays(arrays, names=list(payload.keys()))
+
+        return _masked(tbl, target, build(["map", spec]), mask)
+
+    def _op_when(self, tbl, mask, target: str, condition: Any,
+                 then: Any, otherwise: Any):
+        # func_when.go: When(() => cond, a, b) — vectorized if_else
+        # over the compiled condition mask
+        m = compile_predicate(condition)(tbl)
+        n = tbl.num_rows
+        tv, ov = _val(tbl, then), _val(tbl, otherwise)
+        if not isinstance(tv, (pa.Array, pa.ChunkedArray)):
+            tv = pa.array([tv] * n)
+        if not isinstance(ov, (pa.Array, pa.ChunkedArray)):
+            ov = pa.array([ov] * n)
+        if tv.type != ov.type:
+            ov = pc.cast(ov, tv.type, safe=False)
+        return _masked(tbl, target, pc.if_else(m, tv, ov), mask)
+
+    def _op_replace_all_patterns(self, tbl, mask, mode: str, pattern: str,
+                                 replacement: str):
+        # func_replace_all_patterns.go: mode "key" renames every
+        # matching column; mode "value" regex-replaces every string
+        # column's values
+        import re as _re
+
+        if mode == "key":
+            rx = _re.compile(pattern)
+            names = [rx.sub(replacement.replace("$", "\\"), c)
+                     for c in tbl.column_names]
+            return tbl.rename_columns(names)
+        if mode != "value":
+            raise ValueError(f"replace_all_patterns: bad mode {mode!r}")
+        for c in tbl.column_names:
+            if pa.types.is_string(tbl.schema.field(c).type):
+                tbl = _masked(tbl, c, pc.replace_substring_regex(
+                    _val(tbl, Col(c)), pattern=pattern,
+                    replacement=replacement), mask)
+        return tbl
+
+    def _op_parse_severity_custom(self, tbl, mask, target: str, src: str,
+                                  mapping: dict):
+        # func_parse_severity.go with an explicit criteria map:
+        # {"level": [{"equals": [...]}, {"range": {"min","max"}}]},
+        # first matching level wins; no match -> null
+        col_ = _val(tbl, Col(src))
+        n = tbl.num_rows
+        out = pa.nulls(n, pa.string())
+        assigned = pa.array([False] * n)
+        num = pc.cast(col_, pa.float64(), safe=False) \
+            if not pa.types.is_string(col_.type) else None
+        for level, crits in mapping.items():
+            m = pa.array([False] * n)
+            for crit in crits:
+                if "equals" in crit:
+                    vs = crit["equals"]
+                    cmpv = pc.cast(col_, pa.string()) \
+                        if pa.types.is_string(pa.array(vs).type) else col_
+                    m = pc.or_(m, pc.fill_null(
+                        pc.is_in(cmpv, value_set=pa.array(vs)), False))
+                if "range" in crit:
+                    if num is None:
+                        continue
+                    lo, hi = crit["range"]["min"], crit["range"]["max"]
+                    m = pc.or_(m, pc.fill_null(pc.and_(
+                        pc.greater_equal(num, lo),
+                        pc.less_equal(num, hi)), False))
+            hit = pc.and_(m, pc.invert(assigned))
+            out = pc.if_else(hit, pa.scalar(level, pa.string()), out)
+            assigned = pc.or_(assigned, hit)
         return _masked(tbl, target, out, mask)
 
 
