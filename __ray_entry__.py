@@ -1182,6 +1182,39 @@ def _q_ottl_funcs2(sf_dir: str):
         ["event_id", "joined", "day", "ts_min", "flag", "kvs"])
 
 
+def _q_ottl_funcs3(sf_dir: str):
+    """Round-4 OTTL breadth, part 3 — the functions forced by the
+    e2e-corpus completion, all DuckDB-replicable: When()
+    (func_when.go), Bool() (func_bool.go), ParseSeverity criteria
+    maps (func_parse_severity.go), indexing into converter results
+    (Split(..)[i]), utf8-safe Substring, dynamic HasPrefix (per-row
+    prefix column), delete_index + Reduce over a split list, and
+    replace_all_patterns value-mode over the whole attribute set
+    (func_replace_all_patterns.go)."""
+    from opentelemetry_collector_contrib_ray.ottl import transform_from_ottl
+
+    ds = read_table(sf_dir, "events")
+    stage = transform_from_ottl([
+        'set(is_err, Bool(When(() => event_type == "error", "true", "false")))',
+        'set(ehash, When(() => value > 100.0, SHA256(event_type), "small"))',
+        'set(tok2, Split(props, ":")[1])',
+        'set(sub3, Substring(event_type, 0, 3, true))',
+        'set(lvl, ParseSeverity(value, {'
+        '"high":[{"range":{"min":150,"max":100000}}],'
+        '"mid":[{"range":{"min":50,"max":150}}],'
+        '"low":[{"range":{"min":-100000,"max":50}}]}))',
+        'set(want_pfx, When(() => value > 100.0, "s", "e"))',
+        'set(selfpfx, "y") where HasPrefix(event_type, want_pfx)',
+        'set(toks, Split(props, " "))',
+        'delete_index(toks, 0)',
+        'set(rest, Reduce(toks, "", (acc, _, v) => Concat([acc, String(v), ""], "")))',
+        'keep_keys(attributes, ["event_id", "event_type", "is_err", '
+        '"ehash", "tok2", "sub3", "lvl", "selfpfx", "rest"])',
+        'replace_all_patterns(attributes, "value", "[aeiou]", "_")',
+    ], error_mode="propagate")
+    return stage.apply(ds)
+
+
 def _q_events_iforest(sf_dir: str):
     """Real isolation forest (processor/isolationforestprocessor):
     train on a capped deterministic sample of (value, hour-of-day),
@@ -1463,6 +1496,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # round, and new round-3 queries come first; long-green round-2 rows
     # (proven in CORRECTNESS_r02) sit past the cutoff.
     return {
+        # -- new round-4 queries --
+        "ottl_funcs3": _q_ottl_funcs3,
+        # -- queries whose code paths changed in round 4 (OTTL parser
+        #    + converter family rework; fronted per the rotation rule) --
+        "ottl_funcs2": _q_ottl_funcs2,
+        "ottl_text": _q_ottl_text,
+        "transform_ottl": _q_transform,
+        "list_ops": _q_list_ops,
+        "grok_parse": _q_grok_parse,
         # -- 16 SQL-checked queries that sat past the round-2 cutoff --
         "docs_fingerprint": _q_docs_fingerprint,
         "service_graph": _q_service_graph,
@@ -1490,7 +1532,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new round-3 queries --
         "tail_policies": _q_tail_policies,
         "dedup_windowed": _q_dedup_windowed,
-        "ottl_funcs2": _q_ottl_funcs2,
         "events_iforest": _q_events_iforest,
         "geoip_enrich": _q_geoip_enrich,
         "filter_rows": _q_filter_rows,
@@ -1511,7 +1552,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_sink_counts": _q_route_counts,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
-        "transform_ottl": _q_transform,
         "sample_10pct": _q_sample,
         "events_sessions": _q_sessions,
         "running_total": _q_running_total,
@@ -1522,7 +1562,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "container_parse": _q_container_parse,
         "raw_lines_parse": _q_raw_lines_parse,
         "dup_pairs_exact": _q_dup_pairs_exact,
-        "list_ops": _q_list_ops,
         "top_events": _q_top_events,
         # ---- driver cutoff is ~here (50); below proven in CORRECTNESS_r02 ----
         "parse_send": _q_parse_send,
@@ -1530,9 +1569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_error_count": lambda sf: _metric_query(sf, 1),
         "agg_dur_sum": lambda sf: _metric_query(sf, 2),
         "guarded_tool_counts": _q_guarded_tool_counts,
-        "ottl_text": _q_ottl_text,
         "unroll_payload": _q_unroll,
-        "grok_parse": _q_grok_parse,
         "kv_parse": _q_kv_parse,
         "csv_parse": _q_csv_parse,
         "uri_parse": _q_uri_parse,
@@ -1729,6 +1766,24 @@ SELECT event_id,
   starts_with(event_type, 's') AS is_signup,
   regexp_replace(event_type, 'up$', '') AS trimmed,
   CASE WHEN value > 0 THEN ln(value) END AS lg
+FROM events""",
+        "ottl_funcs3": """
+SELECT event_id,
+  regexp_replace(event_type, '[aeiou]', '_', 'g') AS event_type,
+  (event_type = 'error') AS is_err,
+  regexp_replace(CASE WHEN value > 100.0 THEN lower(sha256(event_type))
+                      ELSE 'small' END, '[aeiou]', '_', 'g') AS ehash,
+  regexp_replace(string_split(props, ':')[2], '[aeiou]', '_', 'g') AS tok2,
+  regexp_replace(substr(event_type, 1, 3), '[aeiou]', '_', 'g') AS sub3,
+  regexp_replace(CASE WHEN value BETWEEN 150 AND 100000 THEN 'high'
+                      WHEN value BETWEEN 50 AND 150 THEN 'mid'
+                      WHEN value BETWEEN -100000 AND 50 THEN 'low'
+                 END, '[aeiou]', '_', 'g') AS lvl,
+  CASE WHEN starts_with(event_type,
+                        CASE WHEN value > 100.0 THEN 's' ELSE 'e' END)
+       THEN 'y' END AS selfpfx,
+  regexp_replace(array_to_string(string_split(props, ' ')[2:], ''),
+                 '[aeiou]', '_', 'g') AS rest
 FROM events""",
         "ottl_funcs2": """
 SELECT event_id,

@@ -53,6 +53,20 @@ BASE_PATTERNS: dict[str, str] = {
     ),
     "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
     "QUOTEDSTRING": r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'',
+    # URI family (go-grok / logstash aws patterns — the reference's
+    # ExtractGrokPatterns ships these; ELB_URI appears in its tests,
+    # pkg/ottl/ottlfuncs/func_extract_grok_patterns_test.go:63)
+    "USER": r"[a-zA-Z0-9._-]+",
+    "URIPROTO": r"[A-Za-z]+(?:\+[A-Za-z+]+)?",
+    "IPORHOST": r"(?:%{IPV4}|%{HOSTNAME})",
+    "ELB_URIPATH": r"(?:/[A-Za-z0-9$.+!*'(){},~:;=@#%&_\-]*)+",
+    "ELB_URIQUERY": r"[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "ELB_URIHOST": r"%{IPORHOST:url.domain}(?::%{POSINT:url.port:int})?",
+    "ELB_URI": (
+        r"%{URIPROTO:url.scheme}://(?:%{USER:url.username}(?::[^@]*)?@)?"
+        r"(?:%{ELB_URIHOST})?(?:%{ELB_URIPATH:url.path}"
+        r"(?:\?%{ELB_URIQUERY:url.query})?)?"
+    ),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]]+))?(?::(\w+))?\}")
@@ -85,9 +99,19 @@ def compile_grok(
         types.update(inner_types)
         if field:
             if typ:
-                types[field] = GROK_TYPES.get(typ, "string")
-            return f"(?P<{field}>{body})"
+                types[mangle_grok_field(field)] = GROK_TYPES.get(typ, "string")
+            return f"(?P<{mangle_grok_field(field)}>{body})"
         return f"(?:{body})"
 
     out = _GROK_REF.sub(sub, expression)
     return out, types
+
+
+def mangle_grok_field(field: str) -> str:
+    """ECS-style dotted field names (url.domain) are not valid regex
+    group names — mangle for the engine, demangle on output."""
+    return field.replace(".", "_DOT_")
+
+
+def demangle_grok_field(field: str) -> str:
+    return field.replace("_DOT_", ".")

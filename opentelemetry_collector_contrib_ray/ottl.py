@@ -62,8 +62,9 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<hex>0x[0-9a-fA-F]+)
   | (?P<number>-?\d+\.\d+|-?\d+)
-  | (?P<op>==|!=|<=|>=|=>|<|>|\(|\)|\[|\]|\{|\}|,|\.|:|\+|\*|=)
+  | (?P<op>==|!=|<=|>=|=>|<|>|\(|\)|\[|\]|\{|\}|,|\.|:|\+|\*|-|=)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
     """,
     re.VERBOSE,
@@ -79,9 +80,89 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
         i = m.end()
         kind = m.lastgroup
         if kind != "ws":
-            out.append((kind, m.group()))
+            # `Len(x) - 1` must lex as op('-') number(1), not
+            # number(-1): a '-' after a value-ending token is binary
+            if kind == "number" and m.group().startswith("-") and out and (
+                    out[-1][0] in ("name", "string", "number", "hex")
+                    or out[-1][1] in (")", "]")):
+                out.append(("op", "-"))
+                out.append(("number", m.group()[1:]))
+            else:
+                out.append((kind, m.group()))
     out.append(("eof", ""))
     return out
+
+
+def _unescape(s: str) -> str:
+    """OTTL string-literal unescape: a backslash quotes the next
+    character (the corpus exercises \\\\ and \\" only)."""
+    out, i = [], 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(s[i + 1])
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+class _IDBytes(bytes):
+    """A folded SpanID/TraceID/ProfileID value: compares/sets as the
+    hex string, renders via String() as pdata's byte-list JSON."""
+
+    @property
+    def hex_str(self) -> str:
+        return self.hex()
+
+
+# pdata SeverityNumber enum (plog/severity_number.go): TRACE=1..FATAL4=24
+_SEVERITY_ENUM = {
+    f"SEVERITY_NUMBER_{name}{suffix}": base + off
+    for base, name in ((1, "TRACE"), (5, "DEBUG"), (9, "INFO"),
+                       (13, "WARN"), (17, "ERROR"), (21, "FATAL"))
+    for off, suffix in enumerate(["", "2", "3", "4"])
+}
+
+
+def _is_literal(v: Any) -> bool:
+    """True when a parsed value is a pure literal (no paths, no
+    unfolded converters) — the shapes that fold at compile time."""
+    if isinstance(v, Col):
+        return False
+    if isinstance(v, dict):
+        if "__converter__" in v or "__lambda__" in v or "__kwarg__" in v \
+                or "__arith__" in v or "__table_width__" in v:
+            return False
+        return all(_is_literal(x) for x in v.values())
+    if isinstance(v, list):
+        return all(_is_literal(x) for x in v)
+    return True
+
+
+def _cmp_fold(op: str, left: Any, right: Any) -> bool:
+    if op == "==":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == "<":
+        return left < right
+    if op == "<=":
+        return left <= right
+    if op == ">":
+        return left > right
+    return left >= right
+
+
+def _go_scalar_str(v: Any) -> str:
+    """pcommon.Value.AsString for a folded scalar/collection."""
+    import json as _json
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (dict, list)):
+        return _json.dumps(v, separators=(",", ":"))
+    return str(v)
 
 
 def _parse_key_value_literal(text: str, delim: str, pair_delim: str) -> dict:
@@ -144,6 +225,16 @@ class _Parser:
         raise OTTLParseError(
             f"expected a path or converter call, got {v!r}: {self.text!r}")
 
+    def _as_col_any(self, v: Any) -> Col:
+        """Like _as_col but also materializes LITERALS into a scratch
+        column (for editors whose other argument is per-row)."""
+        if _is_literal(v):
+            self._tmp_n += 1
+            tmp = f"__ottl_tmp{self._tmp_n}__"
+            self._pre.append(Statement("set", {"target": tmp, "value": v}))
+            return Col(tmp)
+        return self._as_col(v)
+
     def peek(self) -> tuple[str, str]:
         return self.toks[self.pos]
 
@@ -160,14 +251,25 @@ class _Parser:
     # ---------------------------------------------------------- values
 
     def parse_value(self) -> Any:
-        """literal | path | Converter(args...)"""
+        """literal | path | Converter(args...), with postfix
+        ``[index]`` reads into call results and literal collections."""
+        v = self._parse_value_base()
+        while self.peek()[1] == "[" and not isinstance(v, Col):
+            v = self._apply_index(v)
+        return v
+
+    def _parse_value_base(self) -> Any:
         kind, tok = self.peek()
         if kind == "string":
             self.next()
-            return tok[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            return _unescape(tok[1:-1])
         if kind == "number":
             self.next()
             return float(tok) if "." in tok else int(tok)
+        if kind == "hex":
+            self.next()
+            return _IDBytes(bytes.fromhex(
+                tok[2:] if len(tok) % 2 == 0 else "0" + tok[2:]))
         if kind == "name":
             if tok == "nil":
                 self.next()
@@ -175,6 +277,9 @@ class _Parser:
             if tok in ("true", "false"):
                 self.next()
                 return tok == "true"
+            if tok in _SEVERITY_ENUM:
+                self.next()
+                return _SEVERITY_ENUM[tok]
             if self.toks[self.pos + 1][1] == "=" \
                     and self.toks[self.pos + 2][1] != "=":
                 # named argument: name=value (flatten depth=1, ParseCSV
@@ -194,6 +299,60 @@ class _Parser:
             return self.parse_lambda()
         raise OTTLParseError(f"unexpected {tok!r} in value position in {self.text!r}")
 
+    def _apply_index(self, v: Any) -> Any:
+        """Postfix [index] on a non-path value: folds literal
+        collections, chains converter results through list_index, and
+        compiles <literal collection>[path] to a value_map lookup."""
+        self.expect("[")
+        idx = self.parse_value()
+        self.expect("]")
+        if isinstance(v, list) and isinstance(idx, int):
+            if not 0 <= idx < len(v):
+                raise OTTLParseError(f"index {idx} out of range: {self.text!r}")
+            return v[idx]
+        if isinstance(v, dict) and "__converter__" not in v \
+                and isinstance(idx, str):
+            if idx not in v:
+                raise OTTLParseError(f"key {idx!r} not in map: {self.text!r}")
+            return v[idx]
+        if isinstance(v, (list, dict)) and _is_literal(v) and isinstance(idx, Col):
+            # Split("a|b", "|")[attributes["i"]]: a per-row lookup into
+            # a folded collection — the value_map editor
+            mapping = dict(enumerate(v)) if isinstance(v, list) else dict(v)
+            return {"__converter__": "value_map",
+                    "args": {"mapping": mapping, "src": idx.name,
+                             "default_keep": False}}
+        if isinstance(v, dict) and "__converter__" in v and isinstance(idx, int):
+            tmp = self._as_col(v)
+            return {"__converter__": "list_index",
+                    "args": {"src": tmp.name, "index": idx}}
+        raise OTTLParseError(
+            f"unsupported index shape {idx!r} in {self.text!r}")
+
+    def _parse_operand(self) -> Any:
+        """A value with optional binary + - * arithmetic. Literal
+        operands fold (incl. datetime-datetime -> seconds); non-literal
+        operands become an {'__arith__'} node for the few consumers
+        that accept one (value expressions, delete_index forms)."""
+        import datetime as _dt
+
+        left = self.parse_value()
+        while self.peek()[1] in ("+", "-", "*"):
+            _, op = self.next()
+            right = self.parse_value()
+            if _is_literal(left) and _is_literal(right):
+                if isinstance(left, _dt.datetime) and isinstance(right, _dt.datetime):
+                    if op != "-":
+                        raise OTTLParseError(f"bad time arithmetic: {self.text!r}")
+                    left = (left - right).total_seconds()
+                else:
+                    left = {"+": lambda a, b: a + b,
+                            "-": lambda a, b: a - b,
+                            "*": lambda a, b: a * b}[op](left, right)
+            else:
+                left = {"__arith__": (op, left, right)}
+        return left
+
     def parse_map(self) -> dict:
         """{"k": value, ...} literal (Reduce sources in the e2e corpus)."""
         self.expect("{")
@@ -210,9 +369,10 @@ class _Parser:
         return out
 
     def parse_lambda(self) -> dict:
-        """(acc, k, v) => body — the OTTL lambda shape Reduce takes.
-        Body grammar recognized: value | value (+|*) value, where each
-        value is a name, literal, or converter call."""
+        """(acc, k, v) => body — the OTTL lambda shape. Body grammar:
+        a condition (comparisons / Is* predicates, for Filter/All/Any/
+        Find/When), or value | value (+|*) value (for Reduce/MapEach/
+        Eval), where each value is a name, literal, or converter call."""
         self.expect("(")
         params = []
         while self.peek()[1] != ")":
@@ -222,6 +382,15 @@ class _Parser:
                 self.next()
         self.expect(")")
         self.expect("=>")
+        save, save_pre, save_tmp = self.pos, len(self._pre), self._tmp_n
+        try:
+            cond = self.parse_condition()
+            if self.peek()[1] in (")", ","):
+                return {"__lambda__": params, "body": ("cond", cond)}
+        except OTTLParseError:
+            pass
+        self.pos, self._tmp_n = save, save_tmp
+        del self._pre[save_pre:]
         left = self.parse_value()
         if self.peek()[1] in ("+", "*"):
             _, arith = self.next()
@@ -269,11 +438,21 @@ class _Parser:
             while self.peek()[1] == "[":
                 self.next()
                 k, key = self.next()
+                if k == "number" and "." not in key and keys:
+                    # a trailing integer index READS one list element
+                    # (attributes["slices"][2]); deeper chains and
+                    # write targets stay unsupported — fail loud
+                    self.expect("]")
+                    if self.peek()[1] == "[":
+                        raise OTTLParseError(
+                            f"indexing past a list element is unsupported: {self.text!r}")
+                    return {"__converter__": "list_index",
+                            "args": {"src": ".".join(keys), "index": int(key)}}
                 if k != "string":
                     raise OTTLParseError(
                         f"only string keys are supported in paths, got {key!r} in {self.text!r}")
                 self.expect("]")
-                keys.append(key[1:-1])
+                keys.append(_unescape(key[1:-1]))
             return Col(".".join(keys))
         return Col(base)
 
@@ -284,7 +463,7 @@ class _Parser:
         "Trim": ("trim", "src"), "Len": ("len", "src"),
         "SHA1": ("sha1", "src"), "SHA256": ("sha256", "src"),
         "SHA512": ("sha512", "src"), "MD5": ("md5_hex", "src"),
-        "FNV": ("hash", "src"), "Murmur3Hash": ("murmur3", "src"),
+        "FNV": ("fnv64a", "src"), "Murmur3Hash": ("murmur3", "src"),
         "Murmur3Hash128": ("murmur3_128", "src"),
         "XXH3": ("xxh3", "src"), "XXH128": ("xxh128", "src"),
         "Base64Encode": ("base64_encode", "src"),
@@ -329,17 +508,129 @@ class _Parser:
                            "target": "__out__"})(tbl)
         return out["__out__"][0].as_py()
 
+    # converters whose result type is statically known (for folding
+    # Is*-predicates over converter calls, e.g. IsString(UUID()))
+    _RESULT_TYPES = {"uuid": "string", "uuid7": "string", "sha256": "string",
+                     "sha1": "string", "sha512": "string", "md5_hex": "string",
+                     "concat": "string", "format": "string"}
+
     def parse_converter(self) -> dict:
         """Returns {'__converter__': editor_name, 'args': {...}} for
         the compile step to attach a target."""
         _, name = self.next()
+        if name == "When":
+            return self._parse_when()
         self.expect("(")
         args: list[Any] = []
         while self.peek()[1] != ")":
-            args.append(self.parse_value())
+            args.append(self._parse_operand())
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
+        if name == "Concat" and len(args) == 2 and _is_literal(args[0]) \
+                and isinstance(args[0], list) and isinstance(args[1], str):
+            # all-literal Concat folds (the corpus nests it as a
+            # pattern/glob argument everywhere)
+            return args[1].join(_go_scalar_str(p) for p in args[0])
+        if name == "Now":
+            # the reference evaluates Now() per row; the only corpus
+            # shapes are Now()-Now() comparisons, where a compile-time
+            # fold is observably equivalent
+            from datetime import datetime, timezone
+
+            return datetime.now(timezone.utc)
+        if name == "Bool":
+            if len(args) == 1 and _is_literal(args[0]):
+                v = args[0]
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, (int, float)):
+                    return v != 0
+                if v in ("1", "t", "T", "TRUE", "true", "True"):
+                    return True
+                if v in ("0", "f", "F", "FALSE", "false", "False"):
+                    return False
+                raise OTTLParseError(f"Bool({v!r}) unparseable: {self.text!r}")
+            return {"__converter__": "to_bool",
+                    "args": {"src": self._as_col(args[0]).name}}
+        if name in ("SpanID", "TraceID", "ProfileID"):
+            width = {"SpanID": 8, "TraceID": 16, "ProfileID": 16}[name]
+            if len(args) != 1:
+                raise OTTLParseError(f"{name}(id) expected: {self.text!r}")
+            v = args[0]
+            if isinstance(v, _IDBytes):
+                raw = v.rjust(width, b"\0")
+            elif isinstance(v, str):
+                raw = bytes.fromhex(v)
+            else:
+                raise OTTLParseError(f"{name} takes hex: {self.text!r}")
+            if len(raw) != width:
+                raise OTTLParseError(
+                    f"{name} must be {width} bytes: {self.text!r}")
+            # pdata IDs live as hex-string columns in the flat model;
+            # ProfileID keeps bytes for the String() byte-list render
+            return _IDBytes(raw) if name == "ProfileID" else raw.hex()
+        if name == "IsEmpty":
+            if len(args) != 1:
+                raise OTTLParseError(f"IsEmpty(x) expected: {self.text!r}")
+            if _is_literal(args[0]):
+                return isinstance(args[0], (str, list, dict)) and len(args[0]) == 0
+            v = self._as_col(args[0])
+            return {"__converter__": "is_empty", "args": {"src": v.name}}
+        if name in ("IsMap", "IsList", "IsString", "IsBool", "IsDouble", "IsInt") \
+                and len(args) == 1 and _is_literal(args[0]):
+            want = {"IsMap": dict, "IsList": list, "IsString": str,
+                    "IsBool": bool, "IsDouble": float, "IsInt": int}[name]
+            if want in (int, bool):  # bool is an int subclass — exact
+                return type(args[0]) is want
+            return isinstance(args[0], want)
+        if name == "ContainsValue" and len(args) == 2 and _is_literal(args[0]) \
+                and isinstance(args[0], list) and _is_literal(args[1]):
+            return args[1] in args[0]
+        if name == "Len" and len(args) == 1 and isinstance(args[0], Col) \
+                and args[0].name == "attributes":
+            # Len(attributes) = width of the attribute set (a value-
+            # expression shape; tables have a fixed column count)
+            return {"__table_width__": True}
+        if name == "Hex" and len(args) == 1 and isinstance(args[0], dict) \
+                and ("__arith__" in args[0] or "__table_width__" in args[0]):
+            return {"__hex_lazy__": args[0]}
+        if name == "ParseSeverity":
+            if len(args) != 2 or not isinstance(args[0], Col) \
+                    or not _is_literal(args[1]) or not isinstance(args[1], dict):
+                raise OTTLParseError(
+                    f"ParseSeverity(path, criteria-map) expected: {self.text!r}")
+            return {"__converter__": "parse_severity_custom",
+                    "args": {"src": args[0].name, "mapping": args[1]}}
+        if name == "ExtractGrokPatterns" and args and isinstance(args[0], str):
+            from .functions.grok import compile_grok, demangle_grok_field
+
+            pattern = args[1] if len(args) > 1 else ""
+            if not isinstance(pattern, str):
+                raise OTTLParseError(
+                    f"ExtractGrokPatterns pattern must fold: {self.text!r}")
+            regex, types = compile_grok(pattern)
+            m = re.search(regex, args[0])
+            if m is None:
+                return {}
+            out = {}
+            for k, v in m.groupdict().items():
+                if v is None:
+                    continue
+                t = types.get(k)
+                if t == "int64":
+                    v = int(v)
+                elif t == "float64":
+                    v = float(v)
+                out[demangle_grok_field(k)] = v
+            return out
+        if name == "Eval":
+            if len(args) != 2 or not isinstance(args[0], dict) \
+                    or "__lambda__" not in args[0] or not isinstance(args[1], list):
+                raise OTTLParseError(f"Eval(lambda, [args]) expected: {self.text!r}")
+            return self._fold_eval(args[0], args[1])
+        if name in ("Filter", "All", "Any", "Find", "MapEach", "MapKeys"):
+            return self._compile_collection_lambda(name, args)
         if name == "Base64Encode" and len(args) == 2:
             # 2-arg variant: encoding name (base64-url etc) per
             # func_base64encode.go — must run before the generic
@@ -382,6 +673,15 @@ class _Parser:
                 return f'"{v}"' if (delim in v or pair_delim in v) else v
 
             return pair_delim.join(f"{k}{delim}{_rend(v)}" for k, v in items)
+        if name == "IsValidLuhn" and len(args) == 1 \
+                and isinstance(args[0], int) and not isinstance(args[0], bool):
+            return self._fold1("is_valid_luhn", {}, str(args[0]))
+        if name in ("Keys", "Values") and len(args) == 1 \
+                and _is_literal(args[0]) and isinstance(args[0], dict):
+            # fold in python (the editor path would stringify mixed-
+            # type values; Go keeps the original types)
+            return (list(args[0].keys()) if name == "Keys"
+                    else list(args[0].values()))
         if name in self._CONVERTER_EDITORS:
             editor, src_key = self._CONVERTER_EDITORS[name]
             if len(args) != 1:
@@ -395,31 +695,58 @@ class _Parser:
                     and "__lambda__" not in args[0]):
                 return self._fold1(editor, {}, args[0], src_key)
             raise OTTLParseError(f"{name}() takes a path or literal: {self.text!r}")
-        if name == "UUID":
+        if name in ("UUID", "UUIDv7"):
             if args:
-                raise OTTLParseError(f"UUID() takes no arguments: {self.text!r}")
-            return {"__converter__": "uuid", "args": {}}
+                raise OTTLParseError(f"{name}() takes no arguments: {self.text!r}")
+            # the zero-arg UUIDv7 exists only inside Is*-typechecks in
+            # the corpus (folded by _RESULT_TYPES); the engine's uuid7
+            # editor takes a timestamp source instead
+            return {"__converter__": "uuid" if name == "UUID" else "uuid7",
+                    "args": {}}
         if name == "Concat":
-            if len(args) != 2 or not isinstance(args[0], list) or not isinstance(args[1], str):
+            # parts may include converter calls — the editor evaluates
+            # them per batch (lambda bodies need the RAW dicts here for
+            # shape detection, so no scratch-column rewrite)
+            if len(args) != 2 or not isinstance(args[0], list) \
+                    or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"Concat([parts], sep) expected: {self.text!r}")
             return {"__converter__": "concat", "args": {"parts": args[0], "sep": args[1]}}
         if name == "Substring":
-            if len(args) != 3:
-                raise OTTLParseError(f"Substring(path, start, len) expected: {self.text!r}")
+            if len(args) not in (3, 4):
+                raise OTTLParseError(f"Substring(path, start, len[, utf8Safe]) expected: {self.text!r}")
+            extra = {"utf8_safe": bool(args[3])} if len(args) == 4 else {}
             if isinstance(args[0], str):
                 return self._fold1("substring",
-                                   {"start": args[1], "length": args[2]}, args[0])
+                                   {"start": args[1], "length": args[2], **extra},
+                                   args[0])
             if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Substring(path, start, len) expected: {self.text!r}")
             return {"__converter__": "substring",
-                    "args": {"src": args[0].name, "start": args[1], "length": args[2]}}
+                    "args": {"src": args[0].name, "start": args[1],
+                             "length": args[2], **extra}}
         if name == "Sort":
             order = args[1] if len(args) > 1 else "asc"
-            if isinstance(args[0], list):  # literal list: fold
-                return sorted(args[0], reverse=(order == "desc"))
+            if isinstance(args[0], list):  # literal list: fold with
+                # func_sort.go's common-type rule: all-numeric sorts
+                # numerically; any string/bool sorts by AsString
+                vals = args[0]
+                numeric = all(isinstance(v, (int, float))
+                              and not isinstance(v, bool) for v in vals)
+                key = (None if numeric else _go_scalar_str)
+                return sorted(vals, key=key, reverse=(order == "desc"))
             src = self._as_col(args[0])  # path or nested converter
             return {"__converter__": "list_sort", "args": {"src": src.name, "order": order}}
         if name in ("Int", "Double", "String"):
+            if len(args) == 1 and isinstance(args[0], _IDBytes):
+                # String(ProfileID(0x..)) renders pdata's byte-list form
+                if name != "String":
+                    raise OTTLParseError(f"{name} over an ID: {self.text!r}")
+                return "[" + ",".join(str(b) for b in args[0]) + "]"
+            if len(args) == 1 and _is_literal(args[0]) \
+                    and isinstance(args[0], (list, dict)):
+                if name != "String":
+                    raise OTTLParseError(f"{name} over a collection: {self.text!r}")
+                return _go_scalar_str(args[0])  # String([1,2,3]) -> "[1,2,3]"
             if len(args) == 1 and not isinstance(args[0], (Col, dict, list)):
                 v = args[0]  # literal: fold like the reference's getters
                 if name == "Int":
@@ -427,8 +754,13 @@ class _Parser:
                 if name == "Double":
                     return float(v)
                 return ("true" if v else "false") if isinstance(v, bool) else str(v)
-            to = {"Int": "int64", "Double": "float64", "String": "str"}[name]
-            return {"__converter__": "cast", "args": {"src": args[0].name, "to": to}}
+            if name == "String":
+                # the pdata AsString rendering handles nested columns
+                src = self._as_col(args[0])
+                return {"__converter__": "stringify", "args": {"src": src.name}}
+            to = {"Int": "int64", "Double": "float64"}[name]
+            src = self._as_col(args[0])
+            return {"__converter__": "cast", "args": {"src": src.name, "to": to}}
         if name in self._TIME_CONVERTERS:
             import datetime as _dtmod
 
@@ -469,7 +801,8 @@ class _Parser:
                              "unit": self._UNIX_CONVERTERS[name]}}
         if name in self._PREFIX_CONVERTERS:
             editor, key = self._PREFIX_CONVERTERS[name]
-            if len(args) != 2 or not isinstance(args[0], Col) or not isinstance(args[1], str):
+            if len(args) != 2 or not isinstance(args[0], Col) \
+                    or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"{name}(path, string) expected: {self.text!r}")
             return {"__converter__": editor,
                     "args": {"src": args[0].name, key: args[1]}}
@@ -519,12 +852,16 @@ class _Parser:
                 f"ExtractPatterns over paths: use the extract_patterns editor: {self.text!r}")
         if name == "Index":
             # func_index.go: substring position over string literals,
-            # element position over a list path (-1 when absent)
+            # element position over a list path (-1 when absent); the
+            # needle may itself be a path/converter (per-row value)
             if len(args) == 2 and isinstance(args[0], str) and isinstance(args[1], str):
                 return args[0].find(args[1])
             if len(args) == 2 and isinstance(args[0], Col):
+                needle = args[1]
+                if isinstance(needle, dict) and "__converter__" in needle:
+                    needle = self._as_col(needle)
                 return {"__converter__": "list_position",
-                        "args": {"src": args[0].name, "value": args[1]}}
+                        "args": {"src": args[0].name, "value": needle}}
             raise OTTLParseError(f"Index(list_or_str, value) expected: {self.text!r}")
         if name == "Coalesce":
             # func_coalesce.go: first non-nil of a list of getters
@@ -568,9 +905,9 @@ class _Parser:
             return {"__converter__": "convert_case",
                     "args": {"src": args[0].name, "case": args[1]}}
         if name == "Split":
-            if len(args) != 2:
+            if len(args) != 2 or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
-            if isinstance(args[0], str):
+            if isinstance(args[0], str) and isinstance(args[1], str):
                 return self._fold1("split", {"sep": args[1]}, args[0])
             if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
@@ -659,15 +996,31 @@ class _Parser:
             return {"__converter__": "decode",
                     "args": {"src": args[0].name, "encoding": "base64"}}
         if name == "Decode":
-            if len(args) != 2 or not isinstance(args[1], str):
+            if len(args) != 2 or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"Decode(path, encoding) expected: {self.text!r}")
-            if isinstance(args[0], str):
+            if isinstance(args[0], str) and isinstance(args[1], str):
                 return self._fold1("decode", {"encoding": args[1]}, args[0])
-            if not isinstance(args[0], Col):
-                raise OTTLParseError(f"Decode(path, encoding) expected: {self.text!r}")
+            src = self._as_col_any(args[0])
             return {"__converter__": "decode",
-                    "args": {"src": args[0].name, "encoding": args[1]}}
+                    "args": {"src": src.name, "encoding": args[1]}}
         if name == "CommunityID":
+            if len(args) >= 4 and all(_is_literal(a) for a in args):
+                # all-literal call (the corpus's golden vectors): run
+                # the editor over a one-row table and fold
+                import pyarrow as _pa
+
+                from .stages.transform import Statement as _St
+
+                tbl = _pa.table({"__sip__": [args[0]], "__sp__": [args[1]],
+                                 "__dip__": [args[2]], "__dp__": [args[3]]})
+                a = {"src_ip": "__sip__", "src_port": "__sp__",
+                     "dst_ip": "__dip__", "dst_port": "__dp__",
+                     "target": "__out__"}
+                if len(args) > 4:
+                    a["proto"] = args[4]
+                if len(args) > 5:
+                    a["seed"] = args[5]
+                return _St("community_id", a)(tbl)["__out__"][0].as_py()
             if len(args) < 4 or not all(isinstance(a, Col) for a in args[:4]):
                 raise OTTLParseError(
                     f"CommunityID(sip, sport, dip, dport[, proto, seed]) expected: {self.text!r}")
@@ -702,15 +1055,24 @@ class _Parser:
                     "args": {"src": args[0].name, "xpath": xpath,
                              "element_name": elem}}
         if name == "SliceToMap":
-            # func_slice_to_map.go: list<struct> keyed by a field path
-            if len(args) >= 2 and isinstance(args[0], Col) \
-                    and isinstance(args[1], list) and len(args[1]) == 1 \
-                    and isinstance(args[1][0], str):
-                return {"__converter__": "slice_to_map",
-                        "args": {"src": args[0].name,
-                                 "key_field": args[1][0]}}
-            raise OTTLParseError(
-                f"SliceToMap(path, [key_field]) expected: {self.text!r}")
+            # func_slice_to_map.go: list -> map, keyed by a field path
+            # ([keys]), by the element index (no keys), with optional
+            # [value] extraction; literal lists fold to index-keyed maps
+            if len(args) >= 1 and _is_literal(args[0]) and isinstance(args[0], list):
+                return {str(i): v for i, v in enumerate(args[0])}
+            if not args or not isinstance(args[0], Col):
+                raise OTTLParseError(
+                    f"SliceToMap(path[, [key]][, [value]]) expected: {self.text!r}")
+            a: dict[str, Any] = {"src": args[0].name}
+            for slot, field in (("key_field", 1), ("value_field", 2)):
+                if len(args) > field:
+                    fv = args[field]
+                    if not (isinstance(fv, list) and len(fv) == 1
+                            and isinstance(fv[0], str)):
+                        raise OTTLParseError(
+                            f"SliceToMap {slot} must be a one-string list: {self.text!r}")
+                    a[slot] = fv[0]
+            return {"__converter__": "slice_to_map", "args": a}
         if name == "Reduce":
             if len(args) != 3 or not isinstance(args[2], dict) \
                     or "__lambda__" not in args[2]:
@@ -718,6 +1080,202 @@ class _Parser:
                     f"Reduce(source, seed, (acc, k, v) => ...) expected: {self.text!r}")
             return self._compile_reduce(args[0], args[1], args[2])
         raise OTTLParseError(f"unsupported converter {name}() in {self.text!r}")
+
+    # --------------------------------------------- When / Eval / lambdas
+
+    def _parse_when(self) -> dict:
+        """When(() => condition, then, otherwise) — func_when.go; the
+        condition compiles through the predicate DSL, the branches are
+        literals, paths, or nested converters (scratch columns)."""
+        self.expect("(")
+        lam = self.parse_lambda()
+        if lam["__lambda__"] or lam["body"][0] != "cond":
+            raise OTTLParseError(
+                f"When first arg must be a () => condition lambda: {self.text!r}")
+        self.expect(",")
+        then = self.parse_value()
+        self.expect(",")
+        otherwise = self.parse_value()
+        self.expect(")")
+        if isinstance(then, dict) and "__converter__" in then:
+            then = self._as_col(then)
+        if isinstance(otherwise, dict) and "__converter__" in otherwise:
+            otherwise = self._as_col(otherwise)
+        return {"__converter__": "when",
+                "args": {"condition": lam["body"][1],
+                         "then": then, "otherwise": otherwise}}
+
+    def _fold_eval(self, lam: dict, vals: list):
+        """func_eval.go over a LITERAL argument list: bind lambda
+        params to the literals and fold the body at compile time."""
+        params = lam["__lambda__"]
+        if len(params) != len(vals):
+            raise OTTLParseError(
+                f"Eval: {len(params)} params != {len(vals)} args: {self.text!r}")
+        binding = {p: v for p, v in zip(params, vals) if p != "_"}
+
+        def subst(node):
+            if isinstance(node, Col) and node.name in binding:
+                return binding[node.name]
+            if isinstance(node, dict) and "__converter__" in node:
+                # converter over a bound param: substitute into its
+                # src and fold by running the editor on one row
+                a = dict(node["args"])
+                src = a.pop("src", None)
+                if src in binding:
+                    return self._fold1(node["__converter__"], a, binding[src])
+                raise OTTLParseError(
+                    f"Eval body converter must apply to a param: {self.text!r}")
+            if isinstance(node, list):
+                return [subst(x) for x in node]
+            return node
+
+        kind = lam["body"][0]
+        if kind == "value":
+            return subst(lam["body"][1])
+        if kind == "cond":
+            op, *rest = lam["body"][1]
+            if op in ("==", "!=", "<", "<=", ">", ">="):
+                return _cmp_fold(op, subst(rest[0]), subst(rest[1]))
+        raise OTTLParseError(f"unsupported Eval body: {self.text!r}")
+
+    _LAMBDA_OPS = {"==", "!=", "<", "<=", ">", ">="}
+
+    def _compile_collection_lambda(self, name: str, args: list) -> Any:
+        """Filter / All / Any / Find / MapEach / MapKeys with the OTTL
+        lambda grammar. Slice predicates compile to the vectorized
+        list_* kernels; map(key) predicates are SCHEMA constants in the
+        columnar model and fold to struct selections; literal sources
+        fold entirely at compile time."""
+        if len(args) < 2 or not isinstance(args[1], dict) \
+                or "__lambda__" not in args[1]:
+            raise OTTLParseError(f"{name}(source, lambda) expected: {self.text!r}")
+        source, lam = args[0], args[1]
+        params = lam["__lambda__"]
+        if len(params) != 2:
+            raise OTTLParseError(
+                f"{name} lambda must take (key_or_index, value): {self.text!r}")
+        kparam, vparam = params
+        body = lam["body"]
+
+        def pred_of(b):
+            """(which_param, op, literal) from a comparison body."""
+            if b[0] != "cond":
+                return None
+            cond = b[1]
+            if not (isinstance(cond, tuple) and cond[0] in self._LAMBDA_OPS):
+                return None
+            op, left, right = cond
+            if isinstance(left, Col) and _is_literal(right):
+                which = ("key" if left.name == kparam and kparam != "_"
+                         else "value" if left.name == vparam and vparam != "_"
+                         else None)
+                return (which, op, right) if which else None
+            return None
+
+        def is_kv_concat(b, kp=None, vp=None):
+            """Concat([<k-or-String(i)>, sep, String(v)], '') shape ->
+            the separator, or None."""
+            kp, vp = kp or kparam, vp or vparam
+            if b[0] != "value" or not isinstance(b[1], dict) \
+                    or b[1].get("__converter__") != "concat":
+                return None
+            parts, sep = b[1]["args"]["parts"], b[1]["args"]["sep"]
+            if sep != "" or len(parts) != 3 or not isinstance(parts[1], str):
+                return None
+            def is_param_render(x, nm):
+                if isinstance(x, Col) and x.name == nm:
+                    return True
+                return (isinstance(x, dict)
+                        and x.get("__converter__") in ("cast", "stringify")
+                        and x["args"].get("src") == nm)
+            if is_param_render(parts[0], kp) and is_param_render(parts[2], vp):
+                return parts[1]
+            return None
+
+        # ---- literal sources fold in python ----
+        if _is_literal(source) and isinstance(source, (list, dict)):
+            items = (list(enumerate(source)) if isinstance(source, list)
+                     else list(source.items()))
+            pred = pred_of(body)
+            def match(k, v):
+                which, op, lit = pred
+                return _cmp_fold(op, k if which == "key" else v, lit)
+            if name in ("Filter", "All", "Any", "Find"):
+                if pred is None:
+                    raise OTTLParseError(
+                        f"unsupported {name} lambda: {self.text!r}")
+                hits = [(k, v) for k, v in items if match(k, v)]
+                if name == "Filter":
+                    return ([v for _, v in hits] if isinstance(source, list)
+                            else dict(hits))
+                if name == "All":
+                    return len(hits) == len(items)
+                if name == "Any":
+                    return bool(hits)
+                if not hits:
+                    return None
+                if len(args) > 2:  # mapped Find
+                    raise OTTLParseError(
+                        f"mapped Find over literals unsupported: {self.text!r}")
+                return hits[0][1]
+            if name == "MapEach":
+                b = body
+                if b[0] == "value" and isinstance(b[1], dict) \
+                        and "__converter__" not in b[1]:
+                    # (_, v) => {"k": v} literal-map body
+                    out = []
+                    for _, v in items:
+                        out.append({mk: (v if isinstance(mv, Col)
+                                         and mv.name == vparam else mv)
+                                    for mk, mv in b[1].items()})
+                    return out
+                sep = is_kv_concat(b)
+                if sep is not None:
+                    return [f"{k}{sep}{_go_scalar_str(v)}" for k, v in items]
+            raise OTTLParseError(f"unsupported {name} lambda: {self.text!r}")
+
+        if not isinstance(source, Col):
+            raise OTTLParseError(
+                f"{name} source must be a path or literal: {self.text!r}")
+
+        # ---- path sources: runtime-dispatch editors ----
+        if name == "MapKeys":
+            # (k, _) => Concat(["prefix", k], "") — a schema rename
+            if body[0] == "value" and isinstance(body[1], dict) \
+                    and body[1].get("__converter__") == "concat":
+                parts, sep = body[1]["args"]["parts"], body[1]["args"]["sep"]
+                if sep == "" and len(parts) == 2 and isinstance(parts[0], str) \
+                        and isinstance(parts[1], Col) and parts[1].name == kparam:
+                    return {"__converter__": "struct_rename",
+                            "args": {"src": source.name, "prefix": parts[0]}}
+            raise OTTLParseError(
+                f"MapKeys supports constant-prefix renames only (per-row "
+                f"key names are not columnar): {self.text!r}")
+        if name == "MapEach":
+            sep = is_kv_concat(body)
+            if sep is None:
+                raise OTTLParseError(
+                    f"unsupported MapEach lambda: {self.text!r}")
+            return {"__converter__": "ottl_map_each",
+                    "args": {"src": source.name, "sep": sep}}
+        pred = pred_of(body)
+        if pred is None or pred[0] is None:
+            raise OTTLParseError(f"unsupported {name} lambda: {self.text!r}")
+        which, op, lit = pred
+        a = {"src": source.name, "param": which, "op": op, "value": lit}
+        if name == "Find" and len(args) > 2:
+            mlam = args[2]
+            if not (isinstance(mlam, dict) and "__lambda__" in mlam):
+                raise OTTLParseError(f"Find mapper must be a lambda: {self.text!r}")
+            msep = is_kv_concat(mlam["body"], *mlam["__lambda__"])
+            if msep is None:
+                raise OTTLParseError(
+                    f"unsupported Find mapper lambda: {self.text!r}")
+            a["mapped_sep"] = msep
+        editor = {"Filter": "ottl_filter", "All": "ottl_all",
+                  "Any": "ottl_any", "Find": "ottl_find"}[name]
+        return {"__converter__": editor, "args": a}
 
     # ------------------------------------------------------------ Reduce
 
@@ -741,7 +1299,8 @@ class _Parser:
             # v | Int(v) | Double(v) | String(v)
             if is_param(x, val_n):
                 return True
-            return (isinstance(x, dict) and x.get("__converter__") == "cast"
+            return (isinstance(x, dict)
+                    and x.get("__converter__") in ("cast", "stringify")
                     and x["args"].get("src") == val_n)
 
         kind = None
@@ -841,12 +1400,10 @@ class _Parser:
             self.expect("(")
             target = self.parse_value()
             self.expect(",")
-            k, pat = self.next()
-            if k != "string":
-                raise OTTLParseError(f"IsMatch pattern must be a string: {self.text!r}")
-            self.expect(")")
-            # unescape like parse_value does for every other string
-            pattern = pat[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            pattern = self.parse_value()  # string literal OR a folded
+            self.expect(")")              # converter (Concat(...))
+            if not isinstance(pattern, str):
+                raise OTTLParseError(f"IsMatch pattern must fold to a string: {self.text!r}")
             if isinstance(target, str):  # literal: fold now
                 return bool(re.search(pattern, target))
             if not isinstance(target, Col):
@@ -862,6 +1419,14 @@ class _Parser:
             want = self._TYPE_PREDICATES[tok0]
             if isinstance(v, Col):
                 return ("typecheck", v, want)
+            if isinstance(v, dict) and "__converter__" in v:
+                # IsString(UUID()): the converter's result type is
+                # statically known — fold to a constant
+                got = self._RESULT_TYPES.get(v["__converter__"])
+                if got is None:
+                    raise OTTLParseError(
+                        f"cannot type-check {v['__converter__']}: {self.text!r}")
+                return got == want
             got = {str: "string", float: "double", bool: "bool",
                    int: "int", dict: "map", list: "list"}.get(type(v))
             return got == want  # literal: constant condition
@@ -876,18 +1441,40 @@ class _Parser:
             if isinstance(v, (str, list, dict)):
                 return len(v) == 0
             raise OTTLParseError(f"IsEmpty over unsupported literal: {self.text!r}")
-        left = self.parse_value()
-        kind, op = self.next()
+        left = self._parse_operand()
+        if self.peek()[1] not in ("==", "!=", "<", "<=", ">", ">="):
+            # a bare boolean term: folded literal (ContainsValue over
+            # literals) or a BOOL-RETURNING converter call — anything
+            # else must fail so lambda bodies fall through to the
+            # value grammar
+            if isinstance(left, bool):
+                return left
+            if isinstance(left, dict) \
+                    and left.get("__converter__") in self._BOOL_CONVERTERS:
+                return ("==", left, True)
+            raise OTTLParseError(
+                f"expected comparison after {left!r} in {self.text!r}")
+        _, op = self.next()
         if op == "==" and self.peek() == ("name", "nil"):
             self.next()
             return ("is_null", left)
         if op == "!=" and self.peek() == ("name", "nil"):
             self.next()
             return ("not_null", left)
-        if op not in ("==", "!=", "<", "<=", ">", ">="):
-            raise OTTLParseError(f"expected comparison, got {op!r} in {self.text!r}")
-        right = self.parse_value()
+        right = self._parse_operand()
+        if _is_literal(left) and _is_literal(right):
+            # both sides folded (Time(..) - Time(..) < Duration(..)):
+            # a constant condition
+            try:
+                return _cmp_fold(op, left, right)
+            except TypeError:
+                raise OTTLParseError(
+                    f"cannot compare {left!r} and {right!r}: {self.text!r}")
         return (op, left, right)
+
+    _BOOL_CONVERTERS = {"contains_value", "is_in_cidr", "is_valid_luhn",
+                        "to_bool", "has_prefix", "has_suffix", "is_empty",
+                        "list_any", "list_all", "ottl_any", "ottl_all"}
 
     # ------------------------------------------------------- statements
 
@@ -900,7 +1487,7 @@ class _Parser:
         # first arg may be a bare context name (attributes) for
         # delete_key/flatten-style editors
         while self.peek()[1] != ")":
-            args.append(self.parse_value())
+            args.append(self._parse_operand())
             if self.peek()[1] == ",":
                 self.next()
         self.expect(")")
@@ -916,31 +1503,113 @@ class _Parser:
             return ChainStatement(self._pre + [st], drop=drop)
         return st
 
+    def _make_map_spec(self, v: dict) -> dict:
+        """Parsed map literal with paths/converters -> make_map spec
+        (leaves ['lit', x] / ['col', name] / ['map', {...}])."""
+        spec = {}
+        for k, x in v.items():
+            if isinstance(x, Col):
+                spec[k] = ["col", x.name]
+            elif isinstance(x, dict) and "__converter__" in x:
+                spec[k] = ["col", self._as_col(x).name]
+            elif isinstance(x, dict):
+                spec[k] = ["map", self._make_map_spec(x)]
+            elif _is_literal(x):
+                spec[k] = ["lit", x]
+            else:
+                raise OTTLParseError(
+                    f"unsupported map value {x!r}: {self.text!r}")
+        return spec
+
+    @staticmethod
+    def _split_kwargs(args: list[Any]) -> tuple[list[Any], dict[str, Any]]:
+        pos = [a for a in args
+               if not (isinstance(a, dict) and "__kwarg__" in a)]
+        kw = {a["__kwarg__"]: a["value"] for a in args
+              if isinstance(a, dict) and "__kwarg__" in a}
+        return pos, kw
+
+    @staticmethod
+    def _is_ctx(v: Any) -> bool:
+        """True when the editor's first arg is the whole attribute set
+        (`attributes` / `resource.attributes` with no key) rather than
+        a nested map path."""
+        return isinstance(v, Col) and v.name == "attributes"
+
     def _compile(self, editor: str, args: list[Any], where: Any) -> Statement:
         if editor == "set":
-            if len(args) != 2 or not isinstance(args[0], Col):
+            if len(args) != 2:
+                raise OTTLParseError(f"set(path, value) expected: {self.text!r}")
+            v = args[1]
+            if self._is_ctx(args[0]):
+                # set(attributes, {literal map}): replace the whole set
+                if not (_is_literal(v) and isinstance(v, dict)):
+                    raise OTTLParseError(
+                        f"set(attributes, ...) takes a literal map: {self.text!r}")
+                return Statement("set_all", {"literal": v}, where)
+            if not isinstance(args[0], Col):
                 raise OTTLParseError(f"set(path, value) expected: {self.text!r}")
             target = args[0].name
-            v = args[1]
             if isinstance(v, dict) and "__converter__" in v:
                 return Statement(v["__converter__"],
                                  {"target": target, **v["args"]}, where)
             if isinstance(v, Col):
                 return Statement("copy", {"src": v.name, "dst": target}, where)
+            if isinstance(v, dict) and not _is_literal(v):
+                # map literal with paths/converters inside -> make_map
+                return Statement("make_map",
+                                 {"target": target,
+                                  "spec": self._make_map_spec(v)}, where)
+            if isinstance(v, (dict, list)) and not _is_literal(v):
+                raise OTTLParseError(f"unsupported set value: {self.text!r}")
+            try:  # heterogeneous literal collections are not columnar
+                if isinstance(v, (dict, list)):
+                    import pyarrow as _pa
+
+                    _pa.array([v])
+            except Exception as e:
+                raise OTTLParseError(
+                    f"literal not representable as one Arrow type "
+                    f"({e}): {self.text!r}")
             return Statement("set", {"target": target, "value": v}, where)
         if editor == "delete_key":
-            # delete_key(attributes, "k")
             if len(args) != 2 or not isinstance(args[1], str):
                 raise OTTLParseError(f"delete_key(ctx, key) expected: {self.text!r}")
+            if not self._is_ctx(args[0]):
+                return Statement("struct_delete_keys",
+                                 {"target": args[0].name, "src": args[0].name,
+                                  "keys": [args[1]]}, where)
             return Statement("delete_keys", {"keys": [args[1]]}, where)
         if editor == "delete_matching_keys":
+            if not self._is_ctx(args[0]):
+                return Statement("struct_delete_matching",
+                                 {"target": args[0].name, "src": args[0].name,
+                                  "pattern": args[1]}, where)
             return Statement("delete_matching_keys", {"pattern": args[1]}, where)
         if editor == "keep_matching_keys":
+            if not self._is_ctx(args[0]):
+                return Statement("struct_keep_matching",
+                                 {"target": args[0].name, "src": args[0].name,
+                                  "pattern": args[1]}, where)
             return Statement("keep_matching_keys", {"pattern": args[1]}, where)
         if editor == "keep_keys":
             if len(args) != 2 or not isinstance(args[1], list):
                 raise OTTLParseError(f"keep_keys(ctx, [keys]) expected: {self.text!r}")
+            if not self._is_ctx(args[0]):
+                return Statement("struct_keep_keys",
+                                 {"target": args[0].name, "src": args[0].name,
+                                  "keys": list(args[1])}, where)
             return Statement("keep_keys", {"keys": list(args[1])}, where)
+        if editor == "stringify_all":
+            return Statement("stringify_all", {"keys": None}, where)
+        if editor == "replace_all_patterns":
+            # replace_all_patterns(attributes, "key"|"value", re, repl)
+            if len(args) != 4 or not all(isinstance(a, str) for a in args[1:]):
+                raise OTTLParseError(
+                    f"replace_all_patterns(ctx, mode, re, repl) expected: {self.text!r}")
+            return Statement("replace_all_patterns",
+                             {"mode": args[1], "pattern": args[2],
+                              "replacement": args[3]}, where)
         if editor == "truncate_all":
             # truncate_all(attributes, N): keys=None = every string col
             return Statement("truncate_all", {"keys": None, "limit": args[1]}, where)
@@ -980,38 +1649,111 @@ class _Parser:
                              {"target": args[0].name, "pattern": args[1],
                               "replacement": repl}, where)
         if editor == "flatten":
-            if len(args) != 1 or not isinstance(args[0], Col):
+            # flatten(attributes[, "prefix"][, depth=N][,
+            # resolveConflicts=true]) | flatten(attributes["k"])
+            pos, kw = self._split_kwargs(args)
+            extra = {}
+            if "depth" in kw:
+                extra["depth"] = int(kw["depth"])
+            if "resolveConflicts" in kw:
+                extra["resolve_conflicts"] = bool(kw["resolveConflicts"])
+            if self._is_ctx(pos[0]):
+                if len(pos) > 1:
+                    extra["prefix"] = pos[1]
+                return Statement("flatten_all", extra, where)
+            if not isinstance(pos[0], Col):
                 raise OTTLParseError(f"flatten(path) expected: {self.text!r}")
-            return Statement("flatten", {"src": args[0].name}, where)
+            return Statement("struct_flatten",
+                             {"target": pos[0].name, "src": pos[0].name,
+                              **extra}, where)
         if editor == "append":
-            if len(args) != 2 or not isinstance(args[0], Col):
-                raise OTTLParseError(f"append(path, value) expected: {self.text!r}")
-            return Statement("append", {"target": args[0].name,
-                                        "value": args[1]}, where)
+            pos, kw = self._split_kwargs(args)
+            if not pos or not isinstance(pos[0], Col):
+                raise OTTLParseError(f"append(path, value|values=[..]) expected: {self.text!r}")
+            a: dict = {"target": pos[0].name}
+            if "values" in kw:
+                a["values"] = kw["values"]
+            elif len(pos) == 2:
+                a["value"] = pos[1]
+            else:
+                raise OTTLParseError(f"append needs a value: {self.text!r}")
+            return Statement("append", a, where)
         if editor == "delete_index":
-            # delete_index(path, i) — the endIndex/converter-index
-            # variants stay unsupported (fail loud)
-            if len(args) != 2 or not isinstance(args[0], Col) \
-                    or not isinstance(args[1], int):
+            # delete_index(path, i | Len(path)-1 | Index(path, v)
+            #              [, endIndex=N])
+            pos, kw = self._split_kwargs(args)
+            if len(pos) != 2 or not isinstance(pos[0], Col):
                 raise OTTLParseError(
-                    f"delete_index(path, int) expected: {self.text!r}")
-            return Statement("delete_index",
-                             {"target": args[0].name, "src": args[0].name,
-                              "index": args[1]}, where)
+                    f"delete_index(path, index) expected: {self.text!r}")
+            src = pos[0].name
+            a = {"target": src, "src": src}
+            idx = pos[1]
+            if isinstance(idx, int):
+                a["index"] = idx
+                if "endIndex" in kw:
+                    a["end_index"] = int(kw["endIndex"])
+            elif isinstance(idx, dict) and "__arith__" in idx:
+                op, left, right = idx["__arith__"]
+                if not (op == "-" and isinstance(right, int)
+                        and isinstance(left, dict)
+                        and left.get("__converter__") in ("len", "list_len")
+                        and left["args"].get("src") == src):
+                    raise OTTLParseError(
+                        f"delete_index arithmetic must be Len(same)-k: {self.text!r}")
+                a["from_len"] = -right
+            elif isinstance(idx, dict) \
+                    and idx.get("__converter__") == "list_position" \
+                    and idx["args"].get("src") == src:
+                a["position_of"] = idx["args"]["value"]
+            else:
+                raise OTTLParseError(
+                    f"unsupported delete_index index: {self.text!r}")
+            return Statement("delete_index", a, where)
         if editor == "merge_maps":
-            # merge_maps(target_map, source_map, "insert"|"update"|"upsert")
-            if len(args) != 3 or not isinstance(args[0], Col) \
-                    or not isinstance(args[1], Col) or not isinstance(args[2], str):
+            # merge_maps(target_map, source, strategy); with the whole
+            # attribute set as target the source's keys become columns
+            if len(args) != 3 or not isinstance(args[2], str):
+                raise OTTLParseError(
+                    f"merge_maps(target, source, strategy) expected: {self.text!r}")
+            src = args[1]
+            if self._is_ctx(args[0]):
+                if isinstance(src, Col):
+                    return Statement("merge_into",
+                                     {"src": src.name, "strategy": args[2]},
+                                     where)
+                if _is_literal(src) and isinstance(src, dict):
+                    import pyarrow as _pa
+
+                    for v in src.values():  # fail loud on heterogeneous
+                        try:
+                            _pa.array([v])
+                        except Exception as e:
+                            raise OTTLParseError(
+                                f"merge_maps literal not representable as "
+                                f"one Arrow type ({e}): {self.text!r}")
+                    return Statement("merge_into",
+                                     {"literal": src, "strategy": args[2]},
+                                     where)
+                raise OTTLParseError(
+                    f"merge_maps source must be a map path or literal: {self.text!r}")
+            if not isinstance(args[0], Col) or not isinstance(src, Col):
                 raise OTTLParseError(
                     f"merge_maps(target, source, strategy) expected: {self.text!r}")
             return Statement("merge_maps", {"target": args[0].name,
-                                            "src": args[1].name,
+                                            "src": src.name,
                                             "strategy": args[2]}, where)
         if editor == "limit":
-            # limit(attributes_struct, max, ["priority", ...])
-            if len(args) < 2 or not isinstance(args[0], Col):
+            # limit(attributes, max, ["priority", ...]) — whole set;
+            # nested-path variant keeps the struct editor
+            if len(args) < 2:
                 raise OTTLParseError(f"limit(path, max, [prio]) expected: {self.text!r}")
             prio = args[2] if len(args) > 2 else []
+            if self._is_ctx(args[0]):
+                return Statement("limit_table",
+                                 {"max_keys": args[1], "priority_keys": prio},
+                                 where)
+            if not isinstance(args[0], Col):
+                raise OTTLParseError(f"limit(path, max, [prio]) expected: {self.text!r}")
             return Statement("limit", {"src": args[0].name,
                                        "max_keys": args[1],
                                        "priority_keys": prio}, where)
@@ -1029,6 +1771,59 @@ def parse_statement(text: str) -> Statement:
 
 def parse_statements(texts: list[str]) -> list[Statement]:
     return [parse_statement(t) for t in texts]
+
+
+class ValueExpression:
+    """ParseValueExpression (pkg/ottl/parser.go ValueExpression /
+    e2e_test.go Test_e2e_ottl_value_expressions): a standalone value
+    expression evaluated against a table. ``eval(tbl)`` returns a
+    python scalar for folded expressions and a list (one value per
+    row) for path/converter expressions."""
+
+    def __init__(self, node: Any, pre: list):
+        self.node = node
+        self._pre = pre
+
+    def eval(self, tbl) -> Any:
+        for st in self._pre:
+            tbl = st(tbl)
+
+        def ev(node):
+            if isinstance(node, Col):
+                from .expr import resolve_col
+
+                return resolve_col(tbl, node.name).to_pylist()
+            if isinstance(node, dict):
+                if "__table_width__" in node:
+                    return tbl.num_columns
+                if "__arith__" in node:
+                    op, l, r = node["__arith__"]
+                    lv, rv = ev(l), ev(r)
+                    if isinstance(lv, list) or isinstance(rv, list):
+                        raise ValueError("arithmetic over columns: use a statement")
+                    return {"+": lv + rv, "-": lv - rv, "*": lv * rv}[op]
+                if "__hex_lazy__" in node:
+                    import struct as _struct
+
+                    return _struct.pack(">q", int(ev(node["__hex_lazy__"]))).hex()
+                if "__converter__" in node:
+                    from .stages.transform import Statement as _St
+
+                    out = _St(node["__converter__"],
+                              {**node["args"], "target": "__vx__"})(tbl)
+                    return out["__vx__"].to_pylist()
+            return node  # folded literal
+
+        return ev(self.node)
+
+
+def parse_value_expression(text: str) -> ValueExpression:
+    """One OTTL value-expression string -> a table evaluator."""
+    p = _Parser(text)
+    node = p._parse_operand()
+    if p.peek()[0] != "eof":
+        raise OTTLParseError(f"trailing tokens after expression: {text!r}")
+    return ValueExpression(node, p._pre)
 
 
 def parse_condition_text(text: str) -> Any:

@@ -257,10 +257,22 @@ class GrokParser:
         )
 
     def fn(self, batch: pa.Table) -> pa.Table:
-        return self._inner.fn(batch)
+        return self._demangle(self._inner.fn(batch))
+
+    @staticmethod
+    def _demangle(tbl: pa.Table) -> pa.Table:
+        # ECS dotted field names are mangled inside regex group names
+        from ..functions.grok import demangle_grok_field
+
+        if any("_DOT_" in c for c in tbl.column_names):
+            tbl = tbl.rename_columns(
+                [demangle_grok_field(c) for c in tbl.column_names])
+        return tbl
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
-        return self._inner.apply(ds)
+        return self._inner.apply(ds).map_batches(
+            self._demangle, batch_format="pyarrow", zero_copy_batch=True,
+            batch_size=None)
 
 
 @register("key_value_parser")

@@ -51,7 +51,10 @@ def _set_col(tbl: pa.Table, name: str, values) -> pa.Table:
 
 
 def _masked(tbl: pa.Table, name: str, new_vals, mask) -> pa.Table:
-    """Apply new values only where mask is true (OTTL `where`)."""
+    """Apply new values only where mask is true (OTTL `where`). A set
+    that matches nothing still creates the column (all null): in the
+    columnar model "attribute absent" IS a null cell — a data-
+    dependent column set would give batches ragged schemas."""
     if mask is None:
         return _set_col(tbl, name, new_vals)
     if not isinstance(new_vals, (pa.Array, pa.ChunkedArray)):
@@ -127,9 +130,13 @@ class Statement:
         return _masked(tbl, dst, v, mask)
 
     def _op_concat(self, tbl, mask, target: str, parts: list[Any], sep: Any = ""):
+        from ..expr import _value as _expr_value
+
         arrs = []
         for p in parts:
-            v = _val(tbl, p)
+            # _expr_value also evaluates nested converter dicts
+            # (Concat(["x", SHA256(col)], "-") through the front-end)
+            v = _expr_value(tbl, p, tbl.num_rows)
             if not isinstance(v, (pa.Array, pa.ChunkedArray)):
                 v = pa.array([str(v)] * tbl.num_rows)
             arrs.append(pc.cast(v, pa.string()))
@@ -780,33 +787,59 @@ class Statement:
             pattern=_re.escape(suffix) + "$", replacement="", max_replacements=1)
         return _masked(tbl, target, out, mask)
 
+    def _affix_dynamic(self, tbl, src: str, other: Col, end: bool):
+        """Per-row HasPrefix/HasSuffix: vectorized by grouping on the
+        DISTINCT affix length — slice(src, …, len) == affix, one kernel
+        pass per distinct length (typically a handful)."""
+        a = _val(tbl, Col(src))
+        b = _val(tbl, other)
+        lens = pc.utf8_length(b)
+        out = pa.nulls(tbl.num_rows, pa.bool_())
+        for ln in pc.unique(pc.drop_null(lens)).to_pylist():
+            grp = pc.fill_null(pc.equal(lens, ln), False)
+            piece = (pc.utf8_slice_codeunits(a, start=-ln, stop=2**31 - 1)
+                     if (end and ln) else
+                     pc.utf8_slice_codeunits(a, start=0, stop=ln))
+            if end and ln == 0:
+                piece = pa.array([""] * tbl.num_rows)
+            # rows shorter than the affix can't match
+            long_enough = pc.greater_equal(pc.utf8_length(a), ln)
+            eq = pc.and_(pc.fill_null(pc.equal(piece, b), False),
+                         pc.fill_null(long_enough, False))
+            out = pc.if_else(grp, eq, out)
+        return out
+
     def _op_has_prefix(self, tbl, mask, target: str, src: str, prefix: Any):
-        # func_has_prefix.go -> bool column; a Col prefix (dynamic
-        # per-row prefix) compares substring(src, 0, len(prefix)) ==
-        # prefix via a per-row loop — rare shape, not a hot-path op
+        # func_has_prefix.go -> bool column; Col prefixes (dynamic
+        # per-row) dispatch to the length-grouped vectorized path
         if isinstance(prefix, Col):
-            a = _val(tbl, Col(src)).to_pylist()
-            b = _val(tbl, prefix).to_pylist()
-            out = pa.array([None if (x is None or p is None)
-                            else x.startswith(p) for x, p in zip(a, b)],
-                           pa.bool_())
-            return _masked(tbl, target, out, mask)
+            return _masked(tbl, target,
+                           self._affix_dynamic(tbl, src, prefix, end=False),
+                           mask)
         return _masked(tbl, target,
                        pc.starts_with(_val(tbl, Col(src)), pattern=prefix), mask)
 
     def _op_has_suffix(self, tbl, mask, target: str, src: str, suffix: Any):
         if isinstance(suffix, Col):
-            a = _val(tbl, Col(src)).to_pylist()
-            b = _val(tbl, suffix).to_pylist()
-            out = pa.array([None if (x is None or p is None)
-                            else x.endswith(p) for x, p in zip(a, b)],
-                           pa.bool_())
-            return _masked(tbl, target, out, mask)
+            return _masked(tbl, target,
+                           self._affix_dynamic(tbl, src, suffix, end=True),
+                           mask)
         return _masked(tbl, target,
                        pc.ends_with(_val(tbl, Col(src)), pattern=suffix), mask)
 
-    def _op_split(self, tbl, mask, target: str, src: str, sep: str):
-        # func_split.go: string -> list<string>
+    def _op_split(self, tbl, mask, target: str, src: str, sep: Any):
+        # func_split.go: string -> list<string>. A Col separator
+        # (per-row) partitions by DISTINCT separator value — one
+        # vectorized kernel per distinct sep, no row loop.
+        if isinstance(sep, Col):
+            sep_col = _val(tbl, sep)
+            for s in pc.unique(sep_col).to_pylist():
+                if s is None:
+                    continue
+                sub = pc.equal(sep_col, s)
+                sub = pc.and_(mask, sub) if mask is not None else sub
+                tbl = self._op_split(tbl, sub, target, src, s)
+            return tbl
         return _masked(tbl, target,
                        pc.split_pattern(_val(tbl, Col(src)), pattern=sep), mask)
 
@@ -1169,7 +1202,7 @@ class Statement:
         to_add = values if values is not None else [value]
         try:
             col_ = _val(tbl, Col(src or target))
-        except KeyError:
+        except (KeyError, pa.ArrowInvalid):  # absent column OR field
             return _masked(tbl, target, pa.array([to_add] * n), mask)
         if isinstance(col_, pa.ChunkedArray):
             col_ = col_.combine_chunks()
@@ -1536,7 +1569,8 @@ class Statement:
             return arr
         if pa.types.is_boolean(t):
             return pc.if_else(arr, pa.scalar("true"), pa.scalar("false"))
-        if pa.types.is_integer(t) or pa.types.is_floating(t):
+        if pa.types.is_integer(t) or pa.types.is_floating(t) \
+                or pa.types.is_temporal(t):
             return pc.cast(arr, pa.string())
         def strip(v):
             if isinstance(v, dict):
@@ -1719,12 +1753,22 @@ class Statement:
                 result[key] = arr  # later wins, position kept
 
         def elems(arr):
+            # element-i extraction that PRESERVES null/short rows as
+            # null slots (list_flatten drops them — probe-caught)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            maxlen = pc.max(pc.list_value_length(arr)).as_py() or 0
-            for i in range(int(maxlen)):
-                yield i, pc.list_flatten(pc.list_slice(
-                    arr, start=i, stop=i + 1, return_fixed_size_list=True))
+            lens = pc.fill_null(pc.list_value_length(arr), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            values = arr.values
+            maxlen = int(lens.max()) if len(lens) else 0
+            for i in range(maxlen):
+                ok = lens > i
+                idx = np.where(ok, offs[:-1] + i, 0)
+                elem = values.take(pa.array(idx))
+                elem = pc.if_else(pa.array(ok), elem,
+                                  pa.nulls(len(ok), elem.type))
+                yield i, elem
 
         def flatten_map(arr, pfx, depth):
             pfx = pfx + "." if pfx else ""
@@ -1934,6 +1978,100 @@ class Statement:
             assigned = pc.or_(assigned, hit)
         return _masked(tbl, target, out, mask)
 
+    # --- OTTL lambda family over PATHS: runtime type dispatch -------
+    # Filter/All/Any/Find compile to (param, op, value); the column
+    # type picks the kernel — list columns use the vectorized list_*
+    # ops on the VALUE param, struct columns fold KEY predicates at
+    # the schema level (keys are schema constants in this model).
+
+    _PYOPS = {"==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+              "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+              ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+
+    def _lambda_dispatch(self, tbl, src, param):
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        if pa.types.is_struct(col_.type):
+            if param != "key":
+                raise ValueError(
+                    "map lambdas must predicate on the KEY param "
+                    "(value predicates over per-row maps are not columnar)")
+            return col_, "struct"
+        if param != "value":
+            raise ValueError(
+                "slice lambdas must predicate on the VALUE param")
+        return col_, "list"
+
+    def _op_ottl_filter(self, tbl, mask, target: str, src: str, param: str,
+                        op: str, value: Any):
+        col_, kind = self._lambda_dispatch(tbl, src, param)
+        if kind == "list":
+            return self._op_list_filter(tbl, mask, target, src, op, value)
+        keep = {f.name for f in col_.type if self._PYOPS[op](f.name, value)}
+        return self._struct_select(tbl, mask, target, src, keep)
+
+    def _op_ottl_all(self, tbl, mask, target: str, src: str, param: str,
+                     op: str, value: Any):
+        col_, kind = self._lambda_dispatch(tbl, src, param)
+        if kind == "list":
+            return self._op_list_all(tbl, mask, target, src, op, value)
+        ok = all(self._PYOPS[op](f.name, value) for f in col_.type)
+        return _masked(tbl, target, pa.array([ok] * tbl.num_rows), mask)
+
+    def _op_ottl_any(self, tbl, mask, target: str, src: str, param: str,
+                     op: str, value: Any):
+        col_, kind = self._lambda_dispatch(tbl, src, param)
+        if kind == "list":
+            return self._op_list_any(tbl, mask, target, src, op, value)
+        ok = any(self._PYOPS[op](f.name, value) for f in col_.type)
+        return _masked(tbl, target, pa.array([ok] * tbl.num_rows), mask)
+
+    def _op_ottl_find(self, tbl, mask, target: str, src: str, param: str,
+                      op: str, value: Any, mapped_sep: str | None = None):
+        col_, kind = self._lambda_dispatch(tbl, src, param)
+        if kind == "struct":
+            names = [f.name for f in col_.type if self._PYOPS[op](f.name, value)]
+            if not names:
+                return _masked(tbl, target, pa.nulls(tbl.num_rows), mask)
+            found = pc.struct_field(col_, names[0])
+            if mapped_sep is not None:  # (k, v) => k <sep> String(v)
+                found = pc.binary_join_element_wise(
+                    pa.scalar(names[0]), self._go_str_array(found), mapped_sep)
+            return _masked(tbl, target, found, mask)
+        if mapped_sep is None:
+            return self._op_list_find(tbl, mask, target, src, op, value)
+        # mapped slice Find: first-match position <sep> String(elem)
+        offs, flat, keep = self._list_elem_mask(tbl, src, op, value)
+        lens = np.diff(offs)
+        pos = np.arange(len(keep)) - np.repeat(offs[:-1], lens)
+        big = np.where(keep, pos, np.iinfo(np.int64).max)
+        first = np.minimum.reduceat(np.append(big, np.iinfo(np.int64).max),
+                                    offs[:-1]) if len(offs) > 1 \
+            else np.empty(0, np.int64)
+        first = np.where(lens == 0, np.iinfo(np.int64).max, first)
+        found_mask = first != np.iinfo(np.int64).max
+        idx = np.where(found_mask, offs[:-1] + np.where(found_mask, first, 0), 0)
+        vals = flat.take(pa.array(idx)) if len(flat) \
+            else pa.nulls(len(lens), flat.type)
+        joined = pc.binary_join_element_wise(
+            pc.cast(pa.array(np.where(found_mask, first, 0)), pa.string()),
+            self._go_str_array(vals), mapped_sep)
+        out = pc.if_else(pa.array(found_mask), joined,
+                         pa.nulls(len(lens), pa.string()))
+        return _masked(tbl, target, out, mask)
+
+    def _op_ottl_map_each(self, tbl, mask, target: str, src: str,
+                          sep: str = ":"):
+        # MapEach((k_or_i, v) => Concat([k, sep, String(v)], "")) —
+        # list columns enumerate, struct columns render per field
+        col_ = _val(tbl, Col(src))
+        if isinstance(col_, pa.ChunkedArray):
+            col_ = col_.combine_chunks()
+        if pa.types.is_struct(col_.type):
+            return self._op_map_each_kv(tbl, mask, target, src, sep)
+        return self._op_list_enumerate_concat(tbl, mask, target, src, sep)
+
 
 def _et_parse_keep_decl(text: str):
     """ElementTree drops the <?xml?> declaration; remember it so the
@@ -1998,7 +2136,15 @@ def text_to_elements_xml(text: str, xpath: str | None = None,
     leaves the node alone)."""
     from xml.etree import ElementTree
 
-    decl, root = _et_parse_keep_decl(text)
+    # the reference accepts multi-root fragments
+    # (`<a>..</a><c>..</c>`); ElementTree needs one root — wrap and
+    # strip a synthetic one
+    fragment = False
+    try:
+        decl, root = _et_parse_keep_decl(text)
+    except ElementTree.ParseError:
+        decl, root = _et_parse_keep_decl(f"<__frag__>{text}</__frag__>")
+        fragment = True
 
     def wrap(el):
         for c in list(el):
@@ -2023,11 +2169,20 @@ def text_to_elements_xml(text: str, xpath: str | None = None,
             el.remove(c)
         el.extend(new_children)
 
-    for el in (_et_findall_abs(root, xpath) if xpath and xpath != "/"
-               else [root]):
+    if xpath and xpath != "/":
+        targets = _et_findall_abs(root, xpath)
+        if fragment:  # absolute path matches the fragment's real roots
+            targets = targets or [c for c in root
+                                  if xpath.strip("/") == c.tag]
+    else:
+        targets = list(root) if fragment else [root]
+    for el in targets:
         wrap(el)
-    return decl + ElementTree.tostring(root, encoding="unicode",
-                                       short_empty_elements=False)
+    out = ElementTree.tostring(root, encoding="unicode",
+                               short_empty_elements=False)
+    if fragment:
+        out = out[len("<__frag__>"):-len("</__frag__>")]
+    return decl + out
 
 
 class ChainStatement:
