@@ -181,3 +181,48 @@ def test_driver_fast_path_matches_distributed(ray_session):
         .sort_values(["conv_id", "ts"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, dist)
     assert len(fast) > 0
+
+
+def test_tail_sample_join_fallback_parity(ray_session):
+    # round-4 gate: the simple tail_sample path must not collect the
+    # always-keep key set on the driver when it is large. Force the
+    # left-semi-join fallback with broadcast_key_limit=0 on a stream
+    # where >=50% of groups match the always-keep condition, and
+    # assert bit-identical kept rows vs the broadcast path.
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.tailsample import (
+        tail_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    groups = rng.integers(0, 2_000, n)
+    tbl = pa.table({
+        "conv_id": [f"c{g}" for g in groups],
+        # ~60% of GROUPS get at least one ERROR row
+        "level": ["ERROR" if (g % 5 < 3 and i % 7 == 0) else "INFO"
+                  for i, g in enumerate(groups)],
+        "row_id": np.arange(n),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    cond = ("==", col("level"), "ERROR")
+
+    def kept_ids(limit):
+        out = tail_sample(ds, "conv_id", cond, sample_percentage=10.0,
+                          broadcast_key_limit=limit)
+        return sorted(r["row_id"] for r in out.take_all())
+
+    broadcast = kept_ids(2_000_000)
+    joined = kept_ids(0)
+    assert broadcast == joined
+    # sanity: every row of every ERROR group survived
+    err_groups = {f"c{g}" for i, g in enumerate(groups)
+                  if (g % 5 < 3 and i % 7 == 0)}
+    kept = set(broadcast)
+    for i, g in enumerate(groups):
+        if f"c{g}" in err_groups:
+            assert i in kept
