@@ -1215,6 +1215,137 @@ def _q_ottl_funcs3(sf_dir: str):
     return stage.apply(ds)
 
 
+def _sampler_synth_statements(invalidate_some: bool = False):
+    """Shared synthesis for the consistent-sampler queries: a
+    deterministic 32-hex trace id (md5 of the event id — identical in
+    DuckDB), an incoming OTEP-235 sampling.threshold t-value keyed by
+    event_type, and a sampling.priority percentage from the value
+    column. ``invalidate_some`` blanks the trace id for user_id % 10
+    == 0 rows to exercise fail_closed."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+    sts = [
+        Statement("cast", {"target": "eid_str", "src": "event_id", "to": "str"}),
+        Statement("md5_hex", {"target": "trace_id", "src": "eid_str"}),
+        # incoming head-sampling probabilities: error 100%, click 50%,
+        # everything else 25% (t-values "0" / "8" / "c")
+        Statement("value_map", {"target": "tv_raw", "src": "event_type",
+                                "mapping": {"error": "0", "click": "8"},
+                                "default_keep": False}),
+        Statement("coalesce", {"target": "tv_in",
+                               "sources": [col("tv_raw"), "c"]}),
+        Statement("when", {"target": "prio",
+                           "condition": (">", col("value"), 180.0),
+                           "then": 100.0, "otherwise": 0.0}),
+    ]
+    if invalidate_some:
+        # blank the randomness for ~10% of rows (decimal id ends in 0)
+        sts.append(Statement("set", {"target": "trace_id", "value": ""},
+                             ("match", col("eid_str"), "0$")))
+    return sts
+
+
+def _q_sampler_proportional(sf_dir: str):
+    """probabilisticsampler mode=proportional + sampling.priority
+    (processor/probabilisticsamplerprocessor/sampler_mode.go:285-303,
+    logsprocessor.go:240-272): each row's effective probability is the
+    incoming head probability times the configured 20%, decided by the
+    OTEP-235 T <= R rule over the trace-id randomness; a nonzero
+    sampling.priority percentage replaces the threshold."""
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        ConsistentSampler,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        TransformStage,
+    )
+
+    ds = read_table(sf_dir, "events")
+    ds = TransformStage(_sampler_synth_statements(),
+                        error_mode="propagate").apply(ds)
+    sampler = ConsistentSampler(
+        mode="proportional", sampling_percentage=20.0,
+        randomness_src="trace_id", incoming_tvalue_src="tv_in",
+        priority_src="prio", out_tvalue="tval")
+    return sampler.apply(ds).select_columns(["event_id", "tval"])
+
+
+def _q_sampler_equalizing(sf_dir: str):
+    """probabilisticsampler mode=equalizing + fail_closed
+    (sampler_mode.go:260-272, commonShouldSampleLogic:470-527): the
+    threshold is raised to the configured 50% unless the incoming
+    threshold is already larger; rows whose randomness is invalid are
+    DROPPED (fail_closed=true)."""
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        ConsistentSampler,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        TransformStage,
+    )
+
+    ds = read_table(sf_dir, "events")
+    ds = TransformStage(_sampler_synth_statements(invalidate_some=True),
+                        error_mode="propagate").apply(ds)
+    sampler = ConsistentSampler(
+        mode="equalizing", sampling_percentage=50.0,
+        randomness_src="trace_id", incoming_tvalue_src="tv_in",
+        fail_closed=True, out_tvalue="tval")
+    return sampler.apply(ds).select_columns(["event_id", "tval"])
+
+
+def _sampler_oracle_sqls() -> dict[str, str]:
+    """Oracle SQL for the consistent-sampler queries. The OTEP-235
+    threshold math (ProbabilityToThresholdWithPrecision) is shared
+    python — constants are computed HERE and baked into the SQL, so
+    DuckDB checks the decision rule (T <= R over the md5 randomness),
+    not a reimplementation of the rounding."""
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        parse_tvalue,
+        probability_to_threshold,
+        threshold_probability,
+        tvalue_of,
+    )
+
+    # proportional @20%: per incoming p in {1.0, 0.5, 0.25}
+    t_in = {"error": parse_tvalue("0"), "click": parse_tvalue("8"),
+            "other": parse_tvalue("c")}
+    prop = {k: probability_to_threshold(threshold_probability(v) * 0.2, 4)
+            for k, v in t_in.items()}
+    prop_sql = f"""
+WITH s AS (
+  SELECT event_id,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 19, 14))::UBIGINT AS r,
+    (CASE WHEN value > 180 THEN 0
+          WHEN event_type = 'error' THEN {prop['error']}
+          WHEN event_type = 'click' THEN {prop['click']}
+          ELSE {prop['other']} END)::UBIGINT AS t
+  FROM events)
+SELECT event_id,
+  CASE t WHEN 0 THEN '0'
+         WHEN {prop['error']} THEN '{tvalue_of(prop['error'])}'
+         WHEN {prop['click']} THEN '{tvalue_of(prop['click'])}'
+         ELSE '{tvalue_of(prop['other'])}' END AS tval
+FROM s WHERE t <= r"""
+    # equalizing @50%: t = max(t_cfg, t_in); fail_closed drops the
+    # rows with blanked randomness (user_id % 10 == 0)
+    t_cfg = probability_to_threshold(0.5, 4)
+    eq = {k: max(t_cfg, v) for k, v in t_in.items()}
+    eq_sql = f"""
+WITH s AS (
+  SELECT event_id,
+    ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 19, 14))::UBIGINT AS r,
+    (CASE WHEN event_type = 'error' THEN {eq['error']}
+          WHEN event_type = 'click' THEN {eq['click']}
+          ELSE {eq['other']} END)::UBIGINT AS t
+  FROM events WHERE event_id % 10 != 0)
+SELECT event_id,
+  CASE t WHEN {eq['error']} THEN '{tvalue_of(eq['error'])}'
+         WHEN {eq['click']} THEN '{tvalue_of(eq['click'])}'
+         ELSE '{tvalue_of(eq['other'])}' END AS tval
+FROM s WHERE t <= r"""
+    return {"sampler_proportional": prop_sql, "sampler_equalizing": eq_sql}
+
+
 def _q_events_iforest(sf_dir: str):
     """Real isolation forest (processor/isolationforestprocessor):
     train on a capped deterministic sample of (value, hour-of-day),
@@ -1498,6 +1629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new round-4 queries --
         "ottl_funcs3": _q_ottl_funcs3,
+        "sampler_proportional": _q_sampler_proportional,
+        "sampler_equalizing": _q_sampler_equalizing,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -2303,4 +2436,5 @@ z AS (
   FROM c JOIN st ON c.event_type = st.event_type)
 SELECT event_id, event_type, zscore, abs(zscore) >= 3.0 AS is_anomaly
 FROM z"""
+    oracles.update(_sampler_oracle_sqls())
     return oracles

@@ -41,3 +41,196 @@ class ProbabilisticSampler:
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+# ---------------------------------------------------------------------
+# OTEP-235 consistent sampling (proportional / equalizing modes)
+# ---------------------------------------------------------------------
+#
+# Reference: processor/probabilisticsamplerprocessor/sampler_mode.go
+# (equalizingSampler.decide :267-272, proportionalSampler.decide
+# :285-303, commonShouldSampleLogic :470-527, priorityFunc
+# logsprocessor.go:240-272) over pkg/sampling (threshold.go,
+# probability.go ProbabilityToThresholdWithPrecision :33-78,
+# randomness.go TraceIDToRandomness :47-55).
+#
+# The decision is T <= R where R is the low 56 bits of the second
+# half of the trace id (or an explicit randomness value) and T is the
+# rejection threshold derived from the sampling probability.
+
+_MAX_ADJ = 1 << 56  # MaxAdjustedCount
+_NUM_HEX = 14
+
+
+def probability_to_threshold(fraction: float, precision: int = 4) -> int | None:
+    """pkg/sampling ProbabilityToThresholdWithPrecision ported exactly
+    (Frexp-based adaptive precision, round-half-away, hex-digit
+    rounding). Returns the unsigned threshold in [0, 2^56], or None
+    for the out-of-range error (the caller maps it to never-sample)."""
+    import math
+
+    if precision == 0:
+        precision = _NUM_HEX
+    if not (1.0 / _MAX_ADJ <= fraction <= 1.0):
+        return None
+    if fraction == 1.0:
+        return 0
+    _, exp_f = math.frexp(fraction)
+    _, exp_r = math.frexp(1.0 - fraction)
+    precision = min(_NUM_HEX,
+                    max(precision + exp_f // -4, precision + exp_r // -4))
+    scaled = int(math.floor(fraction * float(_MAX_ADJ) + 0.5))
+    threshold = _MAX_ADJ - scaled
+    shift = 4 * (_NUM_HEX - precision)
+    if shift:
+        threshold += 1 << (shift - 1)
+        threshold >>= shift
+        threshold <<= shift
+    return threshold
+
+
+def threshold_probability(threshold: int) -> float:
+    """Threshold.Probability (threshold.go)."""
+    return float(_MAX_ADJ - threshold) / float(_MAX_ADJ)
+
+
+def tvalue_of(threshold: int) -> str:
+    """Threshold.TValue: 14 hex digits with trailing zeros trimmed
+    ('0' stays '0' for always-sample)."""
+    s = format(threshold, "014x").rstrip("0")
+    return s or "0"
+
+
+def parse_tvalue(tv: str) -> int | None:
+    """TValueToThreshold: right-pad hex digits to 14."""
+    if not tv or len(tv) > _NUM_HEX:
+        return None
+    try:
+        return int(tv.ljust(_NUM_HEX, "0"), 16)
+    except ValueError:
+        return None
+
+
+@register("consistent_sampler")
+class ConsistentSampler:
+    """probabilisticsampler modes 'proportional' and 'equalizing'
+    (+ fail_closed + sampling.priority) over a flat table.
+
+    ``randomness_src`` is a 32-hex trace-id column (R = low 56 bits of
+    the second half, TraceIDToRandomness); rows with missing/invalid
+    randomness are dropped under ``fail_closed`` and kept otherwise.
+    ``incoming_tvalue_src`` is the OTEP-235 ``sampling.threshold``
+    t-value attribute; ``priority_src`` is the sampling.priority
+    attribute (a percentage that, when valid and nonzero, REPLACES the
+    decision threshold — logs treat priority as a request to sample).
+    Emits ``tvalue_out`` (the updated sampling.threshold) when
+    ``out_tvalue`` is set. Everything is vectorized; thresholds are
+    exact 56-bit integer comparisons."""
+
+    def __init__(self, mode: str, sampling_percentage: float,
+                 randomness_src: str = "trace_id",
+                 incoming_tvalue_src: str | None = None,
+                 priority_src: str | None = None,
+                 fail_closed: bool = False, precision: int = 4,
+                 out_tvalue: str | None = None):
+        if mode not in ("proportional", "equalizing"):
+            raise ValueError(f"consistent_sampler: bad mode {mode!r}")
+        self.mode = mode
+        self.ratio = sampling_percentage / 100.0
+        self.t_cfg = probability_to_threshold(self.ratio, precision)
+        if self.t_cfg is None:
+            self.t_cfg = _MAX_ADJ  # never
+        self.randomness_src = randomness_src
+        self.incoming_tvalue_src = incoming_tvalue_src
+        self.priority_src = priority_src
+        self.fail_closed = fail_closed
+        self.precision = precision
+        self.out_tvalue = out_tvalue
+
+    def _randomness(self, batch: pa.Table):
+        import numpy as np
+
+        col = batch[self.randomness_src]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = pc.fill_null(pc.match_substring_regex(
+            col, pattern=r"^[0-9a-fA-F]{32}$"), False)
+        low14 = pc.utf8_slice_codeunits(
+            pc.if_else(ok, col, pa.scalar("0" * 32)), start=18, stop=32)
+        if isinstance(low14, pa.ChunkedArray):
+            low14 = low14.combine_chunks()
+        buf = np.frombuffer(low14.buffers()[2], np.uint8)
+        offs = np.frombuffer(low14.buffers()[1], np.int32)[
+            low14.offset:low14.offset + len(low14) + 1]
+        m = buf[offs[0]:offs[-1]].reshape(-1, 14)
+        digits = np.where(m >= ord("a"), m - ord("a") + 10,
+                          np.where(m >= ord("A"), m - ord("A") + 10,
+                                   m - ord("0"))).astype(np.uint64)
+        powers = (np.uint64(16) ** np.arange(13, -1, -1, dtype=np.uint64))
+        r = (digits * powers).sum(axis=1)
+        return r, ok.to_numpy(zero_copy_only=False)
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        if n == 0:
+            if self.out_tvalue is not None:
+                return batch.append_column(self.out_tvalue,
+                                           pa.array([], pa.string()))
+            return batch
+        r, ok = self._randomness(batch)
+
+        # incoming thresholds (sampling.threshold t-values)
+        if self.incoming_tvalue_src is not None \
+                and self.incoming_tvalue_src in batch.column_names:
+            tvs = batch[self.incoming_tvalue_src].to_pylist()
+            t_in = np.array(
+                [parse_tvalue(tv) if tv is not None else 0 for tv in tvs],
+                dtype=object)
+            bad_tv = np.array([x is None for x in t_in])
+            t_in = np.where(bad_tv, 0, t_in).astype(np.uint64)
+            ok = ok & ~bad_tv
+        else:
+            t_in = np.zeros(n, np.uint64)
+
+        if self.mode == "equalizing":
+            # decide: keep the larger (lower-probability) threshold
+            t = np.maximum(np.uint64(self.t_cfg), t_in)
+        else:
+            # proportional: p_out = p_in * ratio, per distinct
+            # incoming threshold (t-values repeat; group by unique)
+            t = np.empty(n, np.uint64)
+            for u in np.unique(t_in):
+                p_out = threshold_probability(int(u)) * self.ratio
+                tu = probability_to_threshold(p_out, self.precision)
+                t[t_in == u] = _MAX_ADJ if tu is None else tu
+
+        # fail_closed: errored rows never sample; fail-open: always
+        t = np.where(ok, t, np.uint64(0 if not self.fail_closed else _MAX_ADJ))
+
+        # sampling.priority: a valid nonzero percentage REPLACES the
+        # threshold (after fail_closed, so priority can rescue errors)
+        if self.priority_src is not None \
+                and self.priority_src in batch.column_names:
+            pr = pc.cast(batch[self.priority_src], pa.float64(), safe=False)
+            pr = pc.fill_null(pr, 0.0).to_numpy(zero_copy_only=False)
+            for u in np.unique(pr):
+                if u == 0.0:
+                    continue
+                tu = probability_to_threshold(u / 100.0, self.precision)
+                if tu is not None:
+                    t[pr == u] = tu
+
+        keep = t <= r
+        out = batch.filter(pa.array(keep))
+        if self.out_tvalue is not None:
+            kept_t = t[keep]
+            out = out.append_column(
+                self.out_tvalue,
+                pa.array([tvalue_of(int(x)) for x in kept_t], pa.string()))
+        return out
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -253,3 +253,67 @@ def test_range_join_broadcast(ray_session):
     with pytest.raises(ValueError, match="overlap"):
         range_join_broadcast(rd.from_arrow(t), "ts", bad, start_col="s",
                              end_col="e", payload_cols=["label"])
+
+
+# ---------------------------------------------------------------- r4
+
+
+def test_consistent_sampler_modes():
+    # probabilisticsampler proportional/equalizing/fail_closed/priority
+    # (processor/probabilisticsamplerprocessor/sampler_mode.go)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        _MAX_ADJ,
+        ConsistentSampler,
+        parse_tvalue,
+        probability_to_threshold,
+        tvalue_of,
+    )
+
+    # threshold math pinned: p=0.5 -> t-value "8", p=0.25 -> "c",
+    # p=1 -> "0" (always), out-of-range -> never
+    assert tvalue_of(probability_to_threshold(0.5)) == "8"
+    assert tvalue_of(probability_to_threshold(0.25)) == "c"
+    assert tvalue_of(probability_to_threshold(1.0)) == "0"
+    assert probability_to_threshold(1e-30) is None
+
+    def tid(r56: int) -> str:
+        return "0" * 18 + format(r56, "014x")
+
+    tbl = pa.table({
+        "trace_id": [tid(0x90000000000000),   # R just above p=.5 cut
+                     tid(0x10000000000000),   # low R
+                     "not-a-trace-id",        # invalid randomness
+                     tid(0xFFFFFFFFFFFFFF)],  # max R
+        "tv": ["0", "8", "0", "8"],           # incoming p: 1, .5, 1, .5
+        "prio": [0.0, 0.0, 100.0, 0.0],
+        "i": [0, 1, 2, 3],
+    })
+    # equalizing @50%: t = max(t_cfg=2^55, t_in)
+    eq = ConsistentSampler("equalizing", 50.0, randomness_src="trace_id",
+                           incoming_tvalue_src="tv", out_tvalue="tval")
+    out = eq.fn(tbl)
+    # row0 R=0x90.. >= 2^55 keep; row1 R low drop; row2 invalid ->
+    # fail-open keep; row3 keep
+    assert out["i"].to_pylist() == [0, 2, 3]
+    assert out["tval"].to_pylist()[0] == "8"
+    # fail_closed drops the invalid row unless priority rescues it
+    eqc = ConsistentSampler("equalizing", 50.0, randomness_src="trace_id",
+                            incoming_tvalue_src="tv", fail_closed=True)
+    assert eqc.fn(tbl)["i"].to_pylist() == [0, 3]
+    eqp = ConsistentSampler("equalizing", 50.0, randomness_src="trace_id",
+                            incoming_tvalue_src="tv", fail_closed=True,
+                            priority_src="prio")
+    # priority=100% replaces the threshold AFTER fail_closed -> row2 kept
+    assert eqp.fn(tbl)["i"].to_pylist() == [0, 2, 3]
+
+    # proportional @50% composes with the incoming probability:
+    # row1/row3 arrived at p=.5 -> effective .25 -> t-value "c"
+    pr = ConsistentSampler("proportional", 50.0, randomness_src="trace_id",
+                           incoming_tvalue_src="tv", out_tvalue="tval")
+    out = pr.fn(tbl)
+    got = dict(zip(out["i"].to_pylist(), out["tval"].to_pylist()))
+    assert got[3] == "c"          # .5 * .5
+    assert got[0] == "8"          # 1 * .5
+    assert parse_tvalue("c") == int(0.75 * _MAX_ADJ)
