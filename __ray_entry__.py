@@ -1215,6 +1215,26 @@ def _q_ottl_funcs3(sf_dir: str):
     return stage.apply(ds)
 
 
+def _q_span_rename(sf_dir: str):
+    """spanprocessor (processor/spanprocessor/span.go): compose the
+    span name from attributes (from_attributes + separator), extract
+    to_attributes regex groups back out of it with {placeholder}
+    rewriting, and force span status where a predicate matches."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.spanrename import (
+        SpanProcessor,
+    )
+
+    ds = read_table(sf_dir, "events")
+    sp = SpanProcessor(
+        from_attributes=["event_type", "user_id"], separator="/",
+        to_attributes=[r"/(?P<uid>[0-9]+)$"],
+        status_code="Error", status_description="dropped",
+        status_where=("==", col("event_type"), "error"))
+    return sp.apply(ds).select_columns(
+        ["event_id", "name", "uid", "status_code", "status_message"])
+
+
 def _sampler_synth_statements(invalidate_some: bool = False):
     """Shared synthesis for the consistent-sampler queries: a
     deterministic 32-hex trace id (md5 of the event id — identical in
@@ -1631,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ottl_funcs3": _q_ottl_funcs3,
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
+        "span_rename": _q_span_rename,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -2437,4 +2458,12 @@ z AS (
 SELECT event_id, event_type, zscore, abs(zscore) >= 3.0 AS is_anomaly
 FROM z"""
     oracles.update(_sampler_oracle_sqls())
+    oracles["span_rename"] = """
+SELECT event_id,
+  regexp_replace(event_type || '/' || CAST(user_id AS VARCHAR),
+                 '/[0-9]+$', '/{uid}') AS name,
+  CAST(user_id AS VARCHAR) AS uid,
+  CASE WHEN event_type = 'error' THEN 'Error' END AS status_code,
+  CASE WHEN event_type = 'error' THEN 'dropped' END AS status_message
+FROM events"""
     return oracles

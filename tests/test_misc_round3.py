@@ -317,3 +317,47 @@ def test_consistent_sampler_modes():
     assert got[3] == "c"          # .5 * .5
     assert got[0] == "8"          # 1 * .5
     assert parse_tvalue("c") == int(0.75 * _MAX_ADJ)
+
+
+def test_span_processor_reference_semantics():
+    # processor/spanprocessor/span.go: from_attributes all-or-nothing,
+    # to_attributes {placeholder} rewrite + extraction, sequential
+    # rules on the UPDATED name, break_after_match, keep_original_name
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.spanrename import (
+        SpanProcessor,
+        _segment_pattern,
+    )
+
+    numbered, rewrite, names = _segment_pattern(
+        r"^/api/v1/document/(?P<documentId>.*)/update$")
+    assert names == ["documentId"] and "{documentId}" in rewrite
+
+    t = pa.table({"name": ["/api/v1/document/12345/update", "/nope"],
+                  "svc": ["auth", "db"], "ver": ["v1", None]})
+    # the reference README's canonical example
+    sp = SpanProcessor(
+        to_attributes=[r"^/api/v1/document/(?P<documentId>.*)/update$"])
+    o = sp.fn(t)
+    assert o["name"].to_pylist() == \
+        ["/api/v1/document/{documentId}/update", "/nope"]
+    assert o["documentId"].to_pylist() == ["12345", None]
+    # keep_original_name extracts without renaming
+    sp = SpanProcessor(
+        to_attributes=[r"^/api/v1/document/(?P<documentId>.*)/update$"],
+        keep_original_name=True)
+    o = sp.fn(t)
+    assert o["name"].to_pylist()[0] == "/api/v1/document/12345/update"
+    assert o["documentId"].to_pylist() == ["12345", None]
+    # from_attributes: every attribute must be present on the row
+    sp = SpanProcessor(from_attributes=["svc", "ver"], separator="::")
+    o = sp.fn(t)
+    assert o["name"].to_pylist() == ["auth::v1", "/nope"]
+    # second rule runs on the FIRST rule's output name
+    sp = SpanProcessor(to_attributes=[r"/document/(?P<id>\d+)/",
+                                      r"^/(?P<root>[a-z]+)/"])
+    o = sp.fn(t)
+    assert o["name"].to_pylist()[0] == "/{root}/v1/document/{id}/update"
+    assert o["id"].to_pylist() == ["12345", None]
+    assert o["root"].to_pylist() == ["api", None]  # '/nope': no match
