@@ -1215,6 +1215,37 @@ def _q_ottl_funcs3(sf_dir: str):
     return stage.apply(ds)
 
 
+def _q_metrics_agg_labels(sf_dir: str):
+    """metricstransform aggregate_label_values + aggregate_labels
+    (processor/metricstransformprocessor/README.md:96-110): remap
+    click/view to 'browse', drop the hour dimension, and re-aggregate
+    the collapsed datapoints — partial groupbys + tree merge, no
+    row-stream shuffle."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        aggregate_label_values,
+        grouped_count_sum,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(b["value"], 100.0)), pa.int64())
+        return b.append_column("value_cents", v)
+
+    ds = add_hour_column(ds.map_batches(cents, batch_format="pyarrow",
+                                        zero_copy_batch=True,
+                                        batch_size=None), "ts", "hour")
+    hourly = grouped_count_sum(ds, ["event_type", "hour"],
+                               {"value_cents": "value_cents"},
+                               count_name="n_events")
+    return aggregate_label_values(
+        hourly, label="event_type",
+        aggregated_values=["click", "view"], new_value="browse",
+        label_set=["event_type"], value_col="value_cents",
+        aggregation_type="sum", out_col="cents_sum")
+
+
 def _q_span_rename(sf_dir: str):
     """spanprocessor (processor/spanprocessor/span.go): compose the
     span name from attributes (from_attributes + separator), extract
@@ -1652,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_proportional": _q_sampler_proportional,
         "sampler_equalizing": _q_sampler_equalizing,
         "span_rename": _q_span_rename,
+        "metrics_agg_labels": _q_metrics_agg_labels,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -2466,4 +2498,9 @@ SELECT event_id,
   CASE WHEN event_type = 'error' THEN 'Error' END AS status_code,
   CASE WHEN event_type = 'error' THEN 'dropped' END AS status_message
 FROM events"""
+    oracles["metrics_agg_labels"] = """
+SELECT CASE WHEN event_type IN ('click', 'view') THEN 'browse'
+            ELSE event_type END AS event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM events GROUP BY 1"""
     return oracles

@@ -226,3 +226,109 @@ def add_hour_column(ds: ray.data.Dataset, ts_col: str = "ts", out: str = "hour")
         return b.append_column(out, pc.floor_temporal(col, unit="hour"))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+def aggregate_labels(
+    ds: ray.data.Dataset,
+    label_set: list[str],
+    value_col: str,
+    aggregation_type: str = "sum",
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """metricstransformprocessor ``aggregate_labels`` (README:96-110 —
+    drop every label not in ``label_set`` and aggregate datapoints
+    that collapse onto the same remaining label values).
+
+    sum/min/max/count/mean are MERGEABLE: per-batch Arrow hash
+    group-by partials + tree merge, no all-to-all shuffle (mean rides
+    on merged sum+count). ``median`` is an exact order statistic —
+    it delegates to stages/sketch.grouped_quantiles (one sort +
+    O(groups+blocks) run summaries) over a packed label key, matching
+    DuckDB ``quantile_disc(0.5)``."""
+    out = out_col or value_col
+    if aggregation_type == "median":
+        import pyarrow.compute as _pc
+
+        from .sketch import grouped_quantiles
+
+        SEP = "\x1f"
+
+        def pack(b: pa.Table) -> pa.Table:
+            parts = [pc.cast(b[c], pa.string()) for c in label_set]
+            key = parts[0] if len(parts) == 1 else \
+                _pc.binary_join_element_wise(*parts, SEP)
+            return pa.table({"__lk__": key, value_col: b[value_col]})
+
+        t = grouped_quantiles(ds.map_batches(pack, batch_format="pyarrow",
+                                             zero_copy_batch=True,
+                                             batch_size=None),
+                              "__lk__", value_col, [0.5])
+        keys = _pc.split_pattern(t["__lk__"].combine_chunks()
+                                 if isinstance(t["__lk__"], pa.ChunkedArray)
+                                 else t["__lk__"], pattern=SEP)
+        cols = {c: _pc.list_flatten(_pc.list_slice(
+                    keys, start=i, stop=i + 1, return_fixed_size_list=True))
+                for i, c in enumerate(label_set)}
+        cols[out] = t["value"]
+        return ray.data.from_arrow(pa.table(cols))
+    if aggregation_type not in ("sum", "mean", "min", "max", "count"):
+        raise ValueError(
+            f"aggregate_labels: bad aggregation_type {aggregation_type!r}")
+
+    aggs = {"sum": [(value_col, "sum")], "min": [(value_col, "min")],
+            "max": [(value_col, "max")], "count": [([], "count_all")],
+            "mean": [(value_col, "sum"), ([], "count_all")]}[aggregation_type]
+    names = {"sum": [out], "min": [out], "max": [out], "count": [out],
+             "mean": ["__sum__", "__n__"]}[aggregation_type]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select(label_set + [value_col]).group_by(label_set) \
+             .aggregate(aggs)
+        return g.rename_columns(label_set + names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    if aggregation_type in ("sum", "count"):
+        merged = tree_merge_groupby(partials, label_set, names)
+    else:
+        # min/max merge with their own op; mean merges sum+count
+        def combine(tables: list[pa.Table]) -> pa.Table:
+            t = pa.concat_tables(tables, promote_options="permissive")
+            op = {"min": "min", "max": "max", "mean": "sum"}[aggregation_type]
+            g = t.group_by(label_set).aggregate([(c, op) for c in names])
+            return g.rename_columns(label_set + names)
+
+        merged = tree_reduce(partials, combine)
+    if aggregation_type == "mean":
+        mean = pc.divide(pc.cast(merged["__sum__"], pa.float64()),
+                         pc.cast(merged["__n__"], pa.float64()))
+        merged = merged.drop_columns(["__sum__", "__n__"]) \
+                       .append_column(out, mean)
+    return ray.data.from_arrow(merged)
+
+
+def aggregate_label_values(
+    ds: ray.data.Dataset,
+    label: str,
+    aggregated_values: list[str],
+    new_value: str,
+    label_set: list[str],
+    value_col: str,
+    aggregation_type: str = "sum",
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    """metricstransformprocessor ``aggregate_label_values``
+    (README:101-110): remap the listed label values to ``new_value``,
+    then aggregate datapoints that now collapse together."""
+    mapping = {v: new_value for v in aggregated_values}
+
+    def remap(b: pa.Table) -> pa.Table:
+        from .transform import Statement
+
+        return Statement("value_map", {"target": label, "mapping": mapping,
+                                       "default_keep": True})(b)
+
+    remapped = ds.map_batches(remap, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)
+    return aggregate_labels(remapped, label_set, value_col,
+                            aggregation_type, out_col)

@@ -150,3 +150,48 @@ def test_router_attach_attributes(table):
     assert all(p == "high" and m is None for p, m in by_sink["errors"])
     assert all(p is None and m == "yes" for p, m in by_sink["tools"])
     assert all(p is None and m is None for p, m in by_sink["default"])
+
+
+def test_aggregate_labels_types(ray_session):
+    # metricstransform aggregate_labels: every aggregation_type over a
+    # small grouped-metric table, checked against hand computation
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        aggregate_label_values,
+        aggregate_labels,
+    )
+
+    tbl = pa.table({
+        "state": ["used", "used", "free", "free", "cached"],
+        "host": ["a", "b", "a", "b", "a"],
+        "v": [10.0, 20.0, 1.0, 3.0, 5.0],
+    })
+    ds = ray.data.from_arrow(tbl).repartition(3)
+
+    def got(out):
+        return {r["state"]: r[[c for c in out.schema().names
+                               if c != "state"][0]]
+                for r in out.take_all()}
+
+    assert got(aggregate_labels(ds, ["state"], "v", "sum")) == \
+        {"used": 30.0, "free": 4.0, "cached": 5.0}
+    assert got(aggregate_labels(ds, ["state"], "v", "min")) == \
+        {"used": 10.0, "free": 1.0, "cached": 5.0}
+    assert got(aggregate_labels(ds, ["state"], "v", "max")) == \
+        {"used": 20.0, "free": 3.0, "cached": 5.0}
+    assert got(aggregate_labels(ds, ["state"], "v", "count")) == \
+        {"used": 2, "free": 2, "cached": 1}
+    assert got(aggregate_labels(ds, ["state"], "v", "mean")) == \
+        {"used": 15.0, "free": 2.0, "cached": 5.0}
+    med = got(aggregate_labels(ds, ["state"], "v", "median"))
+    assert med == {"used": 10.0, "free": 1.0, "cached": 5.0}  # quantile_disc
+
+    # aggregate_label_values: collapse used+cached into 'allocated'
+    out = aggregate_label_values(
+        ds, label="state", aggregated_values=["used", "cached"],
+        new_value="allocated", label_set=["state"], value_col="v",
+        aggregation_type="sum")
+    assert got(out) == {"allocated": 35.0, "free": 4.0}
