@@ -66,7 +66,7 @@ from .scan import keyed_cumsum
 # ---------------------------------------------------------------- leaves
 
 _LEAF_TYPES = ("string_attribute", "numeric_attribute", "boolean_attribute",
-               "status_code", "condition")
+               "status_code", "condition", "trace_state")
 _STATELESS = _LEAF_TYPES + ("always_sample", "probabilistic", "latency",
                             "span_count", "and", "drop")
 
@@ -119,6 +119,26 @@ def _leaf_mask_fn(p: dict):
 
         def f(b: pa.Table) -> pa.Array:
             return pc.fill_null(pc.is_in(_col(b, key), value_set=codes), False)
+        return f
+    if typ == "trace_state":
+        # trace_state_filter.go:28-45: sample when the W3C tracestate
+        # entry for ``key`` equals one of ``values`` exactly; empty
+        # values and oversized key=value pairs are ignored
+        import re as _re
+
+        src = p.get("state_col", "trace_state")
+        values = [v for v in p.get("values", [])
+                  if v and len(key) + len(v) < 256]
+        vset = pa.array(values, pa.string())
+        pat = rf"(?:^|,)\s*{_re.escape(key)}=(?P<v>[^,]*)"
+
+        def f(b: pa.Table) -> pa.Array:
+            if not values:
+                return pa.array([False] * b.num_rows)
+            ex = pc.extract_regex(pc.cast(_col(b, src), pa.string()),
+                                  pattern=pat)
+            return pc.fill_null(
+                pc.is_in(pc.struct_field(ex, "v"), value_set=vset), False)
         return f
     raise ValueError(f"unknown leaf policy type {typ!r}")
 

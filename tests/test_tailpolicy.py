@@ -226,3 +226,49 @@ def test_tail_sample_join_fallback_parity(ray_session):
     for i, g in enumerate(groups):
         if f"c{g}" in err_groups:
             assert i in kept
+
+
+def test_trace_state_leaf_reference_vectors(ray_session):
+    # verbatim port of trace_state_filter_test.go:23-80 — each case is
+    # one single-span trace; the policy tree decides per trace
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.tailpolicy import (
+        _leaf_mask_fn,
+        tail_sample_policies,
+    )
+
+    cases = [
+        ("non_matching=value", "example", ["value"], False),
+        ("example=non_matching", "example", ["value"], False),
+        ("example=value", "example", ["value"], True),
+        ("example=value", "example", [], False),
+        ("example=non_matching,non_matching=value", "example", ["value"], False),
+        ("example=value,non_matching=value", "example", ["value"], True),
+        ("example=non_matching", "example", ["value1", "value2"], False),
+        ("example=value1", "example", ["value1", "value2"], True),
+    ]
+    for state, key, values, want in cases:
+        f = _leaf_mask_fn({"type": "trace_state", "key": key,
+                           "values": values})
+        got = f(pa.table({"trace_state": [state]}))[0].as_py()
+        assert got is want, (state, key, values)
+
+    # and through the full policy tree over a multi-trace stream
+    from datetime import datetime
+
+    base = datetime(2024, 1, 1)
+    tbl = pa.table({
+        "trace_id": ["t1", "t1", "t2", "t3"],
+        "ts": pa.array([base] * 4, pa.timestamp("us")),
+        "trace_state": ["non_matching=x", "example=value1",
+                        "example=nope", "other=value1"],
+    })
+    ds = ray.data.from_arrow(tbl)
+    out = tail_sample_policies(
+        ds, group_key="trace_id", ts_col="ts",
+        policies=[{"type": "trace_state", "name": "ts-pol",
+                   "key": "example", "values": ["value1", "value2"]}])
+    kept = sorted({r["trace_id"] for r in out.take_all()})
+    assert kept == ["t1"]  # any span in the trace matching keeps all
