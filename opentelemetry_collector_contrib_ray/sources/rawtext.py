@@ -37,17 +37,50 @@ _CONT_PREFIX = "    ... "
 
 
 
-def _split_lines_arrow(path: str, data: bytes) -> pa.Table | None:
+# filelog `encoding:` support (internal/coreinternal/textutils/
+# encoding.go LookupEncoding): the override table normalizes the
+# stanza names, everything else resolves through Python's codec
+# registry (the IANA set). `nop` keeps raw bytes (latin-1 round-trips
+# bytes 1:1, matching encoding.Nop's byte passthrough into a string).
+_ENCODING_OVERRIDES = {
+    "utf-16": "utf-16-le", "utf16": "utf-16-le",  # LE, BOM not stripped
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "utf-8-raw": "utf-8", "utf8-raw": "utf-8",
+    "ascii": "utf-8", "us-ascii": "utf-8",
+    "nop": "latin-1", "": "utf-8",
+}
+
+
+def lookup_encoding(enc: str) -> str:
+    """Stanza encoding name -> Python codec name; unknown names fail
+    loud like the reference's LookupEncoding."""
+    import codecs
+
+    name = _ENCODING_OVERRIDES.get(enc.lower(), enc)
+    try:
+        codecs.lookup(name)
+    except LookupError:
+        raise ValueError(f"unsupported encoding {enc!r}")
+    return name
+
+
+def _split_lines_arrow(path: str, data: bytes,
+                       encoding: str = "utf-8") -> pa.Table | None:
     """File blob -> (path, line_no, line) with Arrow kernels only —
     no per-line Python objects (a 13 MB / 180k-line file costs three
     C-kernel passes, not 180k PyUnicode allocations; this was the
-    raw-path straggler in the round-3 bench)."""
+    raw-path straggler in the round-3 bench). Non-UTF-8 encodings
+    decode ONCE per file through the C codec, then reuse the same
+    kernel path."""
     import pyarrow.compute as pc
 
-    try:
-        s = pa.array([data]).cast(pa.string())
-    except pa.ArrowInvalid:
-        s = pa.array([data.decode("utf-8", errors="replace")])
+    if encoding not in ("utf-8", "utf8"):
+        s = pa.array([data.decode(encoding, errors="replace")])
+    else:
+        try:
+            s = pa.array([data]).cast(pa.string())
+        except pa.ArrowInvalid:
+            s = pa.array([data.decode("utf-8", errors="replace")])
     s = pc.replace_substring(s, pattern="\r\n", replacement="\n")
     lines = pc.list_flatten(pc.split_pattern(s, pattern="\n"))
     n = len(lines)
@@ -63,9 +96,13 @@ def _split_lines_arrow(path: str, data: bytes) -> pa.Table | None:
     })
 
 
-def read_log_lines(path_or_glob: str | list[str]) -> ray.data.Dataset:
+def read_log_lines(path_or_glob: str | list[str],
+                   encoding: str = "utf-8") -> ray.data.Dataset:
     """(path, line_no, line) rows; order within a file is the file's
-    line order. Trailing newline does not produce an empty last line."""
+    line order. Trailing newline does not produce an empty last line.
+    ``encoding`` accepts the filelog receiver's names (utf-16,
+    latin-1, nop, ...)."""
+    pyenc = lookup_encoding(encoding)
     paths = (sorted(_glob.glob(path_or_glob))
              if isinstance(path_or_glob, str) else list(path_or_glob))
     ds = ray.data.read_binary_files(paths, include_paths=True)
@@ -73,7 +110,7 @@ def read_log_lines(path_or_glob: str | list[str]) -> ray.data.Dataset:
     def split(batch: pa.Table) -> pa.Table:
         out = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            t = _split_lines_arrow(path, data)
+            t = _split_lines_arrow(path, data, encoding=pyenc)
             if t is not None:
                 out.append(t)
         if not out:
@@ -112,13 +149,15 @@ def join_multiline(ds: ray.data.Dataset, is_first_regex: str,
 
 
 def read_multiline_entries(path_or_glob: str | list[str], is_first_regex: str,
-                           combine_with: str = "\n") -> ray.data.Dataset:
+                           combine_with: str = "\n",
+                           encoding: str = "utf-8") -> ray.data.Dataset:
     """Fused file -> lines -> multiline-joined entries in ONE stage
     over whole files. Safe even when a single file's line table would
     exceed the dynamic block-split threshold (a split between a
     continuation and its entry would mis-join in the two-stage
     composition); here the join happens before the executor can split
     the output."""
+    pyenc = lookup_encoding(encoding)
     paths = (sorted(_glob.glob(path_or_glob))
              if isinstance(path_or_glob, str) else list(path_or_glob))
     ds = ray.data.read_binary_files(paths, include_paths=True)
@@ -126,7 +165,7 @@ def read_multiline_entries(path_or_glob: str | list[str], is_first_regex: str,
     def split_join(batch: pa.Table) -> pa.Table:
         out = []
         for path, data in zip(batch["path"].to_pylist(), batch["bytes"].to_pylist()):
-            t = _split_lines_arrow(path, data)
+            t = _split_lines_arrow(path, data, encoding=pyenc)
             if t is None:
                 continue
             out.append(_join_lines_table(t, is_first_regex, combine_with))

@@ -112,3 +112,45 @@ def test_key_value_parser_quoted_values():
     assert out["k1"].to_pylist() == ["v1", "plain", "a", None]
     assert out["k2"].to_pylist() == ["v2 with space", "x=y", None, None]
     assert out["n"].to_pylist() == [5, 7, None, None]
+
+
+def test_rawtext_encodings_round_trip(ray_session, tmp_path):
+    # filelog `encoding:` (internal/coreinternal/textutils/encoding.go)
+    # — the same log content written as utf-16 and latin-1 round-trips
+    # to identical line tables
+    import pytest
+
+    from opentelemetry_collector_contrib_ray.sources.rawtext import (
+        lookup_encoding,
+        read_log_lines,
+        read_multiline_entries,
+    )
+
+    lines = ["2024-01-01 INFO héllo wörld", "    ... continuation £1",
+             "2024-01-02 ERROR boom"]
+    content = "\n".join(lines) + "\n"
+    p8 = tmp_path / "log_utf8.log"
+    p16 = tmp_path / "log_utf16.log"
+    pl1 = tmp_path / "log_latin1.log"
+    p8.write_bytes(content.encode("utf-8"))
+    p16.write_bytes(content.encode("utf-16-le"))
+    pl1.write_bytes(content.encode("latin-1"))
+
+    def rows(path, enc):
+        ds = read_log_lines([str(path)], encoding=enc)
+        return [r["line"] for r in
+                sorted(ds.take_all(), key=lambda r: r["line_no"])]
+
+    assert rows(p8, "utf-8") == lines
+    assert rows(p16, "utf-16") == lines
+    assert rows(pl1, "latin-1") == lines
+    # multiline join honors the decode too
+    ds = read_multiline_entries([str(p16)], is_first_regex=r"^\d{4}-",
+                                encoding="utf16")
+    ents = sorted((r["line"] for r in ds.take_all()))
+    assert ents == ["2024-01-01 INFO héllo wörld\n    ... continuation £1",
+                    "2024-01-02 ERROR boom"]
+    # unknown encodings fail loud like LookupEncoding
+    with pytest.raises(ValueError):
+        lookup_encoding("definitely-not-a-charset")
+    assert lookup_encoding("nop") == "latin-1"  # byte passthrough
