@@ -988,15 +988,29 @@ def _q_raw_lines_parse(sf_dir: str):
 
 
 def _q_multimodal_decode(sf_dir: str):
+    """REAL bytes->tensor decode (round-3 stub closed): synthesize
+    deterministic PNGs, inflate + unfilter them in the actor pool,
+    return per-image tensor stats. Rows-only; the codec is pinned to
+    known pixel values in tests/test_misc_round2.py."""
+    import numpy as np
     import ray.data
 
     from opentelemetry_collector_contrib_ray.stages.multimodal import (
-        decode_images,
-        synth_binary_table,
+        decode_png_images,
+        png_encode,
     )
 
-    ds = ray.data.from_arrow(synth_binary_table(200))
-    return decode_images(ds).select_columns(["item_id", "byte_size", "mean_intensity"])
+    rows = []
+    for i in range(200):
+        rng = np.random.default_rng(i)
+        h, w = 4 + i % 13, 4 + (i * 7) % 11
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        rows.append({"item_id": i, "data": png_encode(img)})
+    import pyarrow as _pa
+
+    ds = ray.data.from_arrow(_pa.Table.from_pylist(rows))
+    return decode_png_images(ds).select_columns(
+        ["item_id", "height", "width", "channels", "mean_intensity"])
 
 
 def _q_multimodal_pipeline(sf_dir: str):

@@ -178,3 +178,166 @@ def synth_binary_table(n: int, seed: int = 42) -> pa.Table:
             "data": pa.array(data, pa.binary()),
         }
     )
+
+
+# ---------------------------------------------------------------------
+# Real PNG codec (stdlib zlib) — the bytes->tensor decode path
+# ---------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """Minimal PNG writer (8-bit grey/RGB/RGBA, filter 0) — the
+    deterministic fixture generator for the decode path."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + typ + payload +
+                struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Real PNG decode with the stdlib only: chunk walk, zlib
+    inflate, scanline unfilter (all five filter types per the PNG
+    spec). 8-bit depth, no interlace. Returns (pixels[h,w,c], h, w,
+    c); malformed input raises ValueError."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        typ = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", payload)
+        elif typ == b"IDAT":
+            idat.append(payload)
+        elif typ == b"IEND":
+            break
+    if hdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    c = _PNG_CHANNELS.get(ctype)
+    if c is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad scanline data")
+    rows = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), np.uint16)
+    for y in range(h):
+        f = filters[y]
+        line = rows[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(stride, np.uint16)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: per-channel cumulative sum mod 256
+            cols = line.reshape(w, c)
+            out[y] = (np.cumsum(cols, axis=0, dtype=np.uint64) % 256) \
+                .reshape(-1)
+        elif f == 2:  # Up
+            out[y] = (line + prev) % 256
+        elif f == 3:  # Average (sequential in x)
+            rec = out[y]
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (line[x] + ((left + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth (sequential in x)
+            rec = out[y]
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b_ = int(prev[x])
+                cc = int(prev[x - c]) if x >= c else 0
+                p = a + b_ - cc
+                pa_, pb, pcc = abs(p - a), abs(p - b_), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pcc) else \
+                    (b_ if pb <= pcc else cc)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"bad filter {f}")
+    return out.astype(np.uint8).reshape(h, w, c), h, w, c
+
+
+class PngDecode:
+    """Actor stage: PNG binary column -> variable-size pixel tensors
+    (list<uint8>) + width/height/channels + features. The REAL codec
+    path (stages/multimodal.py round-3 stub closed): zlib inflate +
+    scanline unfilter per image, batched per actor."""
+
+    def __init__(self, data_col: str = "data", on_error: str = "null"):
+        self.data_col = data_col
+        self.on_error = on_error
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        payloads = b[self.data_col].to_pylist()
+        flats, lens, hs, ws, cs, means = [], [], [], [], [], []
+        for p in payloads:
+            try:
+                px, h, w, c = png_decode(p or b"")
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                flats.append(np.empty(0, np.uint8))
+                lens.append(0)
+                hs.append(None)
+                ws.append(None)
+                cs.append(None)
+                means.append(None)
+                continue
+            flat = px.reshape(-1)
+            flats.append(flat)
+            lens.append(len(flat))
+            hs.append(h)
+            ws.append(w)
+            cs.append(c)
+            means.append(float(flat.mean()) if len(flat) else None)
+        offs = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        values = np.concatenate(flats) if flats else np.empty(0, np.uint8)
+        pixels = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(values, pa.uint8()))
+        out = b.append_column("pixels", pixels)
+        out = out.append_column("height", pa.array(hs, pa.int64()))
+        out = out.append_column("width", pa.array(ws, pa.int64()))
+        out = out.append_column("channels", pa.array(cs, pa.int64()))
+        out = out.append_column("mean_intensity", pa.array(means, pa.float64()))
+        return out
+
+
+def decode_png_images(
+    ds: ray.data.Dataset,
+    data_col: str = "data",
+    batch_size: int = 256,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Real-codec decode stage: actor pool, small batches (binary
+    rows are wide), Arrow binary in / Arrow list tensors out."""
+    return ds.map_batches(
+        PngDecode,
+        fn_constructor_kwargs={"data_col": data_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

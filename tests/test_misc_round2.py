@@ -185,3 +185,50 @@ def test_multimodal_resize_and_frame_sample():
         want = [raw[j * 64:(j + 1) * 64] for j in range(0, total, 4)]
         assert [bytes(x) for x in fs] == want
         assert nf == len(want)
+
+
+def test_png_codec_known_pixels(ray_session):
+    # round-4: the multimodal decode stub is now a REAL stdlib PNG
+    # codec — known pixel values round-trip through the actor stage
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        PngDecode,
+        decode_png_images,
+        png_decode,
+        png_encode,
+    )
+
+    # hand-built 2x2 RGB: exact known bytes and pixels
+    img = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [10, 20, 30]]], dtype=np.uint8)
+    data = png_encode(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    px, h, w, c = png_decode(data)
+    assert (h, w, c) == (2, 2, 3)
+    assert (px == img).all()
+
+    # grey + RGBA shapes
+    for shape in [(3, 5, 1), (4, 4, 4)]:
+        a = np.random.default_rng(1).integers(0, 256, shape, dtype=np.uint8)
+        px, *dims = png_decode(png_encode(a))
+        assert tuple(dims) == shape and (px == a).all()
+
+    # batch stage: pixels column carries the exact tensor; malformed
+    # payloads yield null rows (fail-soft) or raise (on_error='raise')
+    t = pa.table({"item_id": [0, 1], "data": [data, b"junk"]})
+    out = PngDecode()(t)
+    assert out["pixels"][0].as_py() == list(img.reshape(-1))
+    assert out["mean_intensity"][0].as_py() == float(img.mean())
+    assert out["height"][1].as_py() is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        PngDecode(on_error="raise")(t)
+
+    # through the Dataset actor-pool wiring
+    ds = ray.data.from_arrow(pa.table({"item_id": [7], "data": [data]}))
+    row = decode_png_images(ds, batch_size=8, concurrency=(1, 2)).take_all()[0]
+    assert row["width"] == 2 and row["channels"] == 3
