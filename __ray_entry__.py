@@ -1687,10 +1687,13 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only (CORRECTNESS_r02 keys == r02 ordering[0:50]).  Entries
-    # never yet driver-checked, entries whose implementation changed this
-    # round, and new round-3 queries come first; long-green round-2 rows
-    # (proven in CORRECTNESS_r02) sit past the cutoff.
+    # 50 entries only. Round-4 ordering: the 6 new round-4 queries and
+    # every query whose code paths changed this round (the OTTL parser/
+    # converter rework -> ottl_funcs2/ottl_text/transform_ottl/list_ops/
+    # grok_parse; concat editor -> route_sink_counts; rawtext encodings
+    # -> raw_lines_parse; tail_sample gate) are INSIDE the window; every
+    # below-cutoff entry has a green driver row in CORRECTNESS_r01-r03
+    # on unchanged code (the local gate still runs all of them).
     return {
         # -- new round-4 queries --
         "ottl_funcs3": _q_ottl_funcs3,
@@ -1747,8 +1750,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_sample": _q_tail_sample,
         # -- representative spread of round-2-green families --
         "parse_drop": _q_parse_drop,
+        "raw_lines_parse": _q_raw_lines_parse,
         "severity": _q_severity,
-        "enrich_lookup": _q_enrich,
         "route_sink_counts": _q_route_counts,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
@@ -1760,10 +1763,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": _q_knn,
         "syslog_parse": _q_syslog_parse,
         "container_parse": _q_container_parse,
-        "raw_lines_parse": _q_raw_lines_parse,
         "dup_pairs_exact": _q_dup_pairs_exact,
         "top_events": _q_top_events,
         # ---- driver cutoff is ~here (50); below proven in CORRECTNESS_r02 ----
+        "enrich_lookup": _q_enrich,
         "parse_send": _q_parse_send,
         "route_rows": _q_route,
         "agg_error_count": lambda sf: _metric_query(sf, 1),

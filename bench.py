@@ -154,6 +154,13 @@ def _run_bench() -> dict:
         "geoip_enrich",
         "events_quantiles",
         "quantiles_by_type",
+        # round-4 additions
+        "ottl_funcs3",
+        "sampler_proportional",
+        "sampler_equalizing",
+        "span_rename",
+        "metrics_agg_labels",
+        "multimodal_decode",
     ]
     qs = e.queries()
     qtimes = {}
