@@ -89,3 +89,54 @@ def test_quantile_rank_formula_vs_numpy(vals, q):
     # replicate through the driver selection path shape
     arr = np.sort(np.asarray(vals, np.float64))
     assert arr[rank - 1] == expect
+
+
+# ------------------------------------------------------------- round 4
+
+
+@given(st.floats(min_value=1.0 / (1 << 56), max_value=1.0),
+       st.integers(min_value=1, max_value=14))
+@settings(max_examples=200, deadline=None)
+def test_otep235_threshold_properties(p, precision):
+    # pkg/sampling invariants: threshold in [0, 2^56]; rendering
+    # round-trips; Probability(T(p)) approximates p within the
+    # precision's relative error; monotone in p
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        _MAX_ADJ,
+        parse_tvalue,
+        probability_to_threshold,
+        threshold_probability,
+        tvalue_of,
+    )
+
+    t = probability_to_threshold(p, precision)
+    assert t is not None and 0 <= t <= _MAX_ADJ
+    # t-value round-trip is exact
+    assert parse_tvalue(tvalue_of(t)) == t
+    # probability recovered within the encoded precision: the
+    # adaptive-precision rule guarantees relative error <= 16^-precision
+    # on whichever of p / 1-p is smaller-scaled
+    back = threshold_probability(t)
+    tol = 16.0 ** -precision
+    assert abs(back - p) <= tol * max(p, 1.0 - p) + 1e-15
+    # monotone: a higher probability never yields a higher threshold
+    p2 = min(1.0, p * 1.5)
+    t2 = probability_to_threshold(p2, precision)
+    assert t2 is not None and t2 <= t
+
+
+@given(st.integers(min_value=0, max_value=(1 << 56) - 1),
+       st.floats(min_value=0.001, max_value=1.0))
+@settings(max_examples=100, deadline=None)
+def test_otep235_decision_consistency(r, p):
+    # consistency: if a row passes at probability p it also passes at
+    # every HIGHER probability (the basis of equalizing/proportional
+    # composability)
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        probability_to_threshold,
+    )
+
+    t = probability_to_threshold(p, 4)
+    t_hi = probability_to_threshold(min(1.0, p * 2), 4)
+    if t <= r:  # sampled at p
+        assert t_hi <= r  # must stay sampled at 2p
