@@ -676,6 +676,27 @@ class _Parser:
         if name == "IsValidLuhn" and len(args) == 1 \
                 and isinstance(args[0], int) and not isinstance(args[0], bool):
             return self._fold1("is_valid_luhn", {}, str(args[0]))
+        if name == "URL":
+            if len(args) != 1:
+                raise OTTLParseError(f"URL(uri) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                return self._fold1("url_semconv", {}, args[0])
+            return {"__converter__": "url_semconv",
+                    "args": {"src": self._as_col(args[0]).name}}
+        if name == "Unix":
+            # Unix(seconds[, nanoseconds]) -> timestamp
+            if not args or len(args) > 2:
+                raise OTTLParseError(f"Unix(sec[, nsec]) expected: {self.text!r}")
+            nanos = args[1] if len(args) > 1 else 0
+            if isinstance(args[0], int) and isinstance(nanos, int):
+                from datetime import datetime, timezone
+
+                return datetime.fromtimestamp(args[0], tz=timezone.utc) \
+                    .replace(tzinfo=None) + __import__("datetime").timedelta(
+                        microseconds=nanos / 1000)
+            return {"__converter__": "from_unix",
+                    "args": {"src": self._as_col(args[0]).name,
+                             "nanos": nanos}}
         if name in ("Keys", "Values") and len(args) == 1 \
                 and _is_literal(args[0]) and isinstance(args[0], dict):
             # fold in python (the editor path would stringify mixed-

@@ -1978,6 +1978,71 @@ class Statement:
             assigned = pc.or_(assigned, hit)
         return _masked(tbl, target, out, mask)
 
+    _URL_RE = (
+        r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.\-]*)://"
+        r"(?:(?P<userinfo>[^@/?#]*)@)?"
+        r"(?P<host>[^/:?#]*)(?::(?P<port>\d+))?"
+        r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$"
+    )
+
+    def _op_url_semconv(self, tbl, mask, target: str, src: str):
+        # func_url.go -> parseutils.ParseURI(semconv=true)
+        # (internal/coreinternal/parseutils/uri.go:56-97): one
+        # extract_regex pass building the url.* semconv struct.
+        # Divergence noted: url.original is the INPUT string (Go
+        # re-renders through net/url's normalization).
+        col_ = pc.cast(_val(tbl, Col(src)), pa.string())
+        ex = pc.extract_regex(col_, pattern=self._URL_RE)
+        n = tbl.num_rows
+
+        def g(name):
+            v = pc.struct_field(ex, name)
+            return v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+
+        empty_to_null = lambda a: pc.if_else(  # noqa: E731
+            pc.equal(pc.fill_null(a, ""), ""), pa.nulls(n, pa.string()), a)
+        userinfo = g("userinfo")
+        # username = userinfo up to the first ':', password = the rest
+        uex = pc.extract_regex(pc.fill_null(userinfo, ""),
+                               pattern=r"^(?P<u>[^:]*)(?::(?P<pw>.*))?$")
+        username = empty_to_null(pc.struct_field(uex, "u"))
+        password = empty_to_null(pc.struct_field(uex, "pw"))
+        path = pc.fill_null(g("path"), "")
+        pex = pc.extract_regex(path, pattern=r"\.(?P<ext>[^/.]+)$")
+        arrays = [
+            col_,                                  # url.original
+            pc.fill_null(g("host"), ""),           # url.domain
+            pc.fill_null(g("scheme"), ""),         # url.scheme
+            path,                                  # url.path
+            pc.cast(empty_to_null(g("port")), pa.int64()),  # url.port
+            empty_to_null(g("fragment")),          # url.fragment
+            empty_to_null(userinfo),               # url.user_info
+            username, password,
+            empty_to_null(g("query")),             # url.query
+            pc.struct_field(pex, "ext"),           # url.extension
+        ]
+        names = ["url.original", "url.domain", "url.scheme", "url.path",
+                 "url.port", "url.fragment", "url.user_info",
+                 "url.username", "url.password", "url.query",
+                 "url.extension"]
+        arrays = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                  for a in arrays]
+        out = pa.StructArray.from_arrays(arrays, names=names)
+        # unparseable rows (no scheme://) -> null struct like the error
+        out = pc.if_else(pc.is_valid(ex), out, pa.nulls(n, out.type))
+        return _masked(tbl, target, out, mask)
+
+    def _op_from_unix(self, tbl, mask, target: str, src: str,
+                      nanos: Any = 0):
+        # func_unix.go: time.Unix(seconds, nanoseconds) -> timestamp
+        sec = pc.cast(_val(tbl, Col(src)), pa.int64())
+        ns = _val(tbl, nanos)
+        if isinstance(ns, (pa.Array, pa.ChunkedArray)):
+            ns = pc.cast(ns, pa.int64())
+        total = pc.add(pc.multiply(sec, 1_000_000_000), ns)
+        out = pc.cast(total, pa.timestamp("ns"))
+        return _masked(tbl, target, out, mask)
+
     # --- OTTL lambda family over PATHS: runtime type dispatch -------
     # Filter/All/Any/Find compile to (param, op, value); the column
     # type picks the kernel — list columns use the vectorized list_*

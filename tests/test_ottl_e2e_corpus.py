@@ -1028,3 +1028,32 @@ def test_corpus_value_expression_map_variants():
         [{"slice": ["val"]}]
     assert parse_value_expression('attributes["foo3"]').eval(tbl) == \
         [{"nested": {"test": "pass"}}]
+
+
+def test_url_and_unix_converters():
+    # func_url.go -> parseutils.ParseURI(semconv=true) and
+    # func_unix.go, the last two ottlfuncs outside the e2e corpus
+    out = run1('set(attributes["u"], URL("https://user:pw@example.com:8443/a/b.html?q=1#frag"))')
+    v = {k: x for k, x in got(out, "u").items() if x is not None}
+    assert v == {
+        "url.original": "https://user:pw@example.com:8443/a/b.html?q=1#frag",
+        "url.domain": "example.com", "url.scheme": "https",
+        "url.path": "/a/b.html", "url.port": 8443, "url.fragment": "frag",
+        "url.user_info": "user:pw", "url.username": "user",
+        "url.password": "pw", "url.query": "q=1",
+        "url.extension": "html"}
+    out = run1('set(attributes["u"], URL("http://localhost/health"))')
+    v = {k: x for k, x in got(out, "u").items() if x is not None}
+    assert v == {"url.original": "http://localhost/health",
+                 "url.domain": "localhost", "url.scheme": "http",
+                 "url.path": "/health"}
+    # over a path column
+    out = run1('set(attributes["u"], URL(attributes["http.url"]))')
+    assert got(out, "u")["url.domain"] == "localhost"
+    # Unix(sec, nsec) folds to a timestamp; column form produces
+    # timestamp values
+    out = run1('set(attributes["t"], Unix(1581452772))')
+    assert str(got(out, "t")).startswith("2020-02-11 20:26:12")
+    tbl = pa.table({"s": pa.array([0, 1_700_000_000], pa.int64())})
+    out = run1('set(attributes["t"], Unix(s))', tbl)
+    assert str(got(out, "t")).startswith("1970-01-01")
