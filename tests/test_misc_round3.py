@@ -361,3 +361,50 @@ def test_span_processor_reference_semantics():
     assert o["name"].to_pylist()[0] == "/{root}/v1/document/{id}/update"
     assert o["id"].to_pylist() == ["12345", None]
     assert o["root"].to_pylist() == ["api", None]  # '/nope': no match
+
+
+def test_span_to_attributes_matches_reference_algorithm():
+    # property check: the vectorized segment-rewrite equals a direct
+    # python port of processToAttributes (span.go:153-205) across
+    # random names and rules
+    import random
+    import re
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.spanrename import (
+        SpanProcessor,
+    )
+
+    def reference(name, patterns):
+        attrs = {}
+        for pat in patterns:
+            m = re.search(pat, name)
+            if m is None:
+                continue
+            sb, idx = [], 0
+            gi = {v: k for k, v in re.compile(pat).groupindex.items()}
+            for i in range(1, m.re.groups + 1):
+                if i not in gi:
+                    continue
+                attrs[gi[i]] = m.group(i)
+                sb.append(name[idx:m.start(i)] + "{" + gi[i] + "}")
+                idx = m.end(i)
+            sb.append(name[idx:])
+            name = "".join(sb)
+        return name, attrs
+
+    rng = random.Random(7)
+    words = ["api", "v1", "doc", "user", "42", "abc123", "x"]
+    rules = [r"/(?P<id>\d+)", r"^/(?P<svc>[a-z]+)/",
+             r"(?P<word>[a-z]+)(?P<num>\d+)"]
+    for _ in range(60):
+        name = "/" + "/".join(rng.choice(words)
+                              for _ in range(rng.randint(1, 5)))
+        pats = rng.sample(rules, rng.randint(1, len(rules)))
+        want_name, want_attrs = reference(name, pats)
+        sp = SpanProcessor(to_attributes=pats)
+        out = sp.fn(pa.table({"name": [name]}))
+        assert out["name"][0].as_py() == want_name, (name, pats)
+        for k, v in want_attrs.items():
+            assert out[k][0].as_py() == v, (name, pats, k)

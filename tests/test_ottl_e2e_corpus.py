@@ -1057,3 +1057,32 @@ def test_url_and_unix_converters():
     tbl = pa.table({"s": pa.array([0, 1_700_000_000], pa.int64())})
     out = run1('set(attributes["t"], Unix(s))', tbl)
     assert str(got(out, "t")).startswith("1970-01-01")
+
+
+def test_escape_scanner_fuzz():
+    # _unescape inverts OTTL string-literal escaping for arbitrary
+    # content (every backslash and quote escaped on the way in)
+    import random
+
+    from opentelemetry_collector_contrib_ray.ottl import _unescape
+
+    rng = random.Random(42)
+    alphabet = '\\"abc{}[]$%\n '
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 20)))
+        escaped = s.replace("\\", "\\\\").replace('"', '\\"')
+        assert _unescape(escaped) == s
+        # and through the full parser as a set() literal
+        out = run1(f'set(attributes["t"], "{escaped}")'.replace("\n", " "))
+        assert got(out, "t") == s.replace("\n", " ")
+
+
+def test_span_context_paths():
+    # span/spanevent context prefixes resolve to flat columns
+    # (Test_ProcessTraces_TraceContext shapes minus IsRootSpan)
+    tbl = pa.table({"name": ["GET /x"], "kind": [2],
+                    "status_code": ["Unset"]})
+    out = run1('set(span.attributes["op"], name)', tbl)
+    assert got(out, "op") == "GET /x"
+    out = run1('set(attributes["k2"], "server") where kind == 2', tbl)
+    assert got(out, "k2") == "server"
