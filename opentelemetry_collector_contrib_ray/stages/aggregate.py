@@ -332,3 +332,65 @@ def aggregate_label_values(
                               zero_copy_batch=True, batch_size=None)
     return aggregate_labels(remapped, label_set, value_col,
                             aggregation_type, out_col)
+
+
+def combine_metrics(
+    ds: ray.data.Dataset,
+    include: str,
+    new_name: str,
+    label_set: list[str],
+    value_col: str,
+    aggregation_type: str = "sum",
+    submatch_case: str | None = None,
+    name_col: str = "metric_name",
+) -> ray.data.Dataset:
+    """metricstransformprocessor ``action: combine``
+    (metrics_transform_processor_otlp.go:416-458): metrics whose NAME
+    matches ``include`` merge into one metric named ``new_name``; the
+    regex's named capture groups become datapoint labels (optionally
+    lower/upper-cased), and datapoints that collapse onto the same
+    label values aggregate with ``aggregation_type``. Metrics that do
+    not match pass through unchanged (with null submatch labels)."""
+    import re as _re
+
+    group_names = [g for g in _re.compile(include).groupindex]
+
+    def split(b: pa.Table) -> pa.Table:
+        names = b[name_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        hit = pc.fill_null(pc.match_substring_regex(names, pattern=include),
+                           False)
+        ex = pc.extract_regex(names, pattern=include)
+        out = b
+        for g in group_names:
+            v = pc.struct_field(ex, g)
+            if submatch_case == "lower":
+                v = pc.utf8_lower(v)
+            elif submatch_case == "upper":
+                v = pc.utf8_upper(v)
+            out = out.append_column(
+                g, pc.if_else(hit, v, pa.nulls(b.num_rows, pa.string())))
+        renamed = pc.if_else(hit, pa.scalar(new_name), names)
+        return out.set_column(out.column_names.index(name_col), name_col,
+                              renamed)
+
+    tagged = ds.map_batches(split, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+
+    def matched_part(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b[name_col], new_name))
+
+    def unmatched_part(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(
+            pc.equal(b[name_col], new_name), False))
+        return b.select([name_col] + label_set + group_names
+                        + [value_col]).filter(keep)
+
+    combined = aggregate_labels(
+        tagged.map_batches(matched_part, batch_format="pyarrow",
+                           zero_copy_batch=True, batch_size=None),
+        [name_col] + label_set + group_names, value_col, aggregation_type)
+    passthrough = tagged.map_batches(unmatched_part, batch_format="pyarrow",
+                                     zero_copy_batch=True, batch_size=None)
+    return combined.union(passthrough)

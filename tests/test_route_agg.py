@@ -195,3 +195,39 @@ def test_aggregate_labels_types(ray_session):
         new_value="allocated", label_set=["state"], value_col="v",
         aggregation_type="sum")
     assert got(out) == {"allocated": 35.0, "free": 4.0}
+
+
+def test_combine_metrics_reference_example(ray_session):
+    # the README's iis.requests example: per-http-method metrics merge
+    # into one metric with an http_method label (submatch_case: lower)
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        combine_metrics,
+    )
+
+    tbl = pa.table({
+        "metric_name": [
+            "Web Service (*)/Total Delete Requests",
+            "Web Service (*)/Total Get Requests",
+            "Web Service (*)/Total Get Requests",
+            "Web Service (*)/Total Post Requests",
+            "unrelated.metric",
+        ],
+        "host": ["a", "a", "a", "b", "a"],
+        "v": [1.0, 2.0, 3.0, 4.0, 9.0],
+    })
+    out = combine_metrics(
+        ray.data.from_arrow(tbl).repartition(2),
+        include=r"^Web Service \(\*\)/Total (?P<http_method>.*) Requests$",
+        new_name="iis.requests", label_set=["host"], value_col="v",
+        aggregation_type="sum", submatch_case="lower")
+    rows = {(r["metric_name"], r["host"], r["http_method"]): r["v"]
+            for r in out.take_all()}
+    assert rows == {
+        ("iis.requests", "a", "delete"): 1.0,
+        ("iis.requests", "a", "get"): 5.0,
+        ("iis.requests", "b", "post"): 4.0,
+        ("unrelated.metric", "a", None): 9.0,
+    }
