@@ -461,7 +461,10 @@ def tail_sample_policies(
         return ds.map_batches(keep, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
     # sampled-id set too large to broadcast: semi-join the stream
-    num_partitions = max(2, min(64, n_keys // 500_000 + 2))
+    # floor of 16: the STREAM side dwarfs the key side whenever this
+    # fallback fires (keys > broadcast gate), and a low key-derived
+    # count would serialize the join (round-4 sf1 stress finding)
+    num_partitions = max(16, min(256, n_keys // 500_000 + 2))
     return ds.join(kept_keys, join_type="left_semi",
                    num_partitions=int(num_partitions),
                    on=(group_key,))

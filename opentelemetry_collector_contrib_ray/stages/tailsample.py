@@ -96,7 +96,12 @@ def tail_sample(
     def unsampled_part(b: pa.Table) -> pa.Table:
         return b.filter(pc.invert(hash_mask(b)))
 
-    num_partitions = max(2, min(64, n_keys // 500_000 + 2))
+    # the STREAM is the big side of this join — a floor of 16
+    # partitions keeps it parallel even when the key set barely
+    # exceeds the broadcast gate (sf1 stress: the old key-only
+    # formula picked 2 partitions for a 47M-row left side and
+    # serialized the join)
+    num_partitions = max(16, min(256, n_keys // 500_000 + 2))
     joined = ds.map_batches(unsampled_part, batch_format="pyarrow",
                             zero_copy_batch=True, batch_size=None) \
         .join(key_ds, join_type="left_semi",
