@@ -181,16 +181,24 @@ class ConsistentSampler:
             return batch
         r, ok = self._randomness(batch)
 
-        # incoming thresholds (sampling.threshold t-values)
+        # incoming thresholds (sampling.threshold t-values) — t-values
+        # repeat heavily, so parse each DISTINCT value once and map
+        # back with index_in/take (no per-row python)
         if self.incoming_tvalue_src is not None \
                 and self.incoming_tvalue_src in batch.column_names:
-            tvs = batch[self.incoming_tvalue_src].to_pylist()
-            t_in = np.array(
-                [parse_tvalue(tv) if tv is not None else 0 for tv in tvs],
-                dtype=object)
-            bad_tv = np.array([x is None for x in t_in])
-            t_in = np.where(bad_tv, 0, t_in).astype(np.uint64)
-            ok = ok & ~bad_tv
+            col = batch[self.incoming_tvalue_src]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            uniq = pc.unique(col)
+            parsed = [0 if tv is None else parse_tvalue(tv)
+                      for tv in uniq.to_pylist()]
+            idx = pc.index_in(col, value_set=uniq) \
+                .to_numpy(zero_copy_only=False)
+            t_tab = np.array([0 if p is None else p for p in parsed],
+                             dtype=np.uint64)
+            bad_tab = np.array([p is None for p in parsed], dtype=bool)
+            t_in = t_tab[idx]
+            ok = ok & ~bad_tab[idx]
         else:
             t_in = np.zeros(n, np.uint64)
 
@@ -225,10 +233,12 @@ class ConsistentSampler:
         keep = t <= r
         out = batch.filter(pa.array(keep))
         if self.out_tvalue is not None:
+            # thresholds take few distinct values: render each once
             kept_t = t[keep]
-            out = out.append_column(
-                self.out_tvalue,
-                pa.array([tvalue_of(int(x)) for x in kept_t], pa.string()))
+            uniq, inv = np.unique(kept_t, return_inverse=True)
+            table = pa.array([tvalue_of(int(x)) for x in uniq], pa.string())
+            out = out.append_column(self.out_tvalue,
+                                    table.take(pa.array(inv)))
         return out
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -177,24 +177,46 @@ class Statement:
         if utf8_safe:
             # func_substring.go utf8Safe mode: BYTE offsets, snapped to
             # rune boundaries (start forward, end backward); a range
-            # past the byte length errors like the reference
+            # past the byte length errors like the reference.
+            # Vectorized over the raw utf8 buffer: boundary snapping is
+            # at most 3 steps (UTF-8 continuation bytes), unrolled.
             col_ = _val(tbl, Col(src))
-            outs = []
-            for s in col_.to_pylist():
-                if s is None:
-                    outs.append(None)
-                    continue
-                raw = s.encode()
-                if start > len(raw) or length > len(raw) - start:
-                    raise pa.ArrowInvalid(
-                        "invalid range for substring function")
-                b, e = start, start + length
-                while b < len(raw) and (raw[b] & 0xC0) == 0x80:
-                    b += 1
-                while b < e and e < len(raw) and (raw[e] & 0xC0) == 0x80:
-                    e -= 1
-                outs.append(raw[b:max(b, e)].decode("utf-8", "ignore"))
-            return _masked(tbl, target, pa.array(outs, pa.string()), mask)
+            if isinstance(col_, pa.ChunkedArray):
+                col_ = col_.combine_chunks()
+            n = tbl.num_rows
+            offs = np.frombuffer(col_.buffers()[1], np.int32)[
+                col_.offset:col_.offset + n + 1].astype(np.int64)
+            buf = np.frombuffer(col_.buffers()[2], np.uint8) \
+                if col_.buffers()[2] is not None else np.empty(0, np.uint8)
+            lens = np.diff(offs)
+            valid = pc.is_valid(col_).to_numpy(zero_copy_only=False)
+            if ((start > lens[valid]) | (length > lens[valid] - start)).any():
+                raise pa.ArrowInvalid("invalid range for substring function")
+            is_cont = np.zeros(len(buf) + 1, bool)
+            if len(buf):
+                is_cont[:-1] = (buf & 0xC0) == 0x80
+            b = offs[:-1] + start
+            for _ in range(3):  # snap start forward to a rune start
+                b = np.where((b < offs[1:]) & is_cont[np.minimum(b, len(buf))],
+                             b + 1, b)
+            e = offs[:-1] + start + length
+            for _ in range(3):  # snap end back while it splits a rune
+                e = np.where((b < e) & (e < offs[1:])
+                             & is_cont[np.minimum(e, len(buf))], e - 1, e)
+            e = np.maximum(b, e)
+            out_lens = np.where(valid, e - b, 0)
+            new_offs = np.zeros(n + 1, np.int64)
+            np.cumsum(out_lens, out=new_offs[1:])
+            # gather the [b, e) byte ranges
+            take = np.repeat(b, out_lens) + (
+                np.arange(int(new_offs[-1])) - np.repeat(new_offs[:-1], out_lens))
+            data = buf[take] if len(take) else np.empty(0, np.uint8)
+            out = pa.Array.from_buffers(
+                pa.utf8(), n,
+                [None, pa.py_buffer(new_offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(data.tobytes())])
+            out = pc.if_else(pa.array(valid), out, pa.nulls(n, pa.string()))
+            return _masked(tbl, target, out, mask)
         out = pc.utf8_slice_codeunits(_val(tbl, Col(src)), start=start, stop=start + length)
         return _masked(tbl, target, out, mask)
 
