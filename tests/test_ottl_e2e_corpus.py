@@ -1086,3 +1086,28 @@ def test_span_context_paths():
     assert got(out, "op") == "GET /x"
     out = run1('set(attributes["k2"], "server") where kind == 2', tbl)
     assert got(out, "k2") == "server"
+
+
+def test_parser_fails_only_with_parse_errors():
+    # robustness: arbitrary token soup must either parse or raise
+    # OTTLParseError — never an unexpected exception type
+    import random
+
+    from opentelemetry_collector_contrib_ray.ottl import parse_statement
+
+    rng = random.Random(99)
+    tokens = ['set', '(', ')', '[', ']', '{', '}', ',', '"a"', '"b"',
+              'attributes', 'body', '==', 'where', 'nil', 'true', '1',
+              '2.5', 'Concat', 'SHA256', 'Split', '+', '-', '=>', ':',
+              'Filter', 'When', 'delete_key', '0x12', 'IsMatch', '|']
+    crashes = []
+    for _ in range(400):
+        s = " ".join(rng.choice(tokens)
+                     for _ in range(rng.randint(1, 12)))
+        try:
+            parse_statement(s)
+        except OTTLParseError:
+            pass
+        except Exception as exc:  # noqa: BLE001
+            crashes.append((s, type(exc).__name__, str(exc)[:60]))
+    assert not crashes, crashes[:5]
