@@ -1260,6 +1260,59 @@ def _q_metrics_agg_labels(sf_dir: str):
         aggregation_type="sum", out_col="cents_sum")
 
 
+def _q_slow_sql(sf_dir: str):
+    """slowsqlconnector (connector/slowsqlconnector/connector_logs.go:
+    34-116): spans whose db.system is configured and whose duration
+    meets the threshold become SLOW/Error log records carrying the
+    span dims + statement + exec duration."""
+    from opentelemetry_collector_contrib_ray.expr import col
+    from opentelemetry_collector_contrib_ray.stages.convertlogs import (
+        slow_sql_logs,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+        TransformStage,
+    )
+
+    ds = read_table(sf_dir, "events")
+    synth = TransformStage([
+        Statement("value_map", {"target": "sys", "src": "event_type",
+                                "mapping": {"click": "mysql",
+                                            "view": "postgres"},
+                                "default_keep": False}),
+        Statement("cast", {"target": "u3", "src": "user_id", "to": "str"}),
+        Statement("concat", {"target": "service",
+                             "parts": ["svc-", col("u3")], "sep": ""}),
+    ], error_mode="propagate").apply(ds)
+    out = slow_sql_logs(synth, duration_col="value", threshold=150.0,
+                        db_system_col="sys", db_statement_col="props",
+                        db_systems=["mysql", "postgres"],
+                        service_col="service", span_name_col="event_type",
+                        dims=["event_id"])
+    return out
+
+
+def _q_metrics_as_logs(sf_dir: str):
+    """metricsaslogsconnector (connector/metricsaslogsconnector/
+    connector.go:106-288): one log record per metric datapoint with
+    metric.name/type/value attributes over the hourly count metric."""
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        add_hour_column,
+        grouped_count_sum,
+    )
+    from opentelemetry_collector_contrib_ray.stages.convertlogs import (
+        metrics_as_logs,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    hourly = grouped_count_sum(add_hour_column(ds, "ts", "hour"),
+                               ["event_type", "hour"], {},
+                               count_name="n_events")
+    return metrics_as_logs(hourly, name_col="event_type",
+                           value_col="n_events", metric_type="sum",
+                           unit="1", keep_cols=["hour"])
+
+
 def _q_span_rename(sf_dir: str):
     """spanprocessor (processor/spanprocessor/span.go): compose the
     span name from attributes (from_attributes + separator), extract
@@ -1701,6 +1754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampler_equalizing": _q_sampler_equalizing,
         "span_rename": _q_span_rename,
         "metrics_agg_labels": _q_metrics_agg_labels,
+        "slow_sql": _q_slow_sql,
+        "metrics_as_logs": _q_metrics_as_logs,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1744,8 +1799,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": _q_events_quantiles,
         "quantiles_by_type": _q_quantiles_by_type,
         # -- queries whose implementation changed in round 3 --
-        "interval_last": _q_interval_last,
-        "heavy_hitters": _q_heavy_hitters,
         "recombine_conv": _q_recombine,
         "tail_sample": _q_tail_sample,
         # -- representative spread of round-2-green families --
@@ -1767,6 +1820,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events": _q_top_events,
         # ---- driver cutoff is ~here (50); below proven in CORRECTNESS_r02 ----
         "enrich_lookup": _q_enrich,
+        "interval_last": _q_interval_last,
+        "heavy_hitters": _q_heavy_hitters,
         "parse_send": _q_parse_send,
         "route_rows": _q_route,
         "agg_error_count": lambda sf: _metric_query(sf, 1),
@@ -2515,6 +2570,27 @@ SELECT event_id,
   CASE WHEN event_type = 'error' THEN 'Error' END AS status_code,
   CASE WHEN event_type = 'error' THEN 'dropped' END AS status_message
 FROM events"""
+    oracles["slow_sql"] = """
+SELECT event_id,
+  event_type AS "span.name",
+  'svc-' || CAST(user_id AS VARCHAR) AS "service.name",
+  CASE event_type WHEN 'click' THEN 'mysql'
+                  WHEN 'view' THEN 'postgres' END AS "db.system",
+  props AS "db.statement",
+  CAST(TRUNC(value) AS BIGINT) AS "statement.exec.duration",
+  'SLOW' AS severity_text,
+  CAST(17 AS BIGINT) AS severity_number
+FROM events
+WHERE value >= 150 AND event_type IN ('click', 'view')"""
+    oracles["metrics_as_logs"] = """
+SELECT hour,
+  'metric converted to log' AS body,
+  event_type AS "metric.name",
+  'sum' AS "metric.type",
+  CAST(COUNT(*) AS DOUBLE) AS "metric.value",
+  '1' AS "metric.unit"
+FROM (SELECT event_type, date_trunc('hour', ts) AS hour FROM events)
+GROUP BY event_type, hour"""
     oracles["metrics_agg_labels"] = """
 SELECT CASE WHEN event_type IN ('click', 'view') THEN 'browse'
             ELSE event_type END AS event_type,

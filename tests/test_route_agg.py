@@ -231,3 +231,40 @@ def test_combine_metrics_reference_example(ray_session):
         ("iis.requests", "b", "post"): 4.0,
         ("unrelated.metric", "a", None): 9.0,
     }
+
+
+def test_slow_sql_and_metrics_as_logs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.convertlogs import (
+        metrics_as_logs,
+        slow_sql_logs,
+    )
+
+    t = pa.table({
+        "dur_ns": [5e9, 1e9, 9e9, 8e9],
+        "sys": ["mysql", "mysql", "oracle", "postgres"],
+        "stmt": ["SELECT 1", "SELECT 2", "SELECT 3", "SELECT 4"],
+        "svc": ["a", "a", "a", None],   # last row: no service -> skip
+        "name": ["q1", "q2", "q3", "q4"],
+    })
+    out = slow_sql_logs(ray.data.from_arrow(t), duration_col="dur_ns",
+                        threshold=2e9, db_system_col="sys",
+                        db_statement_col="stmt",
+                        db_systems=["mysql", "postgres"],
+                        service_col="svc", span_name_col="name")
+    rows = out.take_all()
+    # q1 slow mysql kept; q2 under threshold; q3 system not configured;
+    # q4 slow postgres but resource has no service.name
+    assert [r["span.name"] for r in rows] == ["q1"]
+    assert rows[0]["severity_text"] == "SLOW"
+    assert rows[0]["severity_number"] == 17
+    assert rows[0]["statement.exec.duration"] == 5_000_000_000
+
+    m = pa.table({"mname": ["a", "b"], "v": [1, 2], "hour": [0, 1]})
+    out = metrics_as_logs(ray.data.from_arrow(m), name_col="mname",
+                          value_col="v", metric_type="sum", unit="1",
+                          keep_cols=["hour"]).take_all()
+    assert out[0]["body"] == "metric converted to log"
+    assert out[1]["metric.name"] == "b" and out[1]["metric.value"] == 2.0
