@@ -161,6 +161,8 @@ def _run_bench() -> dict:
         "span_rename",
         "metrics_agg_labels",
         "multimodal_decode",
+        "slow_sql",
+        "metrics_as_logs",
     ]
     qs = e.queries()
     qtimes = {}
