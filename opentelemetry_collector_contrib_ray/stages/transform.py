@@ -1823,11 +1823,22 @@ class Statement:
             flatten_value(pfx + name, arr, 0)
         return list(result.items())
 
+    @staticmethod
+    def _no_mask(mask, editor: str):
+        # schema-level editors rewrite the COLUMN SET — a row mask
+        # would need per-row schemas, which Arrow batches cannot hold;
+        # fail loud rather than silently ignore the `where`
+        if mask is not None:
+            raise ValueError(
+                f"{editor} rewrites the whole attribute set and cannot "
+                "be row-masked with `where` in the columnar model")
+
     def _op_flatten_all(self, tbl, mask, prefix: str = "",
                         depth: int | None = None,
                         resolve_conflicts: bool = False):
         # flatten(attributes[, prefix][, depth=N][, resolveConflicts])
         # over the whole flat attribute set
+        self._no_mask(mask, "flatten(attributes)")
         import sys
 
         top = [(name, tbl[name]) for name in tbl.column_names]
@@ -1860,6 +1871,7 @@ class Statement:
                         priority_keys: list[str] | None = None):
         # func_limit.go over the whole attribute set: priority keys
         # first, then column order, up to max_keys
+        self._no_mask(mask, "limit(attributes, ...)")
         if tbl.num_columns <= max_keys:
             return tbl
         keep = [k for k in (priority_keys or []) if k in tbl.column_names]
@@ -1910,6 +1922,7 @@ class Statement:
     def _op_set_all(self, tbl, mask, literal: dict):
         # set(attributes, {literal map}): replace the entire attribute
         # set with the literal's keys
+        self._no_mask(mask, "set(attributes, ...)")
         n = tbl.num_rows
         return pa.table({k: pa.array([v] * n) for k, v in literal.items()})
 
@@ -1955,6 +1968,7 @@ class Statement:
         import re as _re
 
         if mode == "key":
+            self._no_mask(mask, 'replace_all_patterns(attributes, "key", ...)')
             rx = _re.compile(pattern)
             names = [rx.sub(replacement.replace("$", "\\"), c)
                      for c in tbl.column_names]

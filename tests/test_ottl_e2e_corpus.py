@@ -1111,3 +1111,15 @@ def test_parser_fails_only_with_parse_errors():
         except Exception as exc:  # noqa: BLE001
             crashes.append((s, type(exc).__name__, str(exc)[:60]))
     assert not crashes, crashes[:5]
+
+
+def test_schema_level_editors_reject_where():
+    # flatten/set/limit over the WHOLE attribute set rewrite the
+    # column set — a row-level `where` cannot apply; fail loud
+    for st in ('flatten(attributes) where body == "operationA"',
+               'set(attributes, {"a":"b"}) where body == "operationA"',
+               'limit(attributes, 1, []) where body == "operationA"',
+               'replace_all_patterns(attributes, "key", "^http", "t") '
+               'where body == "operationA"'):
+        with pytest.raises((ValueError, OTTLParseError)):
+            run1(st)
