@@ -268,3 +268,36 @@ def test_slow_sql_and_metrics_as_logs(ray_session):
                           keep_cols=["hour"]).take_all()
     assert out[0]["body"] == "metric converted to log"
     assert out[1]["metric.name"] == "b" and out[1]["metric.value"] == 2.0
+
+
+def test_metricstransform_small_ops_compose(ray_session):
+    # the remaining metricstransform operations are compositions of
+    # existing editors (README:96-110): add_label = set, update_label
+    # = rename, delete_label_value = filter, toggle_scalar_data_type
+    # = cast — prove each composition end-to-end
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        FilterStage,
+        Statement,
+        TransformStage,
+    )
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    t = pa.table({"state": ["used", "idle", "free"],
+                  "v": [1, 2, 3]})
+    ds = ray.data.from_arrow(t)
+    # add_label + update_label + toggle_scalar_data_type
+    stage = TransformStage([
+        Statement("set", {"target": "source", "value": "kubelet"}),
+        Statement("rename", {"src": "state", "dst": "cpu.state"}),
+        Statement("cast", {"target": "v", "to": "float64"}),
+    ], error_mode="propagate")
+    out = stage.apply(ds).to_pandas()
+    assert list(out["source"]) == ["kubelet"] * 3
+    assert "cpu.state" in out.columns and out["v"].dtype == "float64"
+    # delete_label_value: drop datapoints whose label has the value
+    kept = FilterStage(("==", col("state"), "idle"), mode="drop") \
+        .apply(ds).to_pandas()
+    assert sorted(kept["state"]) == ["free", "used"]
