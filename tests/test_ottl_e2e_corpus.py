@@ -1123,3 +1123,26 @@ def test_schema_level_editors_reject_where():
                'where body == "operationA"'):
         with pytest.raises((ValueError, OTTLParseError)):
             run1(st)
+
+
+def base_table3() -> pa.Table:
+    # three identical rows as a MULTI-CHUNK table: any broadcast,
+    # offset, or combine_chunks bug in a vectorized editor shows as a
+    # row-2 mismatch or a crash
+    one = base_table()
+    return pa.concat_tables([one, one, one])
+
+
+@pytest.mark.parametrize("statement,colname,expected",
+                         SET_CASES + SET_CASES_R4,
+                         ids=[("3row:" + c[0][:60])
+                              for c in SET_CASES + SET_CASES_R4])
+def test_corpus_set_statement_multirow(statement, colname, expected):
+    out = run1(statement, base_table3())
+    assert out.num_rows == 3
+    for i in (0, 2):
+        if expected is None:
+            assert colname not in out.column_names \
+                or out[colname][i].as_py() is None
+        else:
+            assert out[colname][i].as_py() == expected, f"row {i}"

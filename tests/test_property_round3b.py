@@ -140,3 +140,101 @@ def test_otep235_decision_consistency(r, p):
     t_hi = probability_to_threshold(min(1.0, p * 2), 4)
     if t <= r:  # sampled at p
         assert t_hi <= r  # must stay sampled at 2p
+
+
+# --- flatten(attributes) vs a python port of flattenData ------------
+
+
+def _go_flatten_reference(attrs: dict, prefix: str, max_depth: int,
+                          resolve: bool) -> dict:
+    """Direct python port of func_flatten.go's flattenData (the
+    oracle for the columnar flatten_all)."""
+    result: dict = {}
+    counters: dict = {}
+
+    def put(key, v):
+        if resolve:
+            if key in result:
+                nk = f"{key}.{counters[key]}"
+                counters[key] += 1
+                result[nk] = v
+            else:
+                counters[key] = 0
+                result[key] = v
+        else:
+            result[key] = v
+
+    def flatten_map(m, pfx, depth):
+        pfx = pfx + "." if pfx else ""
+        for k, v in m.items():
+            flatten_value(pfx + k, v, depth)
+
+    def flatten_value(key, v, depth):
+        if isinstance(v, dict) and depth < max_depth:
+            flatten_map(v, key, depth + 1)
+        elif isinstance(v, list) and depth < max_depth:
+            for i, e in enumerate(v):
+                if isinstance(e, dict) and depth + 1 < max_depth:
+                    flatten_map(e, f"{key}.{i}", depth + 2)
+                elif resolve:
+                    put(key, e)
+                else:
+                    put(f"{key}.{i}", e)
+        else:
+            put(key, v)
+
+    flatten_map(attrs, prefix, 0)
+    return result
+
+
+@st.composite
+def _nested_attrs(draw):
+    str_scalar = st.text(alphabet="abcXYZ", min_size=1, max_size=4)
+    int_scalar = st.integers(min_value=-5, max_value=5)
+    scalar = st.one_of(str_scalar, int_scalar)
+    key = st.text(alphabet="abcde", min_size=1, max_size=3)
+    # lists are HOMOGENEOUS (Arrow constraint): one scalar type or maps
+    leaf_list = st.one_of(st.lists(str_scalar, min_size=1, max_size=3),
+                          st.lists(int_scalar, min_size=1, max_size=3))
+    inner_map = st.dictionaries(key, scalar, min_size=1, max_size=2)
+    map_list = st.lists(inner_map, min_size=1, max_size=2)
+    value = st.one_of(scalar, leaf_list, inner_map, map_list,
+                      st.dictionaries(key, inner_map, min_size=1, max_size=2))
+    return draw(st.dictionaries(key, value, min_size=1, max_size=4))
+
+
+@given(_nested_attrs(), st.integers(min_value=1, max_value=4),
+       st.booleans(), st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_flatten_all_matches_go_reference(attrs, depth, unlimited, resolve):
+    import sys
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    max_depth = sys.maxsize if unlimited else depth
+    want = _go_flatten_reference(attrs, "", max_depth, resolve)
+    tbl = pa.table({k: pa.array([v]) for k, v in attrs.items()})
+    args = {"resolve_conflicts": resolve}
+    if not unlimited:
+        args["depth"] = depth
+    out = Statement("flatten_all", args)(tbl)
+
+    def strip(v):
+        # the documented columnar adaptation: ragged maps unify to one
+        # struct type with null-absent fields — strip them to compare
+        # against Go's bare maps (the generator never produces None)
+        if isinstance(v, dict):
+            return {k: strip(x) for k, x in v.items() if x is not None}
+        if isinstance(v, list):
+            return [strip(x) for x in v]
+        return v
+
+    got = {c: strip(out[c][0].as_py()) for c in out.column_names}
+    # column-level face of the same adaptation: keys absent in a
+    # ragged element appear as NULL columns — absent in Go's map.
+    # Only drop a null that Go doesn't have; a wrongly-nulled real
+    # key stays and fails the compare.
+    got = {k: v for k, v in got.items() if not (v is None and k not in want)}
+    assert got == want, (attrs, max_depth, resolve)
