@@ -72,9 +72,20 @@ def _masked(tbl: pa.Table, name: str, new_vals, mask) -> pa.Table:
 class Statement:
     """One compiled OTTL-like statement: editor(args) where condition."""
 
+    # editors that rewrite the COLUMN SET — a row-level `where` would
+    # need per-row schemas; rejected at compile time (config error)
+    _SCHEMA_LEVEL = {"flatten_all", "set_all", "limit_table"}
+
     def __init__(self, editor: str, args: dict[str, Any], where: Any = None):
         self.editor = editor
         self.args = args
+        if where is not None and (
+                editor in self._SCHEMA_LEVEL
+                or (editor == "replace_all_patterns"
+                    and args.get("mode") == "key")):
+            raise ValueError(
+                f"{editor} rewrites the whole attribute set and cannot "
+                "be row-masked with `where` in the columnar model")
         self.mask_fn = compile_predicate(where) if where is not None else None
         self._fn = getattr(self, "_op_" + editor, None)
         if self._fn is None:
