@@ -1993,33 +1993,43 @@ class Statement:
                     replacement=replacement), mask)
         return tbl
 
+    # ParseSeverity "2xx".."5xx" range placeholders
+    # (func_parse_severity.go:16-26,202-214)
+    _SEV_HTTP_RANGES = {"2xx": (200, 299), "3xx": (300, 399),
+                        "4xx": (400, 499), "5xx": (500, 599)}
+
     def _op_parse_severity_custom(self, tbl, mask, target: str, src: str,
                                   mapping: dict):
         # func_parse_severity.go with an explicit criteria map:
-        # {"level": [{"equals": [...]}, {"range": {"min","max"}}]},
-        # first matching level wins; no match -> null
+        # {"level": [{"equals": [...]}, {"range": {"min","max"}|"2xx"}]}
+        # — first matching level wins; no match -> null. Type-strict
+        # like the reference (criteria.evaluate :145-162): STRING
+        # values match only `equals`, NUMERIC values only `range`.
         col_ = _val(tbl, Col(src))
         n = tbl.num_rows
+        is_str = pa.types.is_string(col_.type)
         out = pa.nulls(n, pa.string())
         assigned = pa.array([False] * n)
-        num = pc.cast(col_, pa.float64(), safe=False) \
-            if not pa.types.is_string(col_.type) else None
         for level, crits in mapping.items():
             m = pa.array([False] * n)
             for crit in crits:
-                if "equals" in crit:
-                    vs = crit["equals"]
-                    cmpv = pc.cast(col_, pa.string()) \
-                        if pa.types.is_string(pa.array(vs).type) else col_
+                if "equals" in crit and is_str:
+                    vs = pa.array([str(v) for v in crit["equals"]],
+                                  pa.string())
                     m = pc.or_(m, pc.fill_null(
-                        pc.is_in(cmpv, value_set=pa.array(vs)), False))
-                if "range" in crit:
-                    if num is None:
-                        continue
-                    lo, hi = crit["range"]["min"], crit["range"]["max"]
+                        pc.is_in(col_, value_set=vs), False))
+                if "range" in crit and not is_str:
+                    r = crit["range"]
+                    if isinstance(r, str):
+                        if r not in self._SEV_HTTP_RANGES:
+                            raise ValueError(
+                                f"unknown range placeholder: {r}")
+                        lo, hi = self._SEV_HTTP_RANGES[r]
+                    else:
+                        lo, hi = r["min"], r["max"]
                     m = pc.or_(m, pc.fill_null(pc.and_(
-                        pc.greater_equal(num, lo),
-                        pc.less_equal(num, hi)), False))
+                        pc.greater_equal(col_, lo),
+                        pc.less_equal(col_, hi)), False))
             hit = pc.and_(m, pc.invert(assigned))
             out = pc.if_else(hit, pa.scalar(level, pa.string()), out)
             assigned = pc.or_(assigned, hit)

@@ -408,3 +408,37 @@ def test_span_to_attributes_matches_reference_algorithm():
         assert out["name"][0].as_py() == want_name, (name, pats)
         for k, v in want_attrs.items():
             assert out[k][0].as_py() == v, (name, pats, k)
+
+
+def test_parse_severity_reference_vectors():
+    # func_parse_severity_test.go vectors: type-strict matching —
+    # numbers hit only ranges (incl. "2xx" placeholders), strings only
+    # equals; first matching level wins
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    testing_mapping = {  # the file's getTestingGetter shape
+        "debug": [{"range": {"min": 100, "max": 199}}],
+        "info": [{"equals": ["inf", "information"]}, {"range": "2xx"}],
+        "error": [{"range": {"min": 400, "max": 599}}],
+    }
+
+    def run(values, mapping):
+        t = pa.table({"v": pa.array(values)})
+        return Statement("parse_severity_custom",
+                         {"target": "o", "src": "v",
+                          "mapping": mapping})(t)["o"].to_pylist()
+
+    assert run([400, 100, 200, 250, 350], testing_mapping) == \
+        ["error", "debug", "info", "info", None]
+    assert run(["inf", "information", "warning", "400"], testing_mapping) == \
+        ["info", "info", None, None]  # strings never match ranges
+    # "2xx" placeholder == explicit 200-299
+    assert run([200], {"info": [{"range": "2xx"}]}) == ["info"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        run([200], {"info": [{"range": "9xx"}]})
