@@ -228,7 +228,17 @@ class Statement:
                  pa.py_buffer(data.tobytes())])
             out = pc.if_else(pa.array(valid), out, pa.nulls(n, pa.string()))
             return _masked(tbl, target, out, mask)
-        out = pc.utf8_slice_codeunits(_val(tbl, Col(src)), start=start, stop=start + length)
+        col_ = _val(tbl, Col(src))
+        # func_substring.go:47-67 errors on out-of-range; the per-ROW
+        # error shape here is NULL (Go skips the record under
+        # error_mode=ignore — a batch-level raise would skip the whole
+        # statement for every row). utf8_safe keeps the hard error.
+        if start < 0 or length <= 0:
+            raise pa.ArrowInvalid("invalid start/length for substring")
+        ok = pc.fill_null(
+            pc.greater_equal(pc.utf8_length(col_), start + length), False)
+        out = pc.utf8_slice_codeunits(col_, start=start, stop=start + length)
+        out = pc.if_else(ok, out, pa.nulls(tbl.num_rows, pa.string()))
         return _masked(tbl, target, out, mask)
 
     def _op_truncate_all(self, tbl, mask, keys: list[str] | None, limit: int):

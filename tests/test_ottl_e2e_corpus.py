@@ -1146,3 +1146,24 @@ def test_corpus_set_statement_multirow(statement, colname, expected):
                 or out[colname][i].as_py() is None
         else:
             assert out[colname][i].as_py() == expected, f"row {i}"
+
+
+def test_error_mode_ignore_skips_failing_statement():
+    # pkg/ottl/config.go ErrorMode: under `ignore` a statement whose
+    # execution errors is skipped (batch unchanged for it) while the
+    # rest of the sequence still applies; under `propagate` it raises
+    stmts = [
+        'set(attributes["before"], "yes")',
+        'set(attributes["bad"], Substring(body, 0, 99, true))',  # range err
+        'set(attributes["after"], "yes")',
+    ]
+    out = transform_from_ottl(stmts, error_mode="ignore").fn(base_table())
+    assert got(out, "before") == "yes"
+    assert got(out, "after") == "yes"
+    assert "bad" not in out.column_names
+    with pytest.raises(Exception):
+        transform_from_ottl(stmts, error_mode="propagate").fn(base_table())
+    # the non-utf8_safe path uses the engine's per-ROW error shape:
+    # out-of-range rows become null instead of erroring the batch
+    out = run1('set(attributes["t"], Substring(body, 0, 99))')
+    assert got(out, "t") is None
