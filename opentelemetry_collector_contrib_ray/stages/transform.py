@@ -279,7 +279,23 @@ class Statement:
         return _masked(tbl, target, md5_number_lower_arrow(_val(tbl, Col(src))), mask)
 
     def _op_cast(self, tbl, mask, target: str, to: str, src: str | None = None):
-        out = pc.cast(_val(tbl, Col(src or target)), pa.type_for_alias(to), safe=False)
+        col_ = _val(tbl, Col(src or target))
+        typ = pa.type_for_alias(to)
+        try:
+            out = pc.cast(col_, typ, safe=False)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            if not (pa.types.is_string(col_.type)
+                    and (pa.types.is_integer(typ) or pa.types.is_floating(typ))):
+                raise
+            # per-ROW error shape for dirty string columns: Go's
+            # Int()/Double() error per record; unparseable rows null
+            # instead of cancelling the statement for the whole batch
+            num_re = (r"^[+-]?\d+$" if pa.types.is_integer(typ)
+                      else r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+            ok = pc.fill_null(pc.match_substring_regex(col_, num_re), False)
+            safe_src = pc.if_else(ok, col_, pa.scalar("0"))
+            out = pc.if_else(ok, pc.cast(safe_src, typ, safe=False),
+                             pa.nulls(tbl.num_rows, typ))
         return _masked(tbl, target, out, mask)
 
     def _op_flatten(self, tbl, mask, src: str, prefix: str = "", drop: bool = True):
