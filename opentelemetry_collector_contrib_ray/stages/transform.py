@@ -284,12 +284,17 @@ class Statement:
         try:
             out = pc.cast(col_, typ, safe=False)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-            if not (pa.types.is_string(col_.type)
+            in_place = src is None or src == target
+            if in_place or not (
+                    pa.types.is_string(col_.type)
                     and (pa.types.is_integer(typ) or pa.types.is_floating(typ))):
+                # in-place casts keep the raise: Go's ignore mode keeps
+                # the ORIGINAL record value, and a single Arrow column
+                # cannot mix cast/uncast types — statement-skip is the
+                # faithful columnar shape (round-1 pinned behavior)
                 raise
-            # per-ROW error shape for dirty string columns: Go's
-            # Int()/Double() error per record; unparseable rows null
-            # instead of cancelling the statement for the whole batch
+            # NEW-column casts over dirty strings: Go leaves the attr
+            # absent on the errored record — null per row here
             num_re = (r"^[+-]?\d+$" if pa.types.is_integer(typ)
                       else r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
             ok = pc.fill_null(pc.match_substring_regex(col_, num_re), False)
