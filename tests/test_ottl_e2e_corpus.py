@@ -1167,3 +1167,18 @@ def test_error_mode_ignore_skips_failing_statement():
     # out-of-range rows become null instead of erroring the batch
     out = run1('set(attributes["t"], Substring(body, 0, 99))')
     assert got(out, "t") is None
+
+
+def test_corpus_cases_identical_under_ignore_mode():
+    # none of the runtime corpus statements rely on propagate-mode
+    # side effects: ignore mode (the production default) produces the
+    # same values
+    diffs = []
+    for statement, colname, expected in SET_CASES + SET_CASES_R4:
+        stage = transform_from_ottl([statement], error_mode="ignore")
+        out = stage.fn(base_table())
+        got_v = (out[colname][0].as_py()
+                 if colname in out.column_names else None)
+        if got_v != expected:
+            diffs.append((statement[:70], got_v, expected))
+    assert not diffs, diffs[:5]
