@@ -195,3 +195,37 @@ operators:
         "line": ["<34>1 2003-10-11T22:14:15.003Z host app - ID47 - hello"]}))
     out = pipe(ds).to_pandas()
     assert out.iloc[0]["severity_text"] == "crit" and out.iloc[0]["msg_id"] == "ID47"
+
+
+def test_yaml_pipeline_round4_statements(ray_session):
+    # the YAML operator-chain loader drives the round-4 textual
+    # surface end-to-end: When/Bool, nested-map keep_keys, flatten
+    # over the whole set, and the consistent sampler via the registry
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        pipeline_from_yaml,
+    )
+
+    yaml_text = """
+operators:
+  - type: transform
+    error_mode: propagate
+    statements:
+      - set(verdict, When(() => value > 10.0, "hi", "lo"))
+      - set(is_hi, Bool(When(() => verdict == "hi", "true", "false")))
+      - keep_keys(attributes["meta"], ["keep"])
+      - flatten(attributes)
+"""
+    t = pa.table({
+        "value": [5.0, 20.0],
+        "meta": pa.array([{"keep": "a", "drop": "x"},
+                          {"keep": "b", "drop": "y"}]),
+    })
+    apply = pipeline_from_yaml(yaml_text)
+    out = apply(ray.data.from_arrow(t)).to_pandas()
+    assert list(out["verdict"]) == ["lo", "hi"]
+    assert list(out["is_hi"]) == [False, True]
+    assert list(out["meta.keep"]) == ["a", "b"]
+    assert "meta.drop" not in out.columns and "meta" not in out.columns
