@@ -669,10 +669,13 @@ class _Parser:
             items = sorted(args[0].items()) if sort_out else list(args[0].items())
 
             def _rend(v):
-                v = str(v)
+                # reference token rule (func_to_key_value_string.go):
+                # escape quotes, wrap when a delimiter is embedded
+                v = _go_scalar_str(v).replace('"', '\\"')
                 return f'"{v}"' if (delim in v or pair_delim in v) else v
 
-            return pair_delim.join(f"{k}{delim}{_rend(v)}" for k, v in items)
+            return pair_delim.join(f"{_rend(k)}{delim}{_rend(v)}"
+                                   for k, v in items)
         if name == "IsValidLuhn" and len(args) == 1 \
                 and isinstance(args[0], int) and not isinstance(args[0], bool):
             return self._fold1("is_valid_luhn", {}, str(args[0]))

@@ -1221,16 +1221,37 @@ class Statement:
         tbl = _masked(tbl, prefix + "version", version, mask)
         return _masked(tbl, prefix + "os", pc.coalesce(os_name, fallback), mask)
 
+    @staticmethod
+    def _kv_token(s: str, delimiter: str, pair_delimiter: str) -> str:
+        """func_to_key_value_string.go token rendering: embedded
+        quotes always escape to \\"; a token containing either
+        delimiter gets wrapped in quotes (test vectors
+        func_to_key_value_string_test.go:25-170)."""
+        esc = s.replace('"', '\\"')
+        if delimiter in esc or pair_delimiter in esc:
+            return f'"{esc}"'
+        return esc
+
     def _op_to_key_value_string(self, tbl, mask, target: str, src: str,
                                 delimiter: str = "=", pair_delimiter: str = " "):
         # func_to_key_value_string.go over a struct column; null field
-        # values render as empty (the Go Value.AsString of empty)
+        # values render as empty (the Go Value.AsString of empty);
+        # keys AND values quote/escape per the reference rule
         col_ = _val(tbl, Col(src))
         parts = []
         for field in col_.type:
-            v = pc.cast(pc.struct_field(col_, field.name), pa.string())
+            v = self._go_str_array(pc.struct_field(col_, field.name))
+            # vectorized token quoting: escape quotes, then wrap rows
+            # containing a delimiter
+            v = pc.replace_substring(pc.fill_null(v, ""), '"', '\\"')
+            needs = pc.or_(pc.match_substring(v, delimiter),
+                           pc.match_substring(v, pair_delimiter))
+            quoted = pc.binary_join_element_wise(pa.scalar('"'), v,
+                                                 pa.scalar('"'), "")
+            v = pc.if_else(needs, quoted, v)
+            key = self._kv_token(field.name, delimiter, pair_delimiter)
             parts.append(pc.binary_join_element_wise(
-                pa.scalar(field.name), pc.fill_null(v, ""), delimiter))
+                pa.scalar(key), v, delimiter))
         out = pc.binary_join_element_wise(*parts, pair_delimiter)
         return _masked(tbl, target, out, mask)
 

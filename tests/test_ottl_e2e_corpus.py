@@ -1182,3 +1182,43 @@ def test_corpus_cases_identical_under_ignore_mode():
         if got_v != expected:
             diffs.append((statement[:70], got_v, expected))
     assert not diffs, diffs[:5]
+
+
+def test_to_key_value_string_reference_vectors():
+    # func_to_key_value_string_test.go:25-128 (sortOutput=true)
+    cases = [
+        ({"key1": "value1", "key2": "value2"}, "=", " ",
+         "key1=value1 key2=value2"),
+        ({"key1": "value1", "key2": "value2"}, ":", " ",
+         "key1:value1 key2:value2"),
+        ({"key1": "value1", "key2": "value2"}, "=", ",",
+         "key1=value1,key2=value2"),
+        ({"key 1": "value 1", "key2=": "value2="}, "=", " ",
+         '"key 1"="value 1" "key2="="value2="'),
+        ({"key 1": "value 1", 'key"3': 'value"3', 'key2"=': 'value2"='},
+         "=", " ",
+         '"key 1"="value 1" key\\"3=value\\"3 "key2\\"="="value2\\"="'),
+        # nested values render as escaped compact JSON
+        ({"key1": "value1",
+          "key2": {"key3": "value3",
+                   "key4": {"key5": "value5",
+                            "key6": ["value6a", "value6b"]}},
+          "key7": ["value7", ["value8a", {"key8b": "value8b"}]]},
+         "=", " ",
+         'key1=value1 key2={\\"key3\\":\\"value3\\",\\"key4\\":'
+         '{\\"key5\\":\\"value5\\",\\"key6\\":[\\"value6a\\",\\"value6b\\"]}}'
+         ' key7=[\\"value7\\",[\\"value8a\\",{\\"key8b\\":\\"value8b\\"}]]'),
+    ]
+    import json
+
+    for mapping, delim, pdelim, want in cases:
+        lit = json.dumps(mapping).replace("\\", "\\\\").replace('"', '\\"')
+        st = (f'set(attributes["t"], ToKeyValueString('
+              f'ParseJSON("{lit}"), "{delim}", "{pdelim}", true))')
+        out = run1(st)
+        assert got(out, "t") == want, (mapping, got(out, "t"))
+
+    # struct-column path quotes keys and values the same way
+    tbl = pa.table({"m": pa.array([{"key 1": "value 1", "key2=": "v="}])})
+    out = run1('set(attributes["t"], ToKeyValueString(attributes["m"]))', tbl)
+    assert got(out, "t") == '"key 1"="value 1" "key2="="v="'
