@@ -167,24 +167,43 @@ def _go_scalar_str(v: Any) -> str:
 
 def _parse_key_value_literal(text: str, delim: str, pair_delim: str) -> dict:
     """parseutils.ParseKeyValuePairs for a literal string: split on
-    pair_delim outside double quotes, then on the first delim; quoted
-    values keep embedded delimiters and drop the quotes."""
-    pairs, cur, inq = [], [], False
+    pair_delim outside single/double quotes (the default " " splits on
+    WHITESPACE RUNS like strings.Fields, so newlines work), then on
+    the first delim; quoted values keep embedded delimiters, drop the
+    quotes, and strip surrounding spaces; an unterminated quote fails
+    loud (func_parse_key_value_test.go vectors)."""
+    pairs, cur = [], []
+    quote = None  # the active quote char, or None
+    ws_mode = pair_delim == " "
     i = 0
     while i < len(text):
         ch = text[i]
-        if ch == '"':
-            inq = not inq
+        if quote is None and ch in ('"', "'"):
+            quote = ch
             cur.append(ch)
             i += 1
             continue
-        if not inq and text.startswith(pair_delim, i):
+        if quote is not None:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            i += 1
+            continue
+        if ws_mode and ch in " \t\n\r":
+            pairs.append("".join(cur))
+            cur = []
+            while i < len(text) and text[i] in " \t\n\r":
+                i += 1
+            continue
+        if not ws_mode and text.startswith(pair_delim, i):
             pairs.append("".join(cur))
             cur = []
             i += len(pair_delim)
             continue
         cur.append(ch)
         i += 1
+    if quote is not None:
+        raise OTTLParseError(f"ParseKeyValue: unterminated quote in {text!r}")
     pairs.append("".join(cur))
     out = {}
     for pr in pairs:
@@ -194,8 +213,8 @@ def _parse_key_value_literal(text: str, delim: str, pair_delim: str) -> dict:
         if not sep:
             raise OTTLParseError(f"ParseKeyValue: no delimiter in {pr!r}")
         v = v.strip()
-        if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
-            v = v[1:-1]
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in ('"', "'"):
+            v = v[1:-1].strip()
         out[k.strip()] = v
     return out
 

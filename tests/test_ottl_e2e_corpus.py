@@ -1222,3 +1222,45 @@ def test_to_key_value_string_reference_vectors():
     tbl = pa.table({"m": pa.array([{"key 1": "value 1", "key2=": "v="}])})
     out = run1('set(attributes["t"], ToKeyValueString(attributes["m"]))', tbl)
     assert got(out, "t") == '"key 1"="value 1" "key2="="v="'
+
+
+def test_parse_key_value_reference_vectors():
+    # func_parse_key_value_test.go:26-215 (fold path)
+    from opentelemetry_collector_contrib_ray.ottl import (
+        _parse_key_value_literal,
+    )
+
+    assert _parse_key_value_literal("name=ottl func=key_value", "=", " ") \
+        == {"name": "ottl", "func": "key_value"}
+    large = ('name=ottl age=1 job="software engineering" '
+             'location="grand rapids michigan" src="10.3.3.76" '
+             'dst=172.217.0.10 protocol=udp sport=57112 port=443 '
+             'translated_src_ip=96.63.176.3 translated_port=57112')
+    got_m = _parse_key_value_literal(large, "=", " ")
+    assert got_m["job"] == "software engineering"
+    assert got_m["location"] == "grand rapids michigan"
+    assert got_m["translated_port"] == "57112"
+    # embedded double quotes inside a single-quoted value
+    assert _parse_key_value_literal(
+        'a=b c=\'this is a "co ol" value\'', "=", " ") \
+        == {"a": "b", "c": 'this is a "co ol" value'}
+    # quotes strip leading & trailing spaces, inner kept
+    assert _parse_key_value_literal(
+        'name="   ottl " func="  key_ value"', "=", " ") \
+        == {"name": "ottl", "func": "key_ value"}
+    # whitespace pair delimiter handles runs and newlines
+    assert _parse_key_value_literal(
+        "   \nname!!ottl     \nfunc!!key_value                      "
+        "hello!!world  ", "!!", " ") \
+        == {"name": "ottl", "func": "key_value", "hello": "world"}
+    # quoted value contains both delimiters
+    assert _parse_key_value_literal('name="ottl="_func="=key_value"',
+                                    "=", "_") \
+        == {"name": "ottl=", "func": "=key_value"}
+    # complicated multi-char delimiters
+    assert _parse_key_value_literal("k1@*v1_!_k2@**v2_!__k3@@*v3__",
+                                    "@*", "_!_") \
+        == {"k1": "v1", "k2": "*v2", "_k3@": "v3__"}
+    # unterminated quote fails loud
+    with pytest.raises(OTTLParseError):
+        _parse_key_value_literal('k1=v1 k2=\'v2"', "=", " ")
