@@ -818,13 +818,18 @@ class Statement:
             s = pc.replace_substring_regex(s, pattern=r"[\s\-]+", replacement="_")
             out = pc.utf8_lower(s)
         elif case == "camel":
-            # strcase.ToCamel("test_case") == "TestCase"; capitalize
-            # each _-separated part and join (flat capitalize + same
-            # offsets rebuild — no per-row work)
+            # strcase.ToCamel: separators (_ - space) drop and the
+            # following char uppercases; EXISTING capitals are kept
+            # ("SimpleString" stays, "simple-string" -> "SimpleString"
+            # — func_convert_case_test.go:79-113). Split on separator
+            # runs, uppercase each part's first char, keep the rest.
             filled = pc.fill_null(col_, "")
-            parts = pc.split_pattern(pc.utf8_lower(filled), pattern="_")
+            parts = pc.split_pattern_regex(filled, pattern=r"[_\-\s]+")
             parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
-            cap = pc.ascii_capitalize(parts.flatten())
+            flat = parts.flatten()
+            head = pc.utf8_upper(pc.utf8_slice_codeunits(flat, 0, 1))
+            tail = pc.utf8_slice_codeunits(flat, 1, 2**31 - 1)
+            cap = pc.binary_join_element_wise(head, tail, "")
             rebuilt = pa.ListArray.from_arrays(parts.offsets, cap)
             joined = pc.binary_join(rebuilt, "")
             out = pc.if_else(pc.is_valid(col_), joined,

@@ -1264,3 +1264,45 @@ def test_parse_key_value_reference_vectors():
     # unterminated quote fails loud
     with pytest.raises(OTTLParseError):
         _parse_key_value_literal('k1=v1 k2=\'v2"', "=", " ")
+
+
+def test_convert_case_and_duration_reference_vectors():
+    # func_convert_case_test.go:25-160 + func_duration_test.go:25-150
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    case_vectors = [
+        ("simpleString", "snake", "simple_string"),
+        ("simple_string", "snake", "simple_string"),
+        ("CPUUtilizationMetric", "snake", "cpu_utilization_metric"),
+        ("simple-string", "snake", "simple_string"),
+        ("", "snake", ""),
+        ("simple_string", "camel", "SimpleString"),
+        ("SimpleString", "camel", "SimpleString"),
+        ("simple-string", "camel", "SimpleString"),
+        ("", "camel", ""),
+        ("complex_SET-of.WORDS1234", "upper", "COMPLEX_SET-OF.WORDS1234"),
+        ("complex_SET-of.WORDS1234", "lower", "complex_set-of.words1234"),
+    ]
+    for s, mode, want in case_vectors:
+        t = pa.table({"s": [s]})
+        g = Statement("convert_case",
+                      {"target": "o", "src": "s", "case": mode})(t)["o"][0].as_py()
+        assert g == want, (s, mode, g)
+
+    dur_vectors = {
+        "100ms": 100000000, "234us": 234000, "777ns": 777,
+        "1s": 1000000000, "200s": 200000000000, "3m": 180000000000,
+        "45m": 2700000000000, "7m12s": 432000000000,
+        "4h": 14400000000000, "5h23m59s": 19439000000000,
+        "5h59s": 18059000000000, "5h23m": 19380000000000,
+        "2m1s64us": 121000064000, "59h1m78ms": 212460078000000,
+    }
+    t = pa.table({"s": list(dur_vectors.keys())})
+    out = Statement("duration", {"target": "o", "src": "s",
+                                 "unit": "nanoseconds"})(t)
+    for (s, want), g in zip(dur_vectors.items(), out["o"].to_pylist()):
+        assert round(g) == want, (s, g)
