@@ -1085,7 +1085,12 @@ class Statement:
         for net in nets:
             member |= (ip & int(net.netmask)) == int(net.network_address)
         valid = pc.and_(pc.is_valid(ex), pa.array(in_range))
-        out = pc.if_else(valid, pa.array(member), pa.nulls(tbl.num_rows, pa.bool_()))
+        # unparseable addresses are FALSE, not errors
+        # (func_is_in_cidr_test.go: "hello world" -> false); a null
+        # input stays null (nil value)
+        out = pc.and_(pc.fill_null(valid, False), pa.array(member))
+        out = pc.if_else(pc.is_valid(col_), out,
+                         pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
     def _op_decode(self, tbl, mask, target: str, src: str, encoding: Any):

@@ -94,7 +94,9 @@ def test_is_in_cidr():
     t = pa.table({"ip": ["10.1.2.3", "11.0.0.1", "10.255.255.255",
                          "999.1.1.1", "nope", None]})
     out = run("is_in_cidr", {"target": "o", "src": "ip", "cidr": "10.0.0.0/8"}, t)
-    assert col(out, "o") == [True, False, True, None, None, None]
+    # unparseable addresses are FALSE like the reference
+    # (func_is_in_cidr_test.go "non IP string"); null input stays null
+    assert col(out, "o") == [True, False, True, False, False, None]
 
 
 UAS = [
