@@ -1190,13 +1190,22 @@ class Statement:
         out = pc.if_else(pa.array(valid), out, pa.nulls(n, pa.string()))
         return _masked(tbl, target, out, mask)
 
-    _UA_BROWSERS = [  # ordered: most specific token first
+    _UA_BROWSERS = [  # ordered: most specific token first; Mobile
+        # variants precede their base family (uap-core rules)
         ("Edge", r"Edg(?:e|A|iOS)?/(?P<v>[0-9][0-9.]*)"),
         ("Opera", r"OPR/(?P<v>[0-9][0-9.]*)"),
+        ("Chrome Mobile",
+         r"(?:Chrome|CriOS)/(?P<v>[0-9][0-9.]*) Mobile"),
         ("Chrome", r"(?:Chrome|CriOS)/(?P<v>[0-9][0-9.]*)"),
         ("Firefox", r"(?:Firefox|FxiOS)/(?P<v>[0-9][0-9.]*)"),
+        ("Mobile Safari",
+         r"Version/(?P<v>[0-9][0-9.]*) Mobile(?:/\w+)? Safari/"),
         ("Safari", r"Version/(?P<v>[0-9][0-9.]*).*Safari/"),
         ("curl", r"curl/(?P<v>[0-9][0-9.]*)"),
+        # uap-core generic fallback: a leading product/version token
+        # (not Mozilla/Opera compatibility shells)
+        ("__generic__",
+         r"^(?P<g>[A-Za-z][A-Za-z0-9._!&'+-]*)/(?P<v>[0-9][0-9.]*)"),
     ]
     _UA_OS = [
         ("Windows", r"Windows NT (?P<v>[0-9.]+)"),
@@ -1218,8 +1227,21 @@ class Statement:
         for label, pat in self._UA_BROWSERS:
             ex = pc.extract_regex(col_, pattern=pat)
             hit = pc.and_(pc.is_null(name), pc.is_valid(ex))
-            name = pc.if_else(hit, pa.scalar(label), name)
-            version = pc.if_else(hit, pc.struct_field(ex, 0), version)
+            if label == "__generic__":
+                # product/version token IS the name — except the
+                # Mozilla/Opera compatibility shells
+                g = pc.struct_field(ex, "g")
+                hit = pc.and_(hit, pc.fill_null(pc.invert(pc.is_in(
+                    g, value_set=pa.array(["Mozilla", "Opera"]))), False))
+                name = pc.if_else(hit, g, name)
+            else:
+                name = pc.if_else(hit, pa.scalar(label), name)
+            version = pc.if_else(hit, pc.struct_field(ex, "v"), version)
+        # ua-parser reports at most major.minor.patch
+        vex = pc.extract_regex(pc.fill_null(version, ""),
+                               pattern=r"^(?P<t>\d+(?:\.\d+){0,2})")
+        version = pc.if_else(pc.is_valid(version),
+                             pc.struct_field(vex, "t"), version)
         os_name = pa.nulls(tbl.num_rows, pa.string())
         for label, pat in self._UA_OS:
             ex = pc.extract_regex(col_, pattern=pat)

@@ -442,3 +442,43 @@ def test_parse_severity_reference_vectors():
 
     with pytest.raises(ValueError):
         run([200], {"info": [{"range": "9xx"}]})
+
+
+def test_useragent_reference_vectors():
+    # func_useragent_test.go:20-135 (the ua-parser expectations the
+    # vectorized cascade reproduces, incl. Mobile variants, 3-segment
+    # version truncation, and the generic product/version fallback)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    vecs = [
+        ("Mozilla/5.0 (Linux; Android 4.1.1; SPH-L710 Build/JRO03L) "
+         "AppleWebKit/535.19 (KHTML, like Gecko) Chrome/18.0.1025.166 "
+         "Mobile Safari/535.19", "Chrome Mobile", "18.0.1025", "Android"),
+        ("Mozilla/5.0 (X11; Linux x86_64; rv:126.0) Gecko/20100101 "
+         "Firefox/126.0", "Firefox", "126.0", "Linux"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, "
+         "like Gecko) Chrome/51.0.2704.103 Safari/537.36",
+         "Chrome", "51.0.2704", "Linux"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 13_5_1 like Mac OS X) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/13.1.1 "
+         "Mobile/15E148 Safari/604.1", "Mobile Safari", "13.1.1", "iOS"),
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/91.0.4472.124 Safari/537.36 "
+         "Edg/91.0.864.59", "Edge", "91.0.864", "Windows"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, "
+         "like Gecko) Chrome/51.0.2704.106 Safari/537.36 OPR/38.0.2220.41",
+         "Opera", "38.0.2220", "Linux"),
+        ("curl/7.81.0", "curl", "7.81.0", None),
+        ("foobar/1.2.3 (foo; bar baz)", "foobar", "1.2.3", None),
+    ]
+    t = pa.table({"ua": [v[0] for v in vecs]})
+    out = Statement("useragent", {"src": "ua"})(t)
+    for i, (_, name, version, os_name) in enumerate(vecs):
+        assert out["user_agent.name"][i].as_py() == name, i
+        assert out["user_agent.version"][i].as_py() == version, i
+        if os_name is not None:
+            assert out["user_agent.os"][i].as_py() == os_name, i

@@ -113,10 +113,13 @@ UAS = [
 def test_useragent():
     t = pa.table({"ua": UAS})
     out = run("useragent", {"src": "ua"}, t)
+    # round 4: the generic product/version fallback names
+    # "weird-client/1.0" like ua-parser (was "Other"); versions
+    # truncate to major.minor.patch
     assert col(out, "user_agent.name") == \
-        ["Chrome", "Firefox", "Safari", "curl", "Other"]
+        ["Chrome", "Firefox", "Safari", "curl", "weird-client"]
     assert col(out, "user_agent.version")[:4] == \
-        ["120.0.0.0", "115.0", "16.1", "8.4.0"]
+        ["120.0.0", "115.0", "16.1", "8.4.0"]
     assert col(out, "user_agent.os") == \
         ["Windows", "Linux", "macOS", "Other", "Other"]
 
