@@ -1306,3 +1306,20 @@ def test_convert_case_and_duration_reference_vectors():
                                  "unit": "nanoseconds"})(t)
     for (s, want), g in zip(dur_vectors.items(), out["o"].to_pylist()):
         assert round(g) == want, (s, g)
+
+
+def test_format_reference_vectors():
+    # func_format_test.go:26-62 (incl. space-padded %4s)
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    t = pa.table({"x": [1]})
+    for fmt, args, want in [("test", [], "test"),
+                            ("test-%04d", [2], "test-0002"),
+                            ("test-%04d-%4s", [2, "te"], "test-0002-  te")]:
+        g = Statement("format", {"target": "o", "fmt": fmt,
+                                 "args": args})(t)["o"][0].as_py()
+        assert g == want, (fmt, g)
