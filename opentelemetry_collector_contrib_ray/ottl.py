@@ -933,11 +933,14 @@ class _Parser:
             units = {1.0: "second", 60.0: "minute", 3600.0: "hour",
                      86400.0: "day", 1e-3: "millisecond", 1e-6: "microsecond"}
             unit = units.get(float(args[1]))
-            if unit is None:
-                raise OTTLParseError(
-                    f"TruncateTime: unsupported granularity {args[1]}: {self.text!r}")
+            if unit is not None:  # common granularities: temporal kernel
+                return {"__converter__": "truncate_time",
+                        "args": {"src": args[0].name, "unit": unit}}
+            # arbitrary durations (time.Time.Truncate allows any):
+            # epoch-nanos floor
             return {"__converter__": "truncate_time",
-                    "args": {"src": args[0].name, "unit": unit}}
+                    "args": {"src": args[0].name,
+                             "nanos": int(round(float(args[1]) * 1e9))}}
         if name == "ConvertCase":
             if len(args) != 2 or not isinstance(args[1], str):
                 raise OTTLParseError(f"ConvertCase(path, case) expected: {self.text!r}")

@@ -169,8 +169,19 @@ class Statement:
             tbl = _masked(tbl, prefix + f.name, pc.struct_field(res, f.name), mask)
         return tbl
 
-    def _op_truncate_time(self, tbl, mask, target: str, unit: str, src: str | None = None):
-        out = pc.floor_temporal(_val(tbl, Col(src or target)), unit=unit)
+    def _op_truncate_time(self, tbl, mask, target: str, unit: str | None = None,
+                          src: str | None = None, nanos: int | None = None):
+        col_ = _val(tbl, Col(src or target))
+        if nanos is not None:
+            # arbitrary granularity (time.Time.Truncate semantics:
+            # floor since the zero time, i.e. epoch math in UTC)
+            as_ns = pc.cast(pc.cast(col_, pa.timestamp("ns", "UTC")
+                                    if getattr(col_.type, "tz", None)
+                                    else pa.timestamp("ns")), pa.int64())
+            floored = pc.multiply(pc.divide(as_ns, nanos), nanos)
+            out = pc.cast(floored, pa.timestamp("ns")).cast(col_.type)
+        else:
+            out = pc.floor_temporal(col_, unit=unit)
         return _masked(tbl, target, out, mask)
 
     def _op_format_time(self, tbl, mask, target: str, src: str, format: str):

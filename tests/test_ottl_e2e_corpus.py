@@ -1323,3 +1323,29 @@ def test_format_reference_vectors():
         g = Statement("format", {"target": "o", "fmt": fmt,
                                  "args": args})(t)["o"][0].as_py()
         assert g == want, (fmt, g)
+
+
+def test_truncate_time_reference_vectors_and_arbitrary():
+    # func_truncate_time_test.go:21-76 + arbitrary durations (Go's
+    # time.Time.Truncate takes any duration)
+    from datetime import datetime, timezone
+
+    t1 = pa.table({"ts": pa.array(
+        [datetime(2022, 1, 1, 1, 1, 1, 999999, tzinfo=timezone.utc)],
+        pa.timestamp("ns", "UTC"))})
+    out = run1('set(ts, TruncateTime(ts, Duration("1s")))', t1)
+    assert str(got(out, "ts")).startswith("2022-01-01 01:01:01+00:00")
+    out = run1('set(ts, TruncateTime(ts, Duration("1ms")))', t1)
+    assert got(out, "ts").microsecond == 999000
+    t2 = pa.table({"ts": pa.array(
+        [datetime(1980, 9, 9, 9, 59, 59, 999999, tzinfo=timezone.utc)],
+        pa.timestamp("us", "UTC"))})
+    out = run1('set(ts, TruncateTime(ts, Duration("1h")))', t2)
+    assert (got(out, "ts").hour, got(out, "ts").minute) == (9, 0)
+    # arbitrary: 5m buckets
+    out = run1('set(ts, TruncateTime(ts, Duration("5m")))', t2)
+    assert (got(out, "ts").minute, got(out, "ts").second) == (55, 0)
+    out = run1('set(ts, TruncateTime(ts, Duration("90s")))', t2)
+    v = got(out, "ts")
+    epoch = v.timestamp()
+    assert epoch % 90 == 0
