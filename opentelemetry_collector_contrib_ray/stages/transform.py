@@ -1121,8 +1121,19 @@ class Statement:
                 tbl = self._op_decode(tbl, sub, target, src, enc)
             return tbl
         col_ = _val(tbl, Col(src))
-        if encoding in ("base64", "base64-std"):
-            raw = base64_decode(col_)
+        enc = str(encoding).lower()
+        if enc in ("base64", "base64-std", "base64-url", "base64-raw",
+                   "base64-raw-url"):
+            b64 = pc.cast(col_, pa.string())
+            if "url" in enc:  # urlsafe alphabet -> standard, vectorized
+                b64 = pc.replace_substring(b64, "-", "+")
+                b64 = pc.replace_substring(b64, "_", "/")
+            if "raw" in enc:  # unpadded: repad by len % 4 group
+                rem = pc.bit_wise_and(pc.utf8_length(b64), 3)
+                for r, pad in ((2, "=="), (3, "=")):
+                    padded = pc.binary_join_element_wise(b64, pa.scalar(pad), "")
+                    b64 = pc.if_else(pc.equal(rem, r), padded, b64)
+            raw = base64_decode(b64)
             try:
                 out = raw.cast(pa.string())
             except pa.ArrowInvalid:
@@ -1133,12 +1144,32 @@ class Statement:
                     except UnicodeDecodeError:
                         vals.append(None)
                 out = pa.array(vals, pa.string())
-        elif encoding == "hex":
+        elif enc == "hex":
             out = hex_decode(col_)
-        elif encoding in ("us-ascii", "utf-8", "utf8"):
+        elif enc in ("us-ascii", "utf-8", "utf8"):
             out = pc.cast(col_, pa.string())
         else:
-            raise ValueError(f"decode: unsupported encoding {encoding!r}")
+            # text charsets (ISO-8859-1, WINDOWS-125x, UTF-16, GB2312,
+            # ... — func_decode.go resolves IANA names): per-row codec
+            # decode of attr-sized payloads; binary columns decode
+            # directly, string columns via their latin-1 byte image
+            import codecs
+
+            py = {"utf-16": "utf-16-le", "utf16": "utf-16-le"}.get(enc, enc)
+            try:
+                codecs.lookup(py)
+            except LookupError:
+                raise ValueError(f"decode: unsupported encoding {encoding!r}")
+            is_bin = pa.types.is_binary(col_.type) \
+                or pa.types.is_large_binary(col_.type)
+            vals = []
+            for v in col_.to_pylist():
+                if v is None:
+                    vals.append(None)
+                    continue
+                bb = v if is_bin else v.encode("latin-1", errors="replace")
+                vals.append(bb.decode(py, errors="replace"))
+            out = pa.array(vals, pa.string())
         return _masked(tbl, target, out, mask)
 
     _CID_PROTOS = {"ICMP": 1, "TCP": 6, "UDP": 17, "RSVP": 46,

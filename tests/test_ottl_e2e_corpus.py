@@ -1349,3 +1349,39 @@ def test_truncate_time_reference_vectors_and_arbitrary():
     v = got(out, "ts")
     epoch = v.timestamp()
     assert epoch % 90 == 0
+
+
+def test_decode_full_encoding_set():
+    # func_decode.go: base64 std/url/raw variants + IANA charsets
+    import base64
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+    )
+
+    msg = "test+string/value"
+    variants = {
+        "base64": base64.b64encode(msg.encode()).decode(),
+        "base64-url": base64.urlsafe_b64encode(msg.encode()).decode(),
+        "base64-raw": base64.b64encode(msg.encode()).decode().rstrip("="),
+        "base64-raw-url":
+            base64.urlsafe_b64encode(msg.encode()).decode().rstrip("="),
+    }
+    for enc, payload in variants.items():
+        t = pa.table({"s": [payload]})
+        g = Statement("decode", {"target": "o", "src": "s",
+                                 "encoding": enc})(t)["o"][0].as_py()
+        assert g == msg, enc
+    charsets = [("WINDOWS-1252", "tëst", "windows-1252"),
+                ("ISO-8859-1", "tëst", "iso-8859-1"),
+                ("UTF-16", "日本", "utf-16-le"),
+                ("GB2312", "中文", "gb2312")]
+    for enc, text, py in charsets:
+        t = pa.table({"b": pa.array([text.encode(py)], pa.binary())})
+        g = Statement("decode", {"target": "o", "src": "b",
+                                 "encoding": enc})(t)["o"][0].as_py()
+        assert g == text, enc
+    with pytest.raises(ValueError):
+        Statement("decode", {"target": "o", "src": "b",
+                             "encoding": "not-a-charset"})(
+            pa.table({"b": pa.array([b"x"], pa.binary())}))
