@@ -197,7 +197,11 @@ def _nested_attrs(draw):
     leaf_list = st.one_of(st.lists(str_scalar, min_size=1, max_size=3),
                           st.lists(int_scalar, min_size=1, max_size=3))
     inner_map = st.dictionaries(key, scalar, min_size=1, max_size=2)
-    map_list = st.lists(inner_map, min_size=1, max_size=2)
+    # lists of maps: STRING values only, so same-named fields across
+    # elements unify to one Arrow type (the generator must only
+    # produce representable inputs)
+    str_map = st.dictionaries(key, str_scalar, min_size=1, max_size=2)
+    map_list = st.lists(str_map, min_size=1, max_size=2)
     value = st.one_of(scalar, leaf_list, inner_map, map_list,
                       st.dictionaries(key, inner_map, min_size=1, max_size=2))
     return draw(st.dictionaries(key, value, min_size=1, max_size=4))
