@@ -959,6 +959,15 @@ class _Parser:
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
             return {"__converter__": "split",
                     "args": {"src": args[0].name, "sep": args[1]}}
+        if name == "IsRootSpan":
+            # func_is_root_span.go: span.ParentSpanID().IsEmpty() —
+            # in the flat span model the parent id is a hex-string
+            # column, so "empty" = null / "" / all-zero hex.
+            if args:
+                raise OTTLParseError(
+                    f"IsRootSpan takes no arguments: {self.text!r}")
+            return {"__converter__": "is_root_span",
+                    "args": {"src": "parent_span_id"}}
         if name == "IsInCIDR":
             if len(args) != 2 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"IsInCIDR(path, cidr) expected: {self.text!r}")
@@ -1520,6 +1529,7 @@ class _Parser:
 
     _BOOL_CONVERTERS = {"contains_value", "is_in_cidr", "is_valid_luhn",
                         "to_bool", "has_prefix", "has_suffix", "is_empty",
+                        "is_root_span",
                         "list_any", "list_all", "ottl_any", "ottl_all"}
 
     # ------------------------------------------------------- statements

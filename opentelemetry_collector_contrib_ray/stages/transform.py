@@ -1077,6 +1077,18 @@ class Statement:
         out = pc.if_else(pc.is_valid(col_), out, pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
+    def _op_is_root_span(self, tbl, mask, target: str,
+                         src: str = "parent_span_id"):
+        # IsRootSpan (func_is_root_span.go:32-36):
+        # span.ParentSpanID().IsEmpty() — pdata's 8-byte id is "empty"
+        # when all zero. Flat-table adaptation: the parent id is a
+        # hex-string column, so null / "" / all-zero hex means root.
+        col_ = _val(tbl, Col(src))
+        s = pc.cast(col_, pa.string())
+        empty = pc.or_(pc.equal(s, ""), pc.equal(s, "0" * 16))
+        out = pc.fill_null(empty, True)
+        return _masked(tbl, target, out, mask)
+
     def _op_is_in_cidr(self, tbl, mask, target: str, src: str, cidr: Any):
         # IsInCIDR-style IPv4 membership (func_is_in_cidr.go takes a
         # LIST of ranges — membership in any); malformed addrs -> null
