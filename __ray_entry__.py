@@ -208,6 +208,32 @@ def _q_ottl_text(sf_dir: str):
     )
 
 
+def _q_is_root_span(sf_dir: str):
+    """IsRootSpan (func_is_root_span.go: ParentSpanID().IsEmpty())
+    end-to-end: synthesize a flat span table from events — hex-string
+    span ids with empty / all-zero / derived-md5 parents — then
+    evaluate IsRootSpan() both as a value converter and as a
+    where-predicate through the textual front-end."""
+    from opentelemetry_collector_contrib_ray.ottl import transform_from_ottl
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    stage = transform_from_ottl([
+        'set(eid_str, String(event_id))',
+        'set(span_md5, MD5(eid_str))',
+        'set(span_id, Substring(span_md5, 0, 16))',
+        'set(pkey, Concat([eid_str, "p"], ""))',
+        'set(parent_md5, MD5(pkey))',
+        'set(parent_span_id, Substring(parent_md5, 0, 16))',
+        'set(parent_span_id, "") where event_type == "signup"',
+        'set(parent_span_id, "0000000000000000") where event_type == "login"',
+        'set(root, IsRootSpan())',
+        'set(span_label, "child")',
+        'set(span_label, "root") where IsRootSpan()',
+    ], error_mode="propagate")
+    return stage.apply(ds).select_columns(
+        ["event_id", "span_id", "parent_span_id", "root", "span_label"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1756,6 +1782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_agg_labels": _q_metrics_agg_labels,
         "slow_sql": _q_slow_sql,
         "metrics_as_logs": _q_metrics_as_logs,
+        "is_root_span": _q_is_root_span,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1778,7 +1805,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_start_time": _q_metric_start_time,
         "hopping_counts": _q_hopping_counts,
         "range_join": _q_range_join,
-        "lang_id": _q_lang_id,
         "events_anomalies": _q_events_anomalies,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1806,6 +1832,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_lines_parse": _q_raw_lines_parse,
         "severity": _q_severity,
         "route_sink_counts": _q_route_counts,
+        # lang_id rotated below the cutoff this round (green r3,
+        # stage unchanged) to make room for is_root_span above
+        "lang_id": _q_lang_id,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
@@ -2069,6 +2098,20 @@ qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
               generate_subscripts([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
                                    0.99], 1) AS i)
 SELECT qs.q, vs.v[qs.i] AS value FROM qs, vs""",
+        "is_root_span": """
+WITH s AS (
+  SELECT event_id,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_id,
+         CASE WHEN event_type = 'signup' THEN ''
+              WHEN event_type = 'login' THEN '0000000000000000'
+              ELSE substr(md5(CAST(event_id AS VARCHAR) || 'p'), 1, 16)
+         END AS parent_span_id
+  FROM events)
+SELECT event_id, span_id, parent_span_id,
+       (parent_span_id = '' OR parent_span_id = '0000000000000000') AS root,
+       CASE WHEN parent_span_id = '' OR parent_span_id = '0000000000000000'
+            THEN 'root' ELSE 'child' END AS span_label
+FROM s""",
         "attrs_actions": """
 SELECT event_id, 'prod' AS env,
   md5_number_lower(props) AS props,

@@ -163,6 +163,7 @@ def _run_bench() -> dict:
         "multimodal_decode",
         "slow_sql",
         "metrics_as_logs",
+        "is_root_span",
     ]
     qs = e.queries()
     qtimes = {}
