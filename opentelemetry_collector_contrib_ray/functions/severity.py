@@ -114,3 +114,133 @@ def np_severity_from_level(levels: np.ndarray) -> np.ndarray:
     """Pure-numpy oracle-side helper: level token array -> number array."""
     tm = default_token_map()
     return np.array([tm.get(str(x).lower(), 0) for x in levels], dtype=np.int8)
+
+
+# --------------------------------------------------------------------
+# Full stanza severity CONFIG surface (severity_builder.go:107-226):
+# preset selection, user mapping folding (alias keys; str / int /
+# bytes / list / {"min","max"} range values; "2xx".."5xx" shorthand),
+# and the find() input semantics (severity.go:46-88) vectorized.
+
+def _alias_table() -> dict[str, int]:
+    """The "otel"/"aliases" builtin (severity_builder.go:22-73):
+    trace..fatal4 plus numeric strings "1".."24"."""
+    m: dict[str, int] = {}
+    for num in range(1, 25):
+        m[SEVERITY_TEXT[num].lower()] = num
+        m[str(num)] = num
+    return m
+
+
+def builtin_mapping(preset: str | None) -> dict[str, int]:
+    """getBuiltinMapping (severity_builder.go:18-88): "none" -> empty,
+    "otel"/"aliases" -> the alias table, anything else (the default
+    preset) -> aliases + warning*/err* extras."""
+    if preset == "none":
+        return {}
+    if preset in ("otel", "aliases"):
+        return _alias_table()
+    m = _alias_table()
+    for i in range(4):
+        suf = "" if i == 0 else str(i + 1)
+        m["warning" + suf] = m["warn" + suf]
+        m["err" + suf] = m["error" + suf]
+    return m
+
+
+_MAX_RANGE_WIDTH = 1_000_000  # fail loud instead of materializing GBs
+
+
+def _expand_range(lo: int, hi: int) -> list[str]:
+    """expandRange (severity_builder.go:190-200): inclusive, swapped
+    if out of order, materialized as decimal strings."""
+    if lo > hi:
+        lo, hi = hi, lo
+    if hi - lo + 1 > _MAX_RANGE_WIDTH:
+        raise ValueError(f"severity range {lo}..{hi} too wide")
+    return [str(i) for i in range(lo, hi + 1)]
+
+
+def _parseable_values(value) -> list[str]:
+    """parseableValues (severity_builder.go:202-226)."""
+    if isinstance(value, bool):
+        raise TypeError(f"type {type(value).__name__} cannot be parsed as a severity")
+    if isinstance(value, int):
+        return [str(value)]
+    if isinstance(value, bytes):
+        return [value.decode().lower()]
+    if isinstance(value, str):
+        if value in ("2xx", "3xx", "4xx", "5xx"):
+            base = int(value[0]) * 100
+            return _expand_range(base, base + 99)
+        return [value.lower()]
+    if isinstance(value, dict) and "min" in value and "max" in value \
+            and isinstance(value["min"], int) and isinstance(value["max"], int):
+        return _expand_range(value["min"], value["max"])
+    raise TypeError(f"type {type(value).__name__} cannot be parsed as a severity")
+
+
+def build_severity_map(preset: str | None = None,
+                       mapping: dict | None = None) -> dict[str, int]:
+    """SeverityConfig.Build (severity_builder.go:122-161): start from
+    the preset's builtin table, then fold the user mapping — keys are
+    severity aliases (validated case-insensitively against the alias
+    table), values are parseable-value shapes."""
+    aliases = _alias_table()
+    out = builtin_mapping(preset)
+    for key, unknown in (mapping or {}).items():
+        k = str(key).lower()
+        if k not in aliases:
+            raise ValueError(f"unknown severity alias {key!r}")
+        sev = aliases[k]
+        values = unknown if isinstance(unknown, list) else [unknown]
+        for v in values:
+            for token in _parseable_values(v):
+                out[token] = sev
+    return out
+
+
+class SeverityFinder:
+    """Vectorized severityMap.find (severity.go:46-88) + the Parse
+    overwrite_text rule (severity.go:33-40)."""
+
+    def __init__(self, preset: str | None = None, mapping: dict | None = None,
+                 overwrite_text: bool = False):
+        self.map = build_severity_map(preset, mapping)
+        self.overwrite_text = overwrite_text
+        self._tokens = pa.array(list(self.map.keys()), type=pa.string())
+        self._numbers = pa.array(list(self.map.values()), type=pa.int8())
+
+    def find_array(self, values: pa.Array | pa.ChunkedArray
+                   ) -> tuple[pa.Array, pa.Array]:
+        """-> (severity_number int8, severity_text string).
+
+        String input looks up lowercased and keeps the original text;
+        int input stringifies; float input must be whole (severity.go:
+        66-75 — non-whole raises); bytes decode to string. Misses get
+        Default(0) with the stringified input as text. With
+        overwrite_text, matched rows get the canonical enum text and
+        Default rows keep the input text (severity.go:36-38)."""
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        t = values.type
+        if pa.types.is_floating(t):
+            as_int = pc.cast(values, pa.int64(), safe=False)
+            whole = pc.equal(pc.cast(as_int, pa.float64()), values)
+            if not pc.all(pc.fill_null(whole, True)).as_py():
+                raise ValueError(
+                    "float severity values must be whole numbers")
+            text = pc.cast(as_int, pa.string())
+        elif pa.types.is_integer(t):
+            text = pc.cast(values, pa.string())
+        elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            text = pc.cast(values, pa.string())
+        else:
+            text = pc.cast(values, pa.string())
+        low = pc.utf8_lower(text)
+        idx = pc.index_in(low, value_set=self._tokens)
+        num = pc.fill_null(pc.take(self._numbers, idx), 0)
+        if self.overwrite_text:
+            canon = SeverityMapper.number_to_text(num)
+            text = pc.if_else(pc.equal(num, 0), text, canon)
+        return num, text

@@ -517,29 +517,45 @@ class JsonArrayParser:
 
 @register("severity_parser")
 class SeverityParserStage:
-    """Standalone severity_parser (parser/severity/parser.go:1-26):
-    maps a token or integer column to severity_number/_text."""
+    """Standalone severity_parser (parser/severity/parser.go:1-26)
+    with the full config surface (helper/severity_builder.go:107-161):
+    ``preset`` ("none"/"otel"/"aliases"/default), custom ``mapping``
+    (alias keys; str / int / list / {"min","max"} / "2xx".."5xx"
+    values) and ``overwrite_text``. Maps a token or integer column to
+    severity_number/_text. The legacy ``range_map`` arg (pre-round-4
+    interval shorthand) is still accepted."""
 
     def __init__(
         self,
         parse_from: str,
         range_map: dict[str, str] | None = None,
         out_prefix: str = "severity",
+        preset: str | None = None,
+        mapping: dict | None = None,
+        overwrite_text: bool = False,
     ):
+        from ..functions.severity import SeverityFinder
+
         self.parse_from = parse_from
-        self.mapper = SeverityMapper(range_map=range_map)
-        self.use_ranges = range_map is not None
         self.out_prefix = out_prefix
+        if range_map is not None:
+            self.mapper = SeverityMapper(range_map=range_map)
+            self.finder = None
+        else:
+            self.mapper = None
+            self.finder = SeverityFinder(preset=preset, mapping=mapping,
+                                         overwrite_text=overwrite_text)
 
     def fn(self, batch: pa.Table) -> pa.Table:
         col = batch[self.parse_from]
-        if self.use_ranges:
+        if self.mapper is not None:  # legacy interval path
             num = self.mapper.map_ints(col)
+            text = SeverityMapper.number_to_text(num)
         else:
-            num = self.mapper.map_tokens(col)
+            num, text = self.finder.find_array(col)
         return batch.append_column(
             f"{self.out_prefix}_number", num
-        ).append_column(f"{self.out_prefix}_text", SeverityMapper.number_to_text(num))
+        ).append_column(f"{self.out_prefix}_text", text)
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
