@@ -234,6 +234,36 @@ def _q_is_root_span(sf_dir: str):
         ["event_id", "span_id", "parent_span_id", "root", "span_label"])
 
 
+def _q_time_parse(sf_dir: str):
+    """The stanza time_parser operator (parser/timeparser/parser.go
+    over helper/time.go) SQL-checked: render each event ts to a
+    string, parse it back through the strptime layout path, and
+    round-trip the epoch-ns path with layout "ns"."""
+    import pyarrow.compute as _pc
+
+    from opentelemetry_collector_contrib_ray.stages.timeparse import (
+        TimeParserStage,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def render(b):
+        ts = b["ts"].combine_chunks() if isinstance(b["ts"], pa.ChunkedArray) else b["ts"]
+        # second resolution: Arrow's %S renders the fractional part
+        # for sub-second timestamp types
+        secs = _pc.cast(_pc.floor_temporal(ts, unit="second"), pa.timestamp("s"))
+        b = b.append_column("ts_str", _pc.strftime(secs, format="%Y-%m-%d %H:%M:%S"))
+        return b.append_column("ts_us", _pc.cast(ts, pa.int64()))
+
+    ds = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True,
+                        batch_size=None)
+    ds = TimeParserStage("ts_str", "%Y-%m-%d %H:%M:%S",
+                         layout_type="strptime", out_col="ts_rt").apply(ds)
+    ds = TimeParserStage("ts_us", "us", layout_type="epoch",
+                         out_col="ts_epoch_rt").apply(ds)
+    return ds.select_columns(["event_id", "ts_rt", "ts_epoch_rt"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1783,6 +1813,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "slow_sql": _q_slow_sql,
         "metrics_as_logs": _q_metrics_as_logs,
         "is_root_span": _q_is_root_span,
+        "time_parse": _q_time_parse,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1804,7 +1835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "metric_start_time": _q_metric_start_time,
         "hopping_counts": _q_hopping_counts,
-        "range_join": _q_range_join,
         "events_anomalies": _q_events_anomalies,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1832,9 +1862,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_lines_parse": _q_raw_lines_parse,
         "severity": _q_severity,
         "route_sink_counts": _q_route_counts,
-        # lang_id rotated below the cutoff this round (green r3,
-        # stage unchanged) to make room for is_root_span above
+        # lang_id + range_join rotated below the cutoff this round
+        # (green r3, stages unchanged) to make room for is_root_span
+        # and time_parse above
         "lang_id": _q_lang_id,
+        "range_join": _q_range_join,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
@@ -2098,6 +2130,11 @@ qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
               generate_subscripts([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
                                    0.99], 1) AS i)
 SELECT qs.q, vs.v[qs.i] AS value FROM qs, vs""",
+        "time_parse": """
+SELECT event_id,
+  strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,
+  make_timestamp(epoch_us(ts)) AS ts_epoch_rt
+FROM events""",
         "is_root_span": """
 WITH s AS (
   SELECT event_id,

@@ -71,5 +71,6 @@ from . import (  # noqa: E402,F401
     sample,
     syslog,
     textstats,
+    timeparse,
     transform,
 )

@@ -43,7 +43,7 @@ ray.shutdown()
 """
 
 
-def _run_child(sf, out, parts, cpus, kill_after=None):
+def _run_child(sf, out, parts, cpus, kill_at_committed=None):
     p = subprocess.Popen(
         [sys.executable, "-c", _CHILD % dict(sf=sf, out=out, parts=parts,
                                              cpus=cpus)],
@@ -51,19 +51,20 @@ def _run_child(sf, out, parts, cpus, kill_after=None):
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
     )
     t0 = time.perf_counter()
-    if kill_after is None:
+    if kill_at_committed is None:
         p.wait()
         return time.perf_counter() - t0, False
-    # kill once at least one partition manifest has been committed AND
-    # the deadline has passed — a kill before any commit would make the
-    # "resume skips work" assertion vacuous
+    # kill as soon as kill_at_committed partition manifests have
+    # landed — mid-run by construction: at least one partition is
+    # committed (so the skip assertion is meaningful) and, provided
+    # kill_at_committed < partitions, later partitions are still
+    # outstanding (so the resume actually recomputes work)
     mdir = os.path.join(out, "_manifest")
     while p.poll() is None:
-        time.sleep(0.25)
-        elapsed = time.perf_counter() - t0
-        committed = len(glob.glob(os.path.join(mdir, "*.json"))) \
+        time.sleep(0.1)
+        committed = len(glob.glob(os.path.join(mdir, "part-*.json"))) \
             if os.path.isdir(mdir) else 0
-        if elapsed >= kill_after and committed >= 1:
+        if committed >= kill_at_committed:
             p.send_signal(signal.SIGKILL)
             p.wait()
             return time.perf_counter() - t0, True
@@ -103,10 +104,10 @@ def main():
 
     clean_s, _ = _run_child(sf_dir, clean_out, parts, cpus)
 
-    # kill partway: aim for ~45% of the clean wall (startup-heavy jobs
-    # still get at least one committed partition thanks to the gate)
+    # kill once ~25% of partitions have committed (mid-run by
+    # construction; the rest are still outstanding)
     killed_s, was_killed = _run_child(sf_dir, killed_out, parts, cpus,
-                                      kill_after=max(2.0, 0.45 * clean_s))
+                                      kill_at_committed=max(1, parts // 4))
     assert was_killed, "job finished before the kill fired — raise partitions"
 
     man = Manifest(killed_out)
