@@ -164,6 +164,7 @@ def _run_bench() -> dict:
         "slow_sql",
         "metrics_as_logs",
         "is_root_span",
+        "time_parse",
     ]
     qs = e.queries()
     qtimes = {}
