@@ -1009,13 +1009,15 @@ def test_corpus_string_span_id_divergence():
 def test_corpus_trace_context_shapes():
     # Test_ProcessTraces_TraceContext / Test_ProcessSpanEvents: span
     # fields are COLUMNS in the flat model, so `event_index` copies
-    # when present; IsRootSpan() (parent-pointer walk) is not
-    # expressible over a flat table and must fail loud.
+    # when present; IsRootSpan() (func_is_root_span.go:
+    # ParentSpanID().IsEmpty()) reads the parent_span_id column.
     tbl = pa.table({"body": ["x"], "event_index": [3]})
     out = run1('set(attributes["index"], event_index)', tbl)
     assert got(out, "index") == 3
-    with pytest.raises(OTTLParseError):
-        parse_statement('set(attributes["entrypoint-root"], name) where IsRootSpan()')
+    tbl = pa.table({"name": ["s"], "parent_span_id": ["0" * 16]})
+    out = run1('set(attributes["entrypoint-root"], name) where IsRootSpan()',
+               tbl)
+    assert got(out, "entrypoint-root") == "s"
 
 
 def test_corpus_value_expression_map_variants():
