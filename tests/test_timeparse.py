@@ -204,3 +204,30 @@ def test_stage_over_dataset(ray_session):
     out = st.apply(ray.data.from_arrow(t)).to_pandas()
     assert list(out["timestamp"])[0] == pd.Timestamp(
         2019, 3, 8, 18, 41, 12, 152531) + pd.Timedelta(nanoseconds=115)
+
+
+def test_yaml_chain_time_and_severity(ray_session):
+    # the stanza YAML operator-chain surface drives both round-4
+    # config additions end-to-end
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        pipeline_from_yaml,
+    )
+
+    yaml_text = """
+operators:
+  - type: time_parser
+    parse_from: t
+    layout_type: gotime
+    layout: "2006-01-02T15:04:05.999Z"
+  - type: severity_parser
+    parse_from: lvl
+    mapping:
+      fatal: "5xx"
+    overwrite_text: true
+"""
+    t = pa.table({"t": ["2020-12-16T21:43:28.391Z"], "lvl": ["502"]})
+    out = pipeline_from_yaml(yaml_text)(ray.data.from_arrow(t)).to_pandas()
+    assert out["timestamp"][0] == pd.Timestamp(2020, 12, 16, 21, 43, 28, 391000)
+    assert out["severity_number"][0] == 21 and out["severity_text"][0] == "FATAL"
