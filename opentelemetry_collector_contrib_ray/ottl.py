@@ -228,6 +228,10 @@ class _Parser:
         # (Sort(Split(path, "|"))): inner call -> temp column first
         self._pre: list[Statement] = []
         self._tmp_n = 0
+        # >0 while parsing a lambda body: nested-converter coercion is
+        # disabled there (the lambda analyzers pattern-match the raw
+        # converter dicts, and lambda params are not real columns)
+        self._lambda_depth = 0
 
     def _as_col(self, v: Any) -> Col:
         """A converter argument where a path is required: paths pass
@@ -402,21 +406,26 @@ class _Parser:
         self.expect(")")
         self.expect("=>")
         save, save_pre, save_tmp = self.pos, len(self._pre), self._tmp_n
+        self._lambda_depth += 1
         try:
             cond = self.parse_condition()
             if self.peek()[1] in (")", ","):
+                self._lambda_depth -= 1
                 return {"__lambda__": params, "body": ("cond", cond)}
         except OTTLParseError:
             pass
         self.pos, self._tmp_n = save, save_tmp
         del self._pre[save_pre:]
-        left = self.parse_value()
-        if self.peek()[1] in ("+", "*"):
-            _, arith = self.next()
-            right = self.parse_value()
-            return {"__lambda__": params,
-                    "body": ("arith", arith, left, right)}
-        return {"__lambda__": params, "body": ("value", left)}
+        try:
+            left = self.parse_value()
+            if self.peek()[1] in ("+", "*"):
+                _, arith = self.next()
+                right = self.parse_value()
+                return {"__lambda__": params,
+                        "body": ("arith", arith, left, right)}
+            return {"__lambda__": params, "body": ("value", left)}
+        finally:
+            self._lambda_depth -= 1
 
     def parse_list(self) -> list:
         self.expect("[")
@@ -753,11 +762,17 @@ class _Parser:
             if len(args) != 2 or not isinstance(args[0], list) \
                     or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"Concat([parts], sep) expected: {self.text!r}")
-            return {"__converter__": "concat", "args": {"parts": args[0], "sep": args[1]}}
+            parts = [self._as_col(p)
+                     if isinstance(p, dict) and "__converter__" in p
+                     and not self._lambda_depth else p
+                     for p in args[0]]
+            return {"__converter__": "concat", "args": {"parts": parts, "sep": args[1]}}
         if name == "Substring":
             if len(args) not in (3, 4):
                 raise OTTLParseError(f"Substring(path, start, len[, utf8Safe]) expected: {self.text!r}")
             extra = {"utf8_safe": bool(args[3])} if len(args) == 4 else {}
+            if isinstance(args[0], dict) and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if isinstance(args[0], str):
                 return self._fold1("substring",
                                    {"start": args[1], "length": args[2], **extra},
@@ -818,6 +833,9 @@ class _Parser:
                 return {"millisecond": d.microsecond // 1000,
                         "microsecond": d.microsecond,
                         "nanosecond": d.microsecond * 1000}[part]
+            if len(args) == 1 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "time_extract",
@@ -832,11 +850,17 @@ class _Parser:
                 from .stages.transform import Statement as _St
 
                 return float(args[0]) * _St._DUR_UNIT[unit]
+            if len(args) == 1 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "duration",
                     "args": {"src": args[0].name, "unit": unit}}
         if name in self._UNIX_CONVERTERS:
+            if len(args) == 1 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 1 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
             return {"__converter__": "unix",
@@ -844,6 +868,9 @@ class _Parser:
                              "unit": self._UNIX_CONVERTERS[name]}}
         if name in self._PREFIX_CONVERTERS:
             editor, key = self._PREFIX_CONVERTERS[name]
+            if len(args) == 2 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 2 or not isinstance(args[0], Col) \
                     or not isinstance(args[1], (str, Col)):
                 raise OTTLParseError(f"{name}(path, string) expected: {self.text!r}")
@@ -852,6 +879,8 @@ class _Parser:
         if name in self._CASE_CONVERTERS:
             if len(args) != 1:
                 raise OTTLParseError(f"{name}(path) expected: {self.text!r}")
+            if isinstance(args[0], dict) and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if isinstance(args[0], str):
                 return self._fold1("convert_case",
                                    {"case": self._CASE_CONVERTERS[name]}, args[0])
@@ -955,6 +984,8 @@ class _Parser:
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
             if isinstance(args[0], str) and isinstance(args[1], str):
                 return self._fold1("split", {"sep": args[1]}, args[0])
+            if isinstance(args[0], dict) and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if not isinstance(args[0], Col):
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
             return {"__converter__": "split",
@@ -969,11 +1000,17 @@ class _Parser:
             return {"__converter__": "is_root_span",
                     "args": {"src": "parent_span_id"}}
         if name == "IsInCIDR":
+            if len(args) == 2 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 2 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"IsInCIDR(path, cidr) expected: {self.text!r}")
             return {"__converter__": "is_in_cidr",
                     "args": {"src": args[0].name, "cidr": args[1]}}
         if name == "ContainsValue":
+            if len(args) == 2 and isinstance(args[0], dict) \
+                    and "__converter__" in args[0] and not self._lambda_depth:
+                args[0] = self._as_col(args[0])  # nested call
             if len(args) != 2 or not isinstance(args[0], Col):
                 raise OTTLParseError(f"ContainsValue(path, value) expected: {self.text!r}")
             return {"__converter__": "contains_value",

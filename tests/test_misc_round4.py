@@ -51,3 +51,29 @@ def test_is_root_span_rejects_args():
 
     with pytest.raises(OTTLParseError):
         parse_statement('set(x, IsRootSpan(span_id))')
+
+
+def test_nested_converter_composition():
+    # the reference allows arbitrary converter nesting (getters
+    # compose); the textual front-end materializes inner calls into
+    # scratch columns, dropped after the statement
+    import hashlib
+
+    t = pa.table({"eid": ["41", "42"], "s": ["foo.bar", "baz.qux"]})
+    stage = transform_from_ottl([
+        'set(h16, Substring(MD5(eid), 0, 16))',
+        'set(up_trim, Upper(TrimSuffix(s, ".bar")))',
+        'set(joined, Concat([SHA256(eid), Upper(s)], "|"))',
+        'set(yy, Year(Unix(Int(eid))))',
+        'set(pre, HasPrefix(Lower(s), "foo"))',
+        'set(snake, ToSnakeCase(Upper(s)))',
+    ], error_mode="propagate")
+    out = stage.fn(t)
+    assert out["h16"][0].as_py() == hashlib.md5(b"41").hexdigest()[:16]
+    assert out["up_trim"].to_pylist() == ["FOO", "BAZ.QUX"]
+    assert out["joined"][0].as_py() == \
+        hashlib.sha256(b"41").hexdigest() + "|FOO.BAR"
+    assert out["yy"].to_pylist() == [1970, 1970]
+    assert out["pre"].to_pylist() == [True, False]
+    # scratch columns do not leak into the output schema
+    assert not [c for c in out.column_names if c.startswith("__ottl_tmp")]
