@@ -231,3 +231,48 @@ operators:
     out = pipeline_from_yaml(yaml_text)(ray.data.from_arrow(t)).to_pandas()
     assert out["timestamp"][0] == pd.Timestamp(2020, 12, 16, 21, 43, 28, 391000)
     assert out["severity_number"][0] == 21 and out["severity_text"][0] == "FATAL"
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=4_102_444_800))  # 1970..2100
+def test_epoch_seconds_roundtrip(sec):
+    st_ = TimeParserStage("t", "s", layout_type="epoch")
+    out = st_.fn(pa.table({"t": pa.array([sec], pa.int64())}))
+    assert out["timestamp"][0].as_py() == datetime.utcfromtimestamp(sec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.datetimes(min_value=datetime(1970, 1, 2),
+                    max_value=datetime(2099, 12, 31)))
+def test_strftime_strptime_roundtrip(dt):
+    # render with pyarrow strftime at second resolution, parse back
+    # through the strptime path: must round-trip exactly
+    import pyarrow.compute as pc
+
+    dt = dt.replace(microsecond=0)
+    secs = pa.array([dt], pa.timestamp("s"))
+    s = pc.strftime(secs, format="%Y-%m-%dT%H:%M:%S")
+    st_ = TimeParserStage("t", "%Y-%m-%dT%H:%M:%S", layout_type="strptime",
+                          on_error="propagate")
+    out = st_.fn(pa.table({"t": s}))
+    assert out["timestamp"][0].as_py() == dt
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.datetimes(min_value=datetime(1970, 1, 2),
+                    max_value=datetime(2099, 12, 31)),
+       st.sampled_from(["ms", "us"]))
+def test_epoch_subsecond_string_roundtrip(dt, unit):
+    dt = dt.replace(microsecond=123456 if unit == "us" else 123000)
+    epoch = int(dt.replace(tzinfo=timezone.utc).timestamp())
+    digits = {"ms": 3, "us": 6}[unit]
+    frac = dt.microsecond // (1000 if unit == "ms" else 1)
+    sample = f"{epoch}.{frac:0{digits}d}"
+    st_ = TimeParserStage("t", f"s.{unit}", layout_type="epoch")
+    out = st_.fn(pa.table({"t": [sample]}))
+    assert out["timestamp"][0].as_py() == dt
