@@ -243,3 +243,94 @@ def ensure_raw_log(sf_dir_or_sf) -> str:
     with open(marker, "w") as fh:
         fh.write("ok")
     return out_dir
+
+
+# ------------------------------------------------------------- header
+
+def _strip_header(t: pa.Table, pattern: str,
+                  metadata_regexes: list) -> tuple[pa.Table, dict]:
+    """filelog ``header:`` support (fileconsumer/internal/header/
+    reader.go:47-72): consecutive LEADING lines matching ``pattern``
+    are header lines — consumed, not emitted. Each runs through the
+    metadata regexes (the reference's metadata_operators are regex
+    parsers); named-group matches upsert into the file's attribute
+    set, later lines overwriting earlier keys (maps.Copy). Returns
+    (remaining lines, attrs).
+
+    Header lines are O(header) per file — a handful at file open, so
+    row-at-a-time here is the same cost shape as the reference."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    m = pc.match_substring_regex(t["line"], pattern=pattern) \
+        .to_numpy(zero_copy_only=False).astype(bool)
+    k = len(m) if m.all() else int(np.argmin(m))
+    attrs: dict = {}
+    compiled = [_re.compile(r) if isinstance(r, str) else r
+                for r in metadata_regexes]
+    for i in range(k):
+        line = t["line"][i].as_py()
+        for rx in compiled:
+            mm = rx.search(line)
+            if mm:
+                attrs.update({g: v for g, v in mm.groupdict().items()
+                              if v is not None})
+    return t.slice(k), attrs
+
+
+def read_log_lines_with_header(path_or_glob: str | list[str],
+                               header_pattern: str,
+                               header_metadata_regexes: list,
+                               encoding: str = "utf-8",
+                               attr_keys: list[str] | None = None
+                               ) -> ray.data.Dataset:
+    """(path, line_no, line, <header attrs...>) rows: like
+    ``read_log_lines`` but consuming a filelog-style header per file
+    and attaching its parsed attributes to every row of that file as
+    constant (dictionary-friendly) columns.
+
+    ``attr_keys`` pins the emitted header-column set (null where a
+    file's header lacked a key) so every block has one schema even
+    when files disagree; without it the column set is the union seen
+    within each read task."""
+    pyenc = lookup_encoding(encoding)
+    paths = (sorted(_glob.glob(path_or_glob))
+             if isinstance(path_or_glob, str) else list(path_or_glob))
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def split(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            t = _split_lines_arrow(path, data, encoding=pyenc)
+            if t is None:
+                continue
+            t, attrs = _strip_header(t, header_pattern,
+                                     header_metadata_regexes)
+            if t.num_rows == 0:
+                continue
+            pieces.append((t, attrs))
+        if not pieces:
+            empty = {"path": pa.array([], pa.string()),
+                     "line_no": pa.array([], pa.int64()),
+                     "line": pa.array([], pa.string())}
+            for k in (attr_keys or []):
+                empty[k] = pa.array([], pa.string())
+            return pa.table(empty)
+        # one schema across the batch: the union of header keys, null
+        # where a file's header lacked a key
+        keys = (list(attr_keys) if attr_keys is not None
+                else sorted({k for _, a in pieces for k in a}))
+        out = []
+        for t, attrs in pieces:
+            for k in keys:
+                v = attrs.get(k)
+                col = (pa.nulls(t.num_rows, pa.string()) if v is None
+                       else pa.array([v] * t.num_rows, pa.string()))
+                t = t.append_column(k, col)
+            out.append(t)
+        return pa.concat_tables(out, promote_options="none")
+
+    return ds.map_batches(split, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

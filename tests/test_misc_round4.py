@@ -77,3 +77,51 @@ def test_nested_converter_composition():
     assert out["pre"].to_pylist() == [True, False]
     # scratch columns do not leak into the output schema
     assert not [c for c in out.column_names if c.startswith("__ottl_tmp")]
+
+
+def test_filelog_header(ray_session, tmp_path):
+    # fileconsumer/internal/header/reader.go: leading pattern-matching
+    # lines are consumed, metadata regexes upsert into the file's
+    # attributes (later lines overwrite), attrs attach to every entry
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.sources.rawtext import (
+        read_log_lines_with_header,
+    )
+
+    (tmp_path / "a.log").write_text(
+        "#env=stage\n#env=prod\n#region=us-east\n"
+        "line one\nline two\n# not a header anymore\n")
+    (tmp_path / "b.log").write_text("#env=dev\npayload\n")
+    ds = read_log_lines_with_header(
+        str(tmp_path / "*.log"), r"^#",
+        [r"^#env=(?P<env>.*)", r"^#region=(?P<region>.*)"],
+        attr_keys=["env", "region"])
+    df = ds.to_pandas().sort_values(["path", "line_no"]).reset_index(drop=True)
+    a = df[df["path"].str.endswith("a.log")]
+    # upsert: the second #env line overwrote the first
+    assert set(a["env"]) == {"prod"} and set(a["region"]) == {"us-east"}
+    # header ends at the first non-matching line; later '#' lines are
+    # ordinary entries
+    assert list(a["line"]) == ["line one", "line two",
+                               "# not a header anymore"]
+    b = df[df["path"].str.endswith("b.log")]
+    assert set(b["env"]) == {"dev"} and b["region"].isna().all()
+    assert list(b["line"]) == ["payload"]
+
+
+def test_filelog_header_no_match_is_no_header(ray_session, tmp_path):
+    # a first line that does not match the pattern means NO header
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.sources.rawtext import (
+        read_log_lines_with_header,
+    )
+
+    (tmp_path / "c.log").write_text("plain\n#env=prod\n")
+    ds = read_log_lines_with_header(
+        str(tmp_path / "*.log"), r"^#", [r"^#env=(?P<env>.*)"],
+        attr_keys=["env"])
+    df = ds.to_pandas()
+    assert list(df["line"]) == ["plain", "#env=prod"]
+    assert df["env"].isna().all()
