@@ -1814,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_as_logs": _q_metrics_as_logs,
         "is_root_span": _q_is_root_span,
         "time_parse": _q_time_parse,
+        "uri_parse": _q_uri_parse,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1834,7 +1835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ottl_funcs": _q_ottl_funcs,
         "asof_join": _q_asof_join,
         "metric_start_time": _q_metric_start_time,
-        "hopping_counts": _q_hopping_counts,
         "events_anomalies": _q_events_anomalies,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1862,11 +1862,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raw_lines_parse": _q_raw_lines_parse,
         "severity": _q_severity,
         "route_sink_counts": _q_route_counts,
-        # lang_id + range_join rotated below the cutoff this round
-        # (green r3, stages unchanged) to make room for is_root_span
-        # and time_parse above
+        # lang_id + range_join + hopping_counts rotated below the
+        # cutoff this round (green r3, stages unchanged) to make room
+        # for is_root_span, time_parse and the behavior-changed
+        # uri_parse above
         "lang_id": _q_lang_id,
         "range_join": _q_range_join,
+        "hopping_counts": _q_hopping_counts,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
@@ -1891,7 +1893,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unroll_payload": _q_unroll,
         "kv_parse": _q_kv_parse,
         "csv_parse": _q_csv_parse,
-        "uri_parse": _q_uri_parse,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "dur_histogram": _q_dur_histogram,

@@ -384,13 +384,21 @@ class CsvParser:
 
 @register("uri_parser")
 class UriParser:
-    """stanza uri_parser (parser/uri, wraps internal/parseutils):
-    scheme/host/port/path/query columns via one RE2 named-group pass."""
+    """stanza uri_parser (parser/uri, wraps internal/parseutils
+    ParseURI, uri.go:22-127): scheme/user/host/port/path/query columns
+    via one RE2 named-group pass. Accepts the same request-URI shapes
+    as url.ParseRequestURI — absolute (`https://u:p@h:443/p?q`),
+    relative (`/p?q`), and bare query (`?q`) — and rejects bare words.
+    Flat-model adaptation: ``query`` is the raw query string (the
+    reference explodes it into a map of value lists; a fixed Arrow
+    schema keeps the string — split downstream with ParseKeyValue),
+    and absent components are null rather than omitted keys."""
 
     URI_REGEX = (
-        r"^(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
-        r"(?P<host>[^/:?#]+)(?::(?P<port>\d+))?"
-        r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?"
+        r"^(?:(?P<scheme>[a-zA-Z][a-zA-Z0-9+.-]*)://"
+        r"(?:(?P<user>[^:@/?#]*)(?::[^@/?#]*)?@)?"
+        r"(?P<host>[^/:?#]+)(?::(?P<port>\d+))?)?"
+        r"(?P<path>/[^?#]*)?(?:\?(?P<query>[^#]*))?(?:#.*)?$"
     )
 
     def __init__(self, parse_from: str, on_error: str = "send", prefix: str = ""):
@@ -400,6 +408,26 @@ class UriParser:
 
     def fn(self, batch: pa.Table) -> pa.Table:
         out, ok = _extract_columns(batch, self.URI_REGEX, self.parse_from, {}, self.prefix)
+        # RE2 reports non-participating optional groups as "": null
+        # them, mirroring the reference's omitted keys (urlToMap
+        # excludes unset components)
+        p = self.prefix
+        for g in ("scheme", "user", "host", "port", "path", "query"):
+            col = out[p + g]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            col = pc.if_else(pc.equal(col, ""),
+                             pa.nulls(len(col), pa.string()), col)
+            out = out.set_column(out.schema.get_field_index(p + g), p + g, col)
+        # the all-optional regex matches the empty string; ParseURI
+        # requires SOME recognized component (scheme, path or query)
+        some = pc.or_(pc.or_(pc.is_valid(out[p + "scheme"]),
+                             pc.is_valid(out[p + "path"])),
+                      pc.is_valid(out[p + "query"]))
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        ok = pc.and_(ok, some.combine_chunks()
+                     if isinstance(some, pa.ChunkedArray) else some)
         if self.on_error.startswith("drop"):
             return out.filter(ok)
         return out

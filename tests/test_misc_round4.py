@@ -125,3 +125,36 @@ def test_filelog_header_no_match_is_no_header(ray_session, tmp_path):
     df = ds.to_pandas()
     assert list(df["line"]) == ["plain", "#env=prod"]
     assert df["env"].isna().all()
+
+
+def test_uri_parser_request_uri_shapes():
+    # parseutils.ParseURI (uri.go:22-127) via parser/uri TestProcess:
+    # absolute, userinfo, relative, bare-query, and rejection shapes.
+    # Flat-model: query is the raw string, absent components null.
+    from opentelemetry_collector_contrib_ray.stages.parse import UriParser
+
+    t = pa.table({"u": [
+        "https://google.com:443/path?user=dev",        # TestProcess default
+        "http://admin:pw@host.example:8080/a/b?x=1&x=2",
+        "/relative/path?q=1",                          # ParseRequestURI relative
+        "?user=dev&env=stage",                         # bare query (uri.go:25-31)
+        "invalid",                                     # ParseRequestURI error
+        "",                                            # empty -> error
+        "sp://x/y#frag",                               # fragment dropped (urlToMap)
+    ]})
+    out = UriParser("u", on_error="send").fn(t)
+    rows = out.to_pylist()
+    assert rows[0]["scheme"] == "https" and rows[0]["host"] == "google.com" \
+        and rows[0]["port"] == "443" and rows[0]["path"] == "/path" \
+        and rows[0]["query"] == "user=dev" and rows[0]["user"] is None
+    assert rows[1]["user"] == "admin" and rows[1]["host"] == "host.example" \
+        and rows[1]["port"] == "8080" and rows[1]["query"] == "x=1&x=2"
+    assert rows[2]["scheme"] is None and rows[2]["host"] is None \
+        and rows[2]["path"] == "/relative/path" and rows[2]["query"] == "q=1"
+    assert rows[3]["path"] is None and rows[3]["query"] == "user=dev&env=stage"
+    assert rows[6]["scheme"] == "sp" and rows[6]["path"] == "/y" \
+        and rows[6]["query"] is None
+
+    dropped = UriParser("u", on_error="drop").fn(t)
+    # "invalid" and "" are rejected like ParseRequestURI
+    assert dropped.num_rows == 5
