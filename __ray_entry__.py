@@ -1815,6 +1815,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "is_root_span": _q_is_root_span,
         "time_parse": _q_time_parse,
         "uri_parse": _q_uri_parse,
+        "csv_parse": _q_csv_parse,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1847,7 +1848,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tail_policies": _q_tail_policies,
         "dedup_windowed": _q_dedup_windowed,
         "events_iforest": _q_events_iforest,
-        "geoip_enrich": _q_geoip_enrich,
         "filter_rows": _q_filter_rows,
         "redact_props": _q_redact_props,
         "genai_norm": _q_genai_norm,
@@ -1869,6 +1869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "range_join": _q_range_join,
         "hopping_counts": _q_hopping_counts,
+        "geoip_enrich": _q_geoip_enrich,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
@@ -1892,7 +1893,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "guarded_tool_counts": _q_guarded_tool_counts,
         "unroll_payload": _q_unroll,
         "kv_parse": _q_kv_parse,
-        "csv_parse": _q_csv_parse,
         "events_hourly": _q_events_hourly,
         "events_json": _q_events_json,
         "dur_histogram": _q_dur_histogram,

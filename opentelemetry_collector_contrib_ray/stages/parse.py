@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -330,52 +332,189 @@ class KeyValueParser:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
 
 
+def _lazy_csv_split(row: str, d: str) -> list[str]:
+    """Go encoding/csv LazyQuotes semantics (used by parser/csv when
+    lazy_quotes: a quote in an unquoted field is literal; a non-doubled
+    quote in a quoted field is literal; a quoted field ends at a quote
+    followed by the delimiter or end of line)."""
+    fields: list[str] = []
+    cur: list[str] = []
+    i, n = 0, len(row)
+    in_q = False
+    field_start = True
+    while i < n:
+        c = row[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < n and row[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
+                if i + 1 == n or row[i + 1] == d:
+                    in_q = False
+                    i += 1
+                    continue
+                cur.append('"')  # lazy: literal quote
+                i += 1
+                continue
+            cur.append(c)
+            i += 1
+            continue
+        if field_start and c == '"':
+            in_q = True
+            field_start = False
+            i += 1
+            continue
+        if c == d:
+            fields.append("".join(cur))
+            cur = []
+            field_start = True
+            i += 1
+            continue
+        cur.append(c)
+        field_start = False
+        i += 1
+    fields.append("".join(cur))
+    return fields
+
+
 @register("csv_parser")
 class CsvParser:
-    """stanza csv_parser (parser/csv/parser.go:94-130): header-defined
-    field split. Vectorized: ``pc.split_pattern`` + position-indexed
-    columns; rows with fewer fields than the header get nulls
-    (non-strict) or are dropped (on_error='drop'). Quoting modes are
-    out of scope for the vectorized path (note: parser.go supports
-    lazy quotes; use a JsonParser-style Python fallback if needed)."""
+    """stanza csv_parser (parser/csv/parser.go:94-130 over Go
+    encoding/csv) with the full config surface: static ``header``
+    (list or delimiter-joined string), dynamic ``header_attribute``
+    (per-row header column, config.go:41), ``lazy_quotes`` /
+    ``ignore_quotes`` modes (mutually exclusive, config.go:76-78), and
+    strict field-count errors (count != header length).
+
+    Execution shape: rows WITHOUT a quote character take the
+    vectorized split path (``pc.split_pattern`` + position-indexed
+    columns — the overwhelmingly common case in machine logs); only
+    rows containing ``"`` fall back to per-row RFC-4180 (strict,
+    doubled-quote escapes via Python csv) or the Go LazyQuotes state
+    machine. With ``ignore_quotes`` every row takes the split path
+    (parser.go: quotes are ordinary characters)."""
 
     def __init__(
         self,
         parse_from: str,
-        header: list[str],
+        header: list[str] | str | None = None,
         delimiter: str = ",",
         on_error: str = "send",
         prefix: str = "",
+        lazy_quotes: bool = False,
+        ignore_quotes: bool = False,
+        header_attribute: str | None = None,
+        header_delimiter: str | None = None,
     ):
+        if lazy_quotes and ignore_quotes:
+            raise ValueError(
+                "only one of 'ignore_quotes' or 'lazy_quotes' can be true")
+        if len(delimiter) != 1:
+            raise ValueError("invalid 'delimiter': must be a single character")
+        if header is None and header_attribute is None:
+            raise ValueError("missing required field 'header'")
+        self.header_delimiter = header_delimiter or delimiter
+        if isinstance(header, str):
+            if self.header_delimiter not in header:
+                raise ValueError(
+                    "missing field delimiter in header")
+            header = header.split(self.header_delimiter)
         self.parse_from = parse_from
         self.header = header
         self.delimiter = delimiter
         self.on_error = on_error
         self.prefix = prefix
+        self.lazy_quotes = lazy_quotes
+        self.ignore_quotes = ignore_quotes
+        self.header_attribute = header_attribute
+
+    # ------------------------------------------------------ one header
+
+    def _parse_group(self, src: pa.Array, header: list[str]
+                     ) -> tuple[list[pa.Array], np.ndarray]:
+        """-> (one string array per header field, ok mask)."""
+        import csv as _csv
+        import io as _io
+
+        h = len(header)
+        counts = pc.list_value_length(pc.split_pattern(src, pattern=self.delimiter))
+        ok = pc.fill_null(pc.equal(counts, h), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        padded = pc.binary_join_element_wise(
+            pc.fill_null(src, ""), pa.scalar(self.delimiter * (h - 1)), "")
+        parts = pc.split_pattern(padded, pattern=self.delimiter)
+        cols = [pc.list_flatten(pc.list_slice(parts, start=i, stop=i + 1))
+                for i in range(h)]
+        if self.ignore_quotes:
+            return cols, ok
+        quoted = pc.fill_null(pc.match_substring(src, '"'), False) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        if not quoted.any():
+            return cols, ok
+        # slow path only for the rows that contain a quote character
+        np_cols = [c.to_numpy(zero_copy_only=False).astype(object)
+                   for c in cols]
+        for i in np.nonzero(quoted)[0]:
+            row = src[int(i)].as_py()
+            try:
+                if self.lazy_quotes:
+                    fields = _lazy_csv_split(row, self.delimiter)
+                else:
+                    fields = next(_csv.reader(
+                        _io.StringIO(row), delimiter=self.delimiter,
+                        doublequote=True, strict=True))
+            except (StopIteration, _csv.Error):
+                ok[i] = False
+                continue
+            if len(fields) != h:
+                ok[i] = False
+                for j in range(h):
+                    np_cols[j][i] = None
+                continue
+            ok[i] = True
+            for j in range(h):
+                np_cols[j][i] = fields[j]
+        cols = [pa.array(c, pa.string()) for c in np_cols]
+        return cols, ok
+
+    # ----------------------------------------------------------- entry
 
     def fn(self, batch: pa.Table) -> pa.Table:
         src = batch[self.parse_from]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        h = len(self.header)
-        ok = pc.fill_null(
-            pc.greater_equal(
-                pc.list_value_length(pc.split_pattern(src, pattern=self.delimiter)), h
-            ),
-            False,
-        )
-        # pad so every row splits into >= h fields (short rows get ''),
-        # keeping list_slice+flatten row-aligned; `ok` still marks short
-        # rows so on_error='drop' matches strict csv field-count errors
-        padded = pc.binary_join_element_wise(
-            pc.fill_null(src, ""), pa.scalar(self.delimiter * (h - 1)), ""
-        )
-        parts = pc.split_pattern(padded, pattern=self.delimiter)
-        for i, name in enumerate(self.header):
-            val = pc.list_flatten(pc.list_slice(parts, start=i, stop=i + 1))
-            batch = batch.append_column(self.prefix + name, val)
+        if self.header_attribute is None:
+            cols, ok = self._parse_group(src, self.header)
+            for name, col in zip(self.header, cols):
+                batch = batch.append_column(self.prefix + name, col)
+        else:
+            # dynamic per-row header (config.go:41): group rows by the
+            # DISTINCT header value — log streams carry one or two —
+            # and parse each group with its own header; the output
+            # column set is the union, null outside a row's own header
+            hdr_col = batch[self.header_attribute]
+            if isinstance(hdr_col, pa.ChunkedArray):
+                hdr_col = hdr_col.combine_chunks()
+            hdrs = hdr_col.to_numpy(zero_copy_only=False)
+            n = batch.num_rows
+            ok = np.zeros(n, dtype=bool)
+            out_cols: dict[str, np.ndarray] = {}
+            for hdr in pd.unique(hdrs):
+                rows = np.nonzero(hdrs == hdr)[0]
+                header = str(hdr).split(self.header_delimiter)
+                sub = src.take(pa.array(rows))
+                cols, sub_ok = self._parse_group(sub, header)
+                ok[rows] = sub_ok
+                for name, col in zip(header, cols):
+                    if name not in out_cols:
+                        out_cols[name] = np.full(n, None, dtype=object)
+                    out_cols[name][rows] = col.to_numpy(zero_copy_only=False)
+            for name, vals in out_cols.items():
+                batch = batch.append_column(self.prefix + name,
+                                            pa.array(vals, pa.string()))
         if self.on_error.startswith("drop"):
-            batch = batch.filter(ok)
+            batch = batch.filter(pa.array(ok))
         return batch
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -158,3 +158,64 @@ def test_uri_parser_request_uri_shapes():
     dropped = UriParser("u", on_error="drop").fn(t)
     # "invalid" and "" are rejected like ParseRequestURI
     assert dropped.num_rows == 5
+
+
+def test_csv_parser_quote_modes():
+    # parser/csv/parser_test.go: empty field, comma-in-quotes,
+    # quotes-in-quotes (doubled escape), tab delimiter, field-count
+    # mismatch error, lazy quotes, ignore quotes, dynamic
+    # header_attribute
+    from opentelemetry_collector_contrib_ray.stages.parse import CsvParser
+
+    hdr = ["name", "address", "age", "phone", "position"]
+    t = pa.table({"b": [
+        "stanza,Evergreen,,555-5555,agent",
+        'stanza,"Evergreen,49508",1,555-5555,agent',
+        '"bob ""the man""",Evergreen,1,555-5555,agent',
+    ]})
+    out = CsvParser("b", header=hdr).fn(t).to_pylist()
+    assert out[0]["age"] == "" and out[0]["name"] == "stanza"
+    assert out[1]["address"] == "Evergreen,49508"
+    assert out[2]["name"] == 'bob "the man"'
+
+    # parse-failure-num-fields-mismatch: 3 fields vs 4-field header
+    t2 = pa.table({"b": ["1,400,555-555-5555"]})
+    assert CsvParser("b", header="name,age,height,number",
+                     on_error="drop").fn(t2).num_rows == 0
+
+    # parse-with-lazy-quotes: bare quotes in an unquoted field
+    t3 = pa.table({"b": ['stanza "log parser",1,6ft,5']})
+    o3 = CsvParser("b", header="name,age,height,number",
+                   lazy_quotes=True).fn(t3).to_pylist()
+    assert o3[0]["name"] == 'stanza "log parser"'
+    o4 = CsvParser("b", header="name,age,height,number",
+                   ignore_quotes=True).fn(t3).to_pylist()
+    assert o4[0]["name"] == 'stanza "log parser"'
+
+    # header_attribute: per-row dynamic headers, union schema
+    t5 = pa.table({"b": ["stanza dev,1,400,555-555-5555", "x,y"],
+                   "Fields": ["name,age,height,number", "a,b"]})
+    o5 = CsvParser("b", header_attribute="Fields").fn(t5).to_pylist()
+    assert o5[0]["name"] == "stanza dev" and o5[0].get("a") is None
+    assert o5[1]["a"] == "x" and o5[1].get("name") is None
+
+    # tab delimiter with delimiter-joined header string
+    t6 = pa.table({"b": ["stanza\tEvergreen\t1\t555-5555\tagent"]})
+    o6 = CsvParser("b", header="name\taddress\tage\tphone\tposition",
+                   delimiter="\t").fn(t6).to_pylist()
+    assert o6[0]["address"] == "Evergreen"
+
+
+def test_csv_parser_build_failures():
+    # config.go:76-78 + delimiter validation + missing header
+    from opentelemetry_collector_contrib_ray.stages.parse import CsvParser
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="only one of"):
+        CsvParser("b", header="a,b", lazy_quotes=True, ignore_quotes=True)
+    with _pt.raises(ValueError, match="single character"):
+        CsvParser("b", header="a,b", delimiter=";;")
+    with _pt.raises(ValueError, match="missing required field"):
+        CsvParser("b")
+    with _pt.raises(ValueError, match="missing field delimiter"):
+        CsvParser("b", header="nodelimiter")
