@@ -1,0 +1,183 @@
+"""opentelemetry-collector style service config -> runnable Ray Data
+pipelines (pipelines/config.collector_from_yaml): receivers
+(filelog incl. multiline/header/operators, parquet), processors
+(transform/filter/attributes/redaction/probabilistic_sampler),
+exporters (file/Parquet), service.pipelines wiring, and fail-loud on
+unsupported component types."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from opentelemetry_collector_contrib_ray.pipelines.config import (
+    collector_from_yaml,
+)
+
+
+def _write_log(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_end_to_end_logs_pipeline(ray_session, tmp_path):
+    log = _write_log(tmp_path, "app.log",
+                     "INFO start id=1 user=alice\n"
+                     "DEBUG noisy id=2 user=bob\n"
+                     "ERROR boom id=3 user=carol\n")
+    out = str(tmp_path / "out")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) id=(?P<id>\\d+) user=(?P<user>\\w+)'
+processors:
+  filter:
+    logs:
+      log_record:
+        - 'level == "DEBUG"'
+  transform:
+    log_statements:
+      - statements:
+          - 'set(env, "prod")'
+          - 'set(user_upper, Upper(user))'
+  attributes:
+    actions:
+      - action: insert
+        key: team
+        value: core
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [filter, transform, attributes]
+      exporters: [file]
+""")
+    paths = pipes["logs"].run()
+    assert paths == {"file": out}
+    df = pq.read_table(out).to_pandas().sort_values("line_no")
+    assert list(df["level"]) == ["INFO", "ERROR"]  # DEBUG dropped
+    assert list(df["user_upper"]) == ["ALICE", "CAROL"]
+    assert set(df["env"]) == {"prod"} and set(df["team"]) == {"core"}
+
+
+def test_multiline_and_header_receivers(ray_session, tmp_path):
+    _write_log(tmp_path, "ml.log",
+               "#svc=payments\n"
+               "[entry] first\ncontinued line\n[entry] second\n")
+    out = str(tmp_path / "o2")
+    # header and multiline are mutually exclusive receiver features in
+    # this loader; exercise header here (multiline covered below)
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{tmp_path}/ml.log"]
+    header:
+      pattern: '^#'
+      metadata_regexes: ['^#svc=(?P<svc>.*)']
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert set(df["svc"]) == {"payments"}
+    assert len(df) == 3  # header line consumed
+
+    out3 = str(tmp_path / "o3")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog/ml:
+    include: ["{tmp_path}/ml.log"]
+    multiline:
+      line_start_pattern: '^[#\\[]'
+exporters:
+  file/x:
+    path: {out3}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog/ml]
+      exporters: [file/x]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out3).to_pandas().sort_values("first_line_no")
+    assert list(df["line"]) == ["#svc=payments", "[entry] first\ncontinued line",
+                                "[entry] second"]
+
+
+def test_sampler_and_redaction(ray_session, tmp_path):
+    log = _write_log(tmp_path, "s.log", "".join(
+        f"INFO m id={i} user=u{i}\n" for i in range(200)))
+    out = str(tmp_path / "o4")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) m id=(?P<id>\\d+) user=(?P<user>\\w+)'
+processors:
+  probabilistic_sampler:
+    sampling_percentage: 50
+    from_attribute: id
+  redaction:
+    allowed_keys: [id, user]
+    blocked_values: ['u1\\d\\d']
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [probabilistic_sampler, redaction]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert 50 < len(df) < 150  # ~50% by id hash
+    assert set(df.columns) == {"id", "user"}  # non-allowlisted dropped
+    assert all(u == "****" or not u.startswith("u1") or len(u) < 4
+               for u in df["user"])  # u1xx masked
+
+
+def test_unsupported_components_fail_loud(tmp_path):
+    with pytest.raises(ValueError, match="unsupported receiver"):
+        collector_from_yaml("""
+receivers:
+  kafka: {}
+exporters:
+  file: {path: /tmp/x}
+service:
+  pipelines:
+    logs: {receivers: [kafka], exporters: [file]}
+""")
+    with pytest.raises(ValueError, match="unsupported processor"):
+        collector_from_yaml("""
+receivers:
+  parquet: {path: /tmp/in}
+processors:
+  k8sattributes: {}
+exporters:
+  file: {path: /tmp/x}
+service:
+  pipelines:
+    logs: {receivers: [parquet], processors: [k8sattributes], exporters: [file]}
+""")
+    with pytest.raises(ValueError, match="requires service.pipelines"):
+        collector_from_yaml("receivers: {}\n")
