@@ -264,6 +264,45 @@ def _q_time_parse(sf_dir: str):
     return ds.select_columns(["event_id", "ts_rt", "ts_epoch_rt"])
 
 
+def _q_collector_yaml(sf_dir: str):
+    """The collector-style service config surface end-to-end and
+    SQL-checked: a parquet receiver over the transcript shards, a
+    transform processor (textual OTTL) and a filter processor
+    (filterprocessor drop-matching semantics), compiled by
+    collector_from_yaml into one fused streaming pipeline."""
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        collector_from_yaml,
+    )
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts,
+    )
+
+    tdir = ensure_transcripts(sf_dir)
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {tdir}
+processors:
+  transform:
+    log_statements:
+      - statements:
+          - 'set(role_upper, Upper(role))'
+          - 'set(tool_tag, tool)'
+          - 'set(tool_tag, "-") where tool == ""'
+  filter:
+    logs:
+      log_record:
+        - 'turn_idx >= 40'
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [transform, filter]
+""")
+    return pipes["logs"].dataset().select_columns(
+        ["conv_id", "turn_idx", "role_upper", "tool_tag"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1816,6 +1855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_parse": _q_time_parse,
         "uri_parse": _q_uri_parse,
         "csv_parse": _q_csv_parse,
+        "collector_yaml": _q_collector_yaml,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1835,7 +1875,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_prune": _q_span_prune,
         "ottl_funcs": _q_ottl_funcs,
         "asof_join": _q_asof_join,
-        "metric_start_time": _q_metric_start_time,
         "events_anomalies": _q_events_anomalies,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
@@ -1870,6 +1909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "hopping_counts": _q_hopping_counts,
         "geoip_enrich": _q_geoip_enrich,
+        "metric_start_time": _q_metric_start_time,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
         "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
@@ -2131,6 +2171,11 @@ qs AS (SELECT unnest([0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
               generate_subscripts([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
                                    0.99], 1) AS i)
 SELECT qs.q, vs.v[qs.i] AS value FROM qs, vs""",
+        "collector_yaml": f"""
+SELECT conv_id, turn_idx, upper(role) AS role_upper,
+       CASE WHEN tool IS NULL OR tool = '' THEN '-' ELSE tool END AS tool_tag
+FROM read_parquet('{tpath}')
+WHERE NOT (turn_idx >= 40)""",
         "time_parse": """
 SELECT event_id,
   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,

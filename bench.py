@@ -165,6 +165,7 @@ def _run_bench() -> dict:
         "metrics_as_logs",
         "is_root_span",
         "time_parse",
+        "collector_yaml",
     ]
     qs = e.queries()
     qtimes = {}

@@ -289,6 +289,6 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
         stages = [_build_processor(pr, processors[pr])
                   for pr in p.get("processors", [])]
         writers = [(e, _build_exporter(e, exporters[e]))
-                   for e in p["exporters"]]
+                   for e in p.get("exporters", [])]
         out[pname] = CollectorPipeline(readers, stages, writers)
     return out
