@@ -279,16 +279,89 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     receivers = cfg.get("receivers") or {}
     processors = cfg.get("processors") or {}
     exporters = cfg.get("exporters") or {}
+    connectors = cfg.get("connectors") or {}
     pipelines = (cfg.get("service") or {}).get("pipelines") or {}
     if not pipelines:
         raise ValueError("config requires service.pipelines")
 
+    # routing connector (connector/routingconnector): a component that
+    # is an EXPORTER of one pipeline and a RECEIVER of others. The
+    # upstream pipeline's stream gets a Router stage (ordered
+    # condition table -> `sink` column = target pipeline name); each
+    # downstream pipeline reads its slice. Downstream branches filter
+    # the shared lazy stream independently (each branch re-executes
+    # the upstream read — for a single fused write of all sinks use
+    # pipelines/flagship's write-audit-publish path instead).
+    routing_sources: dict[str, Any] = {}
+
+    def _routing_reader(conn_name: str, pipe_name: str):
+        def read() -> ray.data.Dataset:
+            import pyarrow.compute as _pc
+
+            ds = routing_sources[conn_name]()
+            return ds.map_batches(
+                lambda b: b.filter(
+                    _pc.equal(b["sink"], pipe_name)).drop_columns(["sink"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=None)
+        return read
+
     out: dict[str, CollectorPipeline] = {}
+    # first pass: pipelines that EXPORT to a routing connector define
+    # that connector's source stream
     for pname, p in pipelines.items():
-        readers = [_build_receiver(r, receivers[r]) for r in p["receivers"]]
+        routed = [e for e in p.get("exporters", []) if e in connectors]
+        for conn in routed:
+            ccfg = connectors[conn]
+            if _base_type(conn) != "routing":
+                raise ValueError(f"unsupported connector {conn!r}; "
+                                 "supported: routing")
+            from ..ottl import parse_condition_text
+            from ..stages.route import Router
+
+            for e in ccfg.get("table", []):
+                if len(e.get("pipelines", [])) != 1:
+                    raise ValueError(
+                        "routing table entries must target exactly one "
+                        "pipeline in this loader (got "
+                        f"{e.get('pipelines')!r})")
+            table = [{"condition": parse_condition_text(
+                          e.get("condition") or e.get("statement")),
+                      "sink": e["pipelines"][0]}
+                     for e in ccfg.get("table", [])]
+            default = (ccfg.get("default_pipelines") or ["__dropped__"])[0]
+            router = Router(table, default_sink=default)
+
+            def make_source(p=p, router=router):
+                def src() -> ray.data.Dataset:
+                    ds = _compose(p)
+                    return router.apply(ds)
+                return src
+            routing_sources[conn] = make_source()
+
+    def _compose(p) -> ray.data.Dataset:
+        readers = []
+        for r in p["receivers"]:
+            if r in connectors:
+                continue  # handled by _routing_reader below
+            readers.append(_build_receiver(r, receivers[r]))
+        ds = readers[0]()
+        for rd in readers[1:]:
+            ds = ds.union(rd())
+        for pr in p.get("processors", []):
+            ds = _build_processor(pr, processors[pr]).apply(ds)
+        return ds
+
+    for pname, p in pipelines.items():
+        readers = []
+        for r in p["receivers"]:
+            if r in connectors:
+                readers.append(_routing_reader(r, pname))
+            else:
+                readers.append(_build_receiver(r, receivers[r]))
         stages = [_build_processor(pr, processors[pr])
                   for pr in p.get("processors", [])]
         writers = [(e, _build_exporter(e, exporters[e]))
-                   for e in p.get("exporters", [])]
+                   for e in p.get("exporters", []) if e not in connectors]
         out[pname] = CollectorPipeline(readers, stages, writers)
     return out

@@ -181,3 +181,52 @@ service:
 """)
     with pytest.raises(ValueError, match="requires service.pipelines"):
         collector_from_yaml("receivers: {}\n")
+
+
+def test_routing_connector(ray_session, tmp_path):
+    # connector/routingconnector: one upstream pipeline fans out by an
+    # ordered condition table to downstream pipelines; unrouted rows
+    # follow default_pipelines
+    log = _write_log(tmp_path, "r.log",
+                     "ERROR boom id=1\nINFO ok id=2\nERROR again id=3\n"
+                     "WARN hmm id=4\n")
+    out_err = str(tmp_path / "errs")
+    out_rest = str(tmp_path / "rest")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) id=(?P<id>\\d+)'
+connectors:
+  routing:
+    table:
+      - condition: 'level == "ERROR"'
+        pipelines: [logs/errors]
+    default_pipelines: [logs/other]
+exporters:
+  file/errors:
+    path: {out_err}
+  file/other:
+    path: {out_rest}
+service:
+  pipelines:
+    logs/in:
+      receivers: [filelog]
+      exporters: [routing]
+    logs/errors:
+      receivers: [routing]
+      exporters: [file/errors]
+    logs/other:
+      receivers: [routing]
+      exporters: [file/other]
+""")
+    pipes["logs/errors"].run()
+    pipes["logs/other"].run()
+    errs = pq.read_table(out_err).to_pandas()
+    rest = pq.read_table(out_rest).to_pandas()
+    assert sorted(errs["id"]) == ["1", "3"]
+    assert sorted(rest["id"]) == ["2", "4"]
+    assert "sink" not in errs.columns
