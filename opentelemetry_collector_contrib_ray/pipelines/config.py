@@ -160,6 +160,13 @@ def _build_receiver(name: str, cfg: dict[str, Any]):
     return read
 
 
+class _Chain:
+    """Wrap a ds->ds callable in the .apply() stage shape."""
+
+    def __init__(self, apply_fn):
+        self.apply = apply_fn
+
+
 def _build_processor(name: str, cfg: dict[str, Any]):
     """-> stage with .apply(). Supported processor types: transform,
     filter, attributes, resource, redaction, probabilistic_sampler,
@@ -205,14 +212,29 @@ def _build_processor(name: str, cfg: dict[str, Any]):
                                     key=cfg["from_attribute"],
                                     hash_seed=cfg.get("hash_seed", 0))
     if t == "logstransform":
-        class _Chain:
-            def __init__(self, apply_fn):
-                self.apply = apply_fn
         return _Chain(logs_transform(cfg["operators"]))
+    if t in ("batch", "memory_limiter"):
+        # explicit NO-OPs (documented): batching is the Ray Data
+        # streaming executor's job (block sizing / backpressure) and
+        # memory limiting is the object-store spill policy — accepting
+        # these keeps real collector configs paste-able
+        return _Chain(lambda ds: ds)
+    if t == "logdedup":
+        from ..stages.dedup import dedup_windowed
+
+        return _Chain(lambda ds: dedup_windowed(
+            ds, cfg["id_field"], cfg["ts_field"],
+            exclude_fields=cfg.get("exclude_fields"),
+            window=cfg.get("interval", "hour")))
+    if t == "groupbyattrs":
+        from ..stages.reshape import group_by_attrs
+
+        return _Chain(lambda ds: group_by_attrs(ds, cfg["keys"]))
     raise ValueError(
         f"unsupported processor {name!r}; supported: transform, filter, "
         "attributes, resource, redaction, probabilistic_sampler, "
-        "logstransform")
+        "logstransform, logdedup, groupbyattrs, batch (no-op), "
+        "memory_limiter (no-op)")
 
 
 def _build_exporter(name: str, cfg: dict[str, Any]):
@@ -224,9 +246,16 @@ def _build_exporter(name: str, cfg: dict[str, Any]):
     if t != "file":
         raise ValueError(f"unsupported exporter {name!r}; supported: file")
     path = cfg["path"]
+    fmt = cfg.get("format", "parquet")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unsupported file exporter format {fmt!r}")
 
     def write(ds: ray.data.Dataset) -> str:
-        ds.write_parquet(path)
+        if fmt == "json":
+            # the reference fileexporter's JSON-lines shape
+            ds.write_json(path)
+        else:
+            ds.write_parquet(path)
         return path
 
     return write

@@ -230,3 +230,51 @@ service:
     assert sorted(errs["id"]) == ["1", "3"]
     assert sorted(rest["id"]) == ["2", "4"]
     assert "sink" not in errs.columns
+
+
+def test_batch_noop_logdedup_and_json_exporter(ray_session, tmp_path):
+    # batch/memory_limiter accepted as documented no-ops; logdedup
+    # maps to dedup_windowed; file exporter format: json writes
+    # JSON lines (the reference fileexporter's shape)
+    import json
+
+    log = _write_log(tmp_path, "d.log",
+                     "ERROR boom id=1\nERROR boom id=2\nINFO ok id=3\n")
+    out = str(tmp_path / "oj")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) id=(?P<id>\\d+)'
+      - type: time_parser
+        parse_from: id
+        layout_type: epoch
+        layout: s
+processors:
+  batch: {{}}
+  memory_limiter: {{}}
+  logdedup:
+    id_field: id
+    ts_field: timestamp
+    exclude_fields: [id, line, line_no, path, timestamp]
+exporters:
+  file:
+    path: {out}
+    format: json
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [batch, memory_limiter, logdedup]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    rows = []
+    for f in glob.glob(os.path.join(out, "*.json")):
+        with open(f) as fh:
+            rows += [json.loads(ln) for ln in fh if ln.strip()]
+    by_msg = {(r["level"], r["msg"]): r["log_count"] for r in rows}
+    assert by_msg[("ERROR", "boom")] == 2 and by_msg[("INFO", "ok")] == 1
