@@ -219,3 +219,64 @@ def test_csv_parser_build_failures():
         CsvParser("b")
     with _pt.raises(ValueError, match="missing field delimiter"):
         CsvParser("b", header="nodelimiter")
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st
+
+_field = st.text(
+    alphabet=st.characters(whitelist_categories=("L", "N", "P", "Zs"),
+                           blacklist_characters="\r\n"),
+    max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_field, min_size=2, max_size=5))
+def test_csv_writer_roundtrip_property(fields):
+    # serialize with Python's csv.writer (RFC-4180, doubled quotes),
+    # parse with CsvParser strict mode: must round-trip exactly
+    import csv as _csv
+    import io as _io
+
+    from opentelemetry_collector_contrib_ray.stages.parse import CsvParser
+
+    buf = _io.StringIO()
+    _csv.writer(buf, lineterminator="").writerow(fields)
+    row = buf.getvalue()
+    header = [f"c{i}" for i in range(len(fields))]
+    out = CsvParser("b", header=header, on_error="propagate").fn(
+        pa.table({"b": [row]}))
+    got = [out[f"c{i}"][0].as_py() for i in range(len(fields))]
+    assert got == fields
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sampled_from(["http", "https", "ftp", "sp-x"]),
+       st.text(alphabet="abcdefghij.-", min_size=1, max_size=10),
+       st.integers(min_value=1, max_value=65535) | st.none(),
+       st.text(alphabet="abc/0123", max_size=8),
+       st.text(alphabet="abc=&123", max_size=8))
+def test_uri_parser_vs_urllib_property(scheme, host, port, path, query):
+    # urllib.parse is the cross-implementation oracle for the absolute
+    # shapes our regex accepts
+    from urllib.parse import urlsplit
+
+    from opentelemetry_collector_contrib_ray.stages.parse import UriParser
+
+    host = host.strip(".-") or "h"
+    uri = f"{scheme}://{host}"
+    if port:
+        uri += f":{port}"
+    if path:
+        uri += "/" + path.lstrip("/")
+    if query:
+        uri += "?" + query
+    out = UriParser("u", on_error="propagate").fn(pa.table({"u": [uri]}))
+    row = out.to_pylist()[0]
+    ref = urlsplit(uri)
+    assert row["scheme"] == ref.scheme
+    assert row["host"] == ref.hostname
+    assert row["port"] == (str(ref.port) if ref.port else None)
+    assert (row["path"] or "") == ref.path
+    assert (row["query"] or "") == ref.query
