@@ -176,19 +176,25 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..ottl import transform_from_ottl
 
         stmts: list[str] = []
-        for grp in cfg.get("log_statements", []):
-            if isinstance(grp, str):
-                stmts.append(grp)
-            else:
-                stmts.extend(grp.get("statements", []))
+        # the flat table model makes log/trace/metric contexts the
+        # same surface — accept all three statement sections
+        for section in ("log_statements", "trace_statements",
+                        "metric_statements"):
+            for grp in cfg.get(section, []):
+                if isinstance(grp, str):
+                    stmts.append(grp)
+                else:
+                    stmts.extend(grp.get("statements", []))
         return transform_from_ottl(stmts,
                                    error_mode=cfg.get("error_mode", "ignore"))
     if t == "filter":
         from ..ottl import parse_condition_text
         from ..stages.transform import FilterStage
 
-        conds = [parse_condition_text(c)
-                 for c in (cfg.get("logs", {}).get("log_record", []))]
+        cond_strs = (cfg.get("logs", {}).get("log_record", [])
+                     + cfg.get("traces", {}).get("span", [])
+                     + cfg.get("metrics", {}).get("datapoint", []))
+        conds = [parse_condition_text(c) for c in cond_strs]
         if not conds:
             raise ValueError("filter processor requires logs.log_record")
         cond = conds[0]
@@ -250,10 +256,15 @@ def _build_exporter(name: str, cfg: dict[str, Any]):
     if fmt not in ("parquet", "json"):
         raise ValueError(f"unsupported file exporter format {fmt!r}")
 
+    partition_by = cfg.get("partition_by")
+
     def write(ds: ray.data.Dataset) -> str:
         if fmt == "json":
             # the reference fileexporter's JSON-lines shape
             ds.write_json(path)
+        elif partition_by:
+            # hive-partitioned output: resumable / prunable sinks
+            ds.write_parquet(path, partition_cols=partition_by)
         else:
             ds.write_parquet(path)
         return path

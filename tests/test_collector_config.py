@@ -278,3 +278,37 @@ service:
             rows += [json.loads(ln) for ln in fh if ln.strip()]
     by_msg = {(r["level"], r["msg"]): r["log_count"] for r in rows}
     assert by_msg[("ERROR", "boom")] == 2 and by_msg[("INFO", "ok")] == 1
+
+
+def test_statement_sections_and_partitioned_exporter(ray_session, tmp_path):
+    log = _write_log(tmp_path, "p.log",
+                     "ERROR a id=1\nINFO b id=2\nERROR c id=3\n")
+    out = str(tmp_path / "part")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) id=(?P<id>\\d+)'
+processors:
+  transform:
+    trace_statements:
+      - statements: ['set(kind, "span-ish")']
+exporters:
+  file:
+    path: {out}
+    partition_by: [level]
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [transform]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    parts = {os.path.basename(d) for d in glob.glob(os.path.join(out, "*"))}
+    assert parts == {"level=ERROR", "level=INFO"}
+    df = pq.read_table(out).to_pandas()
+    assert set(df["kind"]) == {"span-ish"} and len(df) == 3
