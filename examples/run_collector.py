@@ -3,7 +3,10 @@
 Usage: python examples/run_collector.py <config.yaml>
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import ray
 
