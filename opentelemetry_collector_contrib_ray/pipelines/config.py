@@ -120,7 +120,9 @@ def _build_receiver(name: str, cfg: dict[str, Any]):
     t = _base_type(name)
     if t == "parquet":
         path = cfg["path"]
-        return lambda: ray.data.read_parquet(path)
+        cols = cfg.get("columns")  # prune at the read — only the
+        # named columns leave storage
+        return lambda: ray.data.read_parquet(path, columns=cols)
     if t != "filelog":
         raise ValueError(f"unsupported receiver {name!r}; "
                          "supported: filelog, parquet")

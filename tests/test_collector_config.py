@@ -312,3 +312,38 @@ service:
     assert parts == {"level=ERROR", "level=INFO"}
     df = pq.read_table(out).to_pandas()
     assert set(df["kind"]) == {"span-ish"} and len(df) == 3
+
+
+def test_parquet_receiver_column_pruning_and_logstransform(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "in")
+    pq.write_table(pa.table({"a": ["x", "y"], "b": [1, 2],
+                             "unused": ["big"] * 2}),
+                   src + ".parquet")
+    out = str(tmp_path / "o5")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}.parquet
+    columns: [a, b]
+processors:
+  logstransform:
+    operators:
+      - type: transform
+        statements:
+          - 'set(a2, Upper(a))'
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [logstransform]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert set(df.columns) == {"a", "b", "a2"}  # 'unused' pruned at read
+    assert list(df.sort_values("a")["a2"]) == ["X", "Y"]
