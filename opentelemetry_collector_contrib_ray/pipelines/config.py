@@ -238,10 +238,20 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..stages.reshape import group_by_attrs
 
         return _Chain(lambda ds: group_by_attrs(ds, cfg["keys"]))
+    if t in ("cumulativetodelta", "deltatocumulative", "deltatorate"):
+        from ..stages import scan
+
+        fn = {"cumulativetodelta": scan.keyed_delta,
+              "deltatocumulative": scan.keyed_cumsum,
+              "deltatorate": scan.keyed_rate}[t]
+        return _Chain(lambda ds: fn(
+            ds, cfg["key_field"], cfg.get("ts_field", "ts"),
+            cfg["value_field"]))
     raise ValueError(
         f"unsupported processor {name!r}; supported: transform, filter, "
         "attributes, resource, redaction, probabilistic_sampler, "
-        "logstransform, logdedup, groupbyattrs, batch (no-op), "
+        "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
+        "deltatocumulative, deltatorate, batch (no-op), "
         "memory_limiter (no-op)")
 
 

@@ -347,3 +347,41 @@ service:
     df = pq.read_table(out).to_pandas()
     assert set(df.columns) == {"a", "b", "a2"}  # 'unused' pruned at read
     assert list(df.sort_values("a")["a2"]) == ["X", "Y"]
+
+
+def test_metric_scan_processors(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    src = str(tmp_path / "m.parquet")
+    pq.write_table(pa.table({
+        "k": ["a", "a", "a", "b", "b"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                              "2024-01-01 00:00:20", "2024-01-01 00:00:00",
+                              "2024-01-01 00:00:30"]),
+        "v": [10.0, 15.0, 25.0, 1.0, 4.0],
+    }), src)
+    out = str(tmp_path / "o6")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  cumulativetodelta:
+    key_field: k
+    ts_field: ts
+    value_field: v
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [cumulativetodelta]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas().sort_values(["k", "ts"])
+    assert list(df["delta"].fillna(-1)) == [-1, 5.0, 10.0, -1, 3.0] or \
+        list(df["delta"]) == [0.0, 5.0, 10.0, 0.0, 3.0]
