@@ -990,6 +990,25 @@ class _Parser:
                 raise OTTLParseError(f"Split(path, sep) expected: {self.text!r}")
             return {"__converter__": "split",
                     "args": {"src": args[0].name, "sep": args[1]}}
+        if name == "IsMatch":
+            # value-position IsMatch (func_is_match.go returns a bool
+            # VALUE; the where-clause fast path lives in
+            # _parse_comparison)
+            if len(args) != 2 or not isinstance(args[1], str):
+                raise OTTLParseError(
+                    f"IsMatch(value, pattern) expected: {self.text!r}")
+            if isinstance(args[0], str):
+                import re as _re
+
+                return bool(_re.search(args[1], args[0]))
+            if isinstance(args[0], dict) and "__converter__" in args[0] \
+                    and not self._lambda_depth:
+                args[0] = self._as_col(args[0])
+            if not isinstance(args[0], Col):
+                raise OTTLParseError(
+                    f"IsMatch target must be a path or string: {self.text!r}")
+            return {"__converter__": "is_match",
+                    "args": {"src": args[0].name, "pattern": args[1]}}
         if name == "IsRootSpan":
             # func_is_root_span.go: span.ParentSpanID().IsEmpty() —
             # in the flat span model the parent id is a hex-string
@@ -1566,7 +1585,7 @@ class _Parser:
 
     _BOOL_CONVERTERS = {"contains_value", "is_in_cidr", "is_valid_luhn",
                         "to_bool", "has_prefix", "has_suffix", "is_empty",
-                        "is_root_span",
+                        "is_root_span", "is_match",
                         "list_any", "list_all", "ottl_any", "ottl_all"}
 
     # ------------------------------------------------------- statements

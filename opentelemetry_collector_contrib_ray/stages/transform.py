@@ -1077,6 +1077,14 @@ class Statement:
         out = pc.if_else(pc.is_valid(col_), out, pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
+    def _op_is_match(self, tbl, mask, target: str, src: str, pattern: str):
+        # IsMatch (func_is_match.go): unanchored RE2 search over the
+        # value's string rendering; nil input -> nil
+        col_ = _val(tbl, Col(src))
+        s = pc.cast(col_, pa.string())
+        out = pc.match_substring_regex(s, pattern=pattern)
+        return _masked(tbl, target, out, mask)
+
     def _op_is_root_span(self, tbl, mask, target: str,
                          src: str = "parent_span_id"):
         # IsRootSpan (func_is_root_span.go:32-36):

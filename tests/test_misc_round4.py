@@ -280,3 +280,13 @@ def test_uri_parser_vs_urllib_property(scheme, host, port, path, query):
     assert row["port"] == (str(ref.port) if ref.port else None)
     assert (row["path"] or "") == ref.path
     assert (row["query"] or "") == ref.query
+
+
+def test_is_match_value_position():
+    # func_is_match.go: IsMatch returns a bool VALUE (not only a
+    # where-clause predicate); nil input -> nil
+    t = pa.table({"level": ["ERROR", "INFO", None]})
+    out = transform_from_ottl(
+        ['set(is_err, IsMatch(level, "^ERROR$"))'],
+        error_mode="propagate").fn(t)
+    assert out["is_err"].to_pylist() == [True, False, None]
