@@ -247,12 +247,56 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         return _Chain(lambda ds: fn(
             ds, cfg["key_field"], cfg.get("ts_field", "ts"),
             cfg["value_field"]))
+    if t == "tail_sampling":
+        from ..stages.tailpolicy import tail_sample_policies
+
+        pols = [_translate_tail_policy(p) for p in cfg["policies"]]
+        return _Chain(lambda ds: tail_sample_policies(
+            ds, cfg.get("group_key", "trace_id"),
+            cfg.get("ts_field", "ts"), pols))
     raise ValueError(
         f"unsupported processor {name!r}; supported: transform, filter, "
         "attributes, resource, redaction, probabilistic_sampler, "
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
-        "deltatocumulative, deltatorate, batch (no-op), "
+        "deltatocumulative, deltatorate, tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
+
+
+def _translate_tail_policy(p: dict) -> dict:
+    """tailsamplingprocessor policy YAML ({name, type, <type>: {...}},
+    config.go:312-330) -> the engine's flat policy dicts
+    (stages/tailpolicy module docstring). ``rate_allocation`` percent
+    entries translate to per-sub max_spans_per_second against the
+    composite's max_total_spans_per_second."""
+    t = p["type"]
+    body = p.get(t)
+    if body is None:
+        body = {k: v for k, v in p.items() if k not in ("name", "type")}
+    out = {"type": t}
+    if t == "and":
+        subs = body.get("and_sub_policy") or body.get("sub_policies") or []
+        out["sub_policies"] = [_translate_tail_policy(s) for s in subs]
+    elif t == "composite":
+        subs = body.get("composite_sub_policy") or body.get("sub_policies") or []
+        out["sub_policies"] = [_translate_tail_policy(s) for s in subs]
+        total = body.get("max_total_spans_per_second")
+        if total is not None:
+            out["max_total_spans_per_second"] = total
+        for alloc in body.get("rate_allocation", []):
+            for s, ts in zip(subs, out["sub_policies"]):
+                if s.get("name") == alloc["policy"]:
+                    ts["max_spans_per_second"] = int(
+                        total * alloc["percent"] / 100)
+    elif t == "drop":
+        subs = body.get("drop_sub_policy") or []
+        if "sub_policy" in body:
+            subs = [body["sub_policy"]]
+        ts = [_translate_tail_policy(s) for s in subs]
+        out["sub_policy"] = (ts[0] if len(ts) == 1
+                             else {"type": "and", "sub_policies": ts})
+    else:
+        out.update(body)
+    return out
 
 
 def _build_exporter(name: str, cfg: dict[str, Any]):

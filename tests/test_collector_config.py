@@ -385,3 +385,69 @@ service:
     df = pq.read_table(out).to_pandas().sort_values(["k", "ts"])
     assert list(df["delta"].fillna(-1)) == [-1, 5.0, 10.0, -1, 3.0] or \
         list(df["delta"]) == [0.0, 5.0, 10.0, 0.0, 3.0]
+
+
+def test_tail_sampling_processor(ray_session, tmp_path):
+    # tailsamplingprocessor policy YAML (config.go:312-330 nested
+    # shape) through the loader: latency OR error-status keeps a
+    # trace; a drop policy vetoes a blocked tool
+    import pyarrow as pa
+
+    rows = []
+    def trace(tid, n, dur_step_ms, status=200, tool="calc"):
+        for i in range(n):
+            rows.append({"trace_id": tid, "ts": i * dur_step_ms * 1000,
+                         "status": status, "tool": tool})
+    trace("slow", 4, 60)        # 180ms total -> latency keeps
+    trace("err", 3, 10, status=500)   # status keeps
+    trace("fast", 3, 10)        # nothing keeps
+    trace("blocked", 4, 60, tool="secret")  # latency would keep, drop vetoes
+    t = pa.table({
+        "trace_id": [r["trace_id"] for r in rows],
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        "status": [r["status"] for r in rows],
+        "tool": [r["tool"] for r in rows],
+    })
+    src = str(tmp_path / "spans.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "o7")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  tail_sampling:
+    group_key: trace_id
+    ts_field: ts
+    policies:
+      - name: keep-slow
+        type: latency
+        latency:
+          threshold_ms: 100
+      - name: keep-errors
+        type: status_code
+        status_code:
+          key: status
+          status_codes: [500]
+      - name: veto-secret
+        type: drop
+        drop:
+          drop_sub_policy:
+            - type: string_attribute
+              string_attribute:
+                key: tool
+                values: [secret]
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    traces:
+      receivers: [parquet]
+      processors: [tail_sampling]
+      exporters: [file]
+""")
+    pipes["traces"].run()
+    df = pq.read_table(out).to_pandas()
+    assert set(df["trace_id"]) == {"slow", "err"}
+    assert len(df) == 7  # every row of each sampled trace
