@@ -214,11 +214,23 @@ def _build_processor(name: str, cfg: dict[str, Any]):
                          blocked_value_patterns=cfg.get("blocked_values"),
                          mask=cfg.get("mask", "****"))
     if t == "probabilistic_sampler":
-        from ..stages.sample import ProbabilisticSampler
+        # config.go:34-76: mode hash_seed (default) | proportional |
+        # equalizing — the consistent OTEP-235 modes take the sampling
+        # randomness from a trace-id-like column
+        mode = cfg.get("mode", "hash_seed")
+        if mode == "hash_seed":
+            from ..stages.sample import ProbabilisticSampler
 
-        return ProbabilisticSampler(cfg["sampling_percentage"],
-                                    key=cfg["from_attribute"],
-                                    hash_seed=cfg.get("hash_seed", 0))
+            return ProbabilisticSampler(cfg["sampling_percentage"],
+                                        key=cfg["from_attribute"],
+                                        hash_seed=cfg.get("hash_seed", 0))
+        from ..stages.sample import ConsistentSampler
+
+        return ConsistentSampler(
+            mode, cfg["sampling_percentage"],
+            randomness_src=cfg.get("from_attribute", "trace_id"),
+            fail_closed=cfg.get("fail_closed", False),
+            priority_src=cfg.get("sampling_priority"))
     if t == "logstransform":
         return _Chain(logs_transform(cfg["operators"]))
     if t in ("batch", "memory_limiter"):

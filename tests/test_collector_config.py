@@ -451,3 +451,37 @@ service:
     df = pq.read_table(out).to_pandas()
     assert set(df["trace_id"]) == {"slow", "err"}
     assert len(df) == 7  # every row of each sampled trace
+
+
+def test_probabilistic_sampler_modes(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "t.parquet")
+    pq.write_table(pa.table({
+        "trace_id": [__import__("hashlib").md5(str(i).encode()).hexdigest()
+                     for i in range(1, 2001)],
+        "v": list(range(2000)),
+    }), src)
+    out = str(tmp_path / "o8")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  probabilistic_sampler:
+    mode: equalizing
+    sampling_percentage: 25
+    from_attribute: trace_id
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [probabilistic_sampler]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert 350 < len(df) < 650  # ~25%
