@@ -403,6 +403,9 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     routing_sources: dict[str, Any] = {}
 
     def _routing_reader(conn_name: str, pipe_name: str):
+        if _base_type(conn_name) in ("count", "sum"):
+            return lambda: routing_sources[conn_name]()
+
         def read() -> ray.data.Dataset:
             import pyarrow.compute as _pc
 
@@ -421,9 +424,38 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
         routed = [e for e in p.get("exporters", []) if e in connectors]
         for conn in routed:
             ccfg = connectors[conn]
+            if _base_type(conn) in ("count", "sum"):
+                # count/sum connector (connector/countconnector
+                # config.go:20-64): consume the upstream stream, emit
+                # the grouped metric table to the downstream pipeline.
+                # Loader subset: one metric definition per connector.
+                defs = ccfg.get("logs") or ccfg.get("spans") or {}
+                if len(defs) != 1:
+                    raise ValueError(
+                        "count/sum connectors support exactly one metric "
+                        f"definition in this loader (got {sorted(defs)})")
+                from ..ottl import parse_condition_text as _pct
+                from ..stages.aggregate import MetricDef, run_metric_def
+
+                (mname, mc), = defs.items()
+                d = MetricDef(
+                    name=mname,
+                    agg=_base_type(conn),
+                    source=mc.get("source_attribute"),
+                    conditions=[_pct(c) for c in mc.get("conditions", [])],
+                    dims=[(a["key"], a.get("default_value"))
+                          for a in mc.get("attributes", [])],
+                )
+
+                def make_metric_source(p=p, d=d):
+                    def src() -> ray.data.Dataset:
+                        return run_metric_def(_compose(p), d)
+                    return src
+                routing_sources[conn] = make_metric_source()
+                continue
             if _base_type(conn) != "routing":
                 raise ValueError(f"unsupported connector {conn!r}; "
-                                 "supported: routing")
+                                 "supported: routing, count, sum")
             from ..ottl import parse_condition_text
             from ..stages.route import Router
 

@@ -485,3 +485,44 @@ service:
     pipes["logs"].run()
     df = pq.read_table(out).to_pandas()
     assert 350 < len(df) < 650  # ~25%
+
+
+def test_count_connector(ray_session, tmp_path):
+    # connector/countconnector: a logs pipeline exports into `count`,
+    # a metrics pipeline receives the grouped counts
+    import pyarrow as pa
+
+    src = str(tmp_path / "l.parquet")
+    pq.write_table(pa.table({
+        "level": ["ERROR", "ERROR", "INFO", "WARN", "ERROR"],
+        "team": ["a", "b", "a", "a", None],
+    }), src)
+    out = str(tmp_path / "o9")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+connectors:
+  count:
+    logs:
+      error.count:
+        conditions: ['level == "ERROR"']
+        attributes:
+          - key: team
+            default_value: none
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      exporters: [count]
+    metrics:
+      receivers: [count]
+      exporters: [file]
+""")
+    pipes["metrics"].run()
+    df = pq.read_table(out).to_pandas().sort_values("team")
+    got = dict(zip(df["team"], df["error.count"]))
+    assert got == {"a": 1, "b": 1, "none": 1}
