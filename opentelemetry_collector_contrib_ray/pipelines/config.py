@@ -403,7 +403,7 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     routing_sources: dict[str, Any] = {}
 
     def _routing_reader(conn_name: str, pipe_name: str):
-        if _base_type(conn_name) in ("count", "sum"):
+        if _base_type(conn_name) in ("count", "sum", "spanmetrics"):
             return lambda: routing_sources[conn_name]()
 
         def read() -> ray.data.Dataset:
@@ -424,6 +424,42 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
         routed = [e for e in p.get("exporters", []) if e in connectors]
         for conn in routed:
             ccfg = connectors[conn]
+            if _base_type(conn) == "spanmetrics":
+                # connector/spanmetricsconnector (config.go:43-121):
+                # explicit-bounds duration histogram per dimension set.
+                # Loader subset: histogram buckets + call counts per
+                # dimensions over a duration column.
+                import numpy as _np
+
+                from ..stages.aggregate import grouped_count_sum
+
+                dims = [d["name"] for d in ccfg.get("dimensions", [])]
+                dur_col = ccfg.get("duration_column", "dur")
+                bounds = ccfg.get("histogram", {}).get("explicit", {})                     .get("buckets") or [2, 4, 6, 8, 10, 50, 100, 250,
+                                        500, 1000]
+                bounds = [float(x) for x in bounds]
+
+                def make_span_source(p=p, dims=dims, dur_col=dur_col,
+                                     bounds=bounds):
+                    def _bucketize(b):
+                        import pyarrow as _pa
+
+                        dur = b[dur_col].to_numpy(zero_copy_only=False)
+                        idx = _np.digitize(dur, bounds, right=True)
+                        return b.append_column(
+                            "bucket", _pa.array(idx.astype("int64")))
+
+                    def src() -> ray.data.Dataset:
+                        ds = _compose(p).map_batches(
+                            _bucketize, batch_format="pyarrow",
+                            zero_copy_batch=True, batch_size=None)
+                        return grouped_count_sum(
+                            ds, dims + ["bucket"],
+                            sum_cols={dur_col: "duration_sum"},
+                            count_name="call_count")
+                    return src
+                routing_sources[conn] = make_span_source()
+                continue
             if _base_type(conn) in ("count", "sum"):
                 # count/sum connector (connector/countconnector
                 # config.go:20-64): consume the upstream stream, emit
@@ -455,7 +491,7 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
                 continue
             if _base_type(conn) != "routing":
                 raise ValueError(f"unsupported connector {conn!r}; "
-                                 "supported: routing, count, sum")
+                                 "supported: routing, count, sum, spanmetrics")
             from ..ottl import parse_condition_text
             from ..stages.route import Router
 

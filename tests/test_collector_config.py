@@ -526,3 +526,50 @@ service:
     df = pq.read_table(out).to_pandas().sort_values("team")
     got = dict(zip(df["team"], df["error.count"]))
     assert got == {"a": 1, "b": 1, "none": 1}
+
+
+def test_spanmetrics_connector(ray_session, tmp_path):
+    # connector/spanmetricsconnector: explicit-bounds duration
+    # histogram + call counts per dimension
+    import pyarrow as pa
+
+    src = str(tmp_path / "s2.parquet")
+    pq.write_table(pa.table({
+        "svc": ["a", "a", "a", "b"],
+        "dur": [1.0, 3.0, 900.0, 5.0],
+    }), src)
+    out = str(tmp_path / "o10")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+connectors:
+  spanmetrics:
+    duration_column: dur
+    dimensions:
+      - name: svc
+    histogram:
+      explicit:
+        buckets: [2, 4, 6, 8, 10, 50, 100, 250, 500, 1000]
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    traces:
+      receivers: [parquet]
+      exporters: [spanmetrics]
+    metrics:
+      receivers: [spanmetrics]
+      exporters: [file]
+""")
+    pipes["metrics"].run()
+    df = pq.read_table(out).to_pandas()
+    rows = {(r.svc, r.bucket): (r.call_count, r.duration_sum)
+            for r in df.itertuples()}
+    # np.digitize(right=True): 1.0 -> bucket 0 (<=2); 3.0 -> bucket 1
+    # (<=4); 900 -> bucket 9 (<=1000); 5.0 -> bucket 2 (<=6)
+    assert rows[("a", 0)] == (1, 1.0)
+    assert rows[("a", 1)] == (1, 3.0)
+    assert rows[("a", 9)] == (1, 900.0)
+    assert rows[("b", 2)] == (1, 5.0)
