@@ -1856,6 +1856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uri_parse": _q_uri_parse,
         "csv_parse": _q_csv_parse,
         "collector_yaml": _q_collector_yaml,
+        "conv_stats": _q_conv_stats,
         # -- queries whose code paths changed in round 4 (OTTL parser
         #    + converter family rework; fronted per the rotation rule) --
         "ottl_funcs2": _q_ottl_funcs2,
@@ -1889,7 +1890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iforest": _q_events_iforest,
         "filter_rows": _q_filter_rows,
         "redact_props": _q_redact_props,
-        "genai_norm": _q_genai_norm,
         "attrs_actions": _q_attrs_actions,
         "events_quantiles": _q_events_quantiles,
         "quantiles_by_type": _q_quantiles_by_type,
@@ -1910,8 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_counts": _q_hopping_counts,
         "geoip_enrich": _q_geoip_enrich,
         "metric_start_time": _q_metric_start_time,
+        "genai_norm": _q_genai_norm,
         "agg_turn_count": lambda sf: _metric_query(sf, 0),
-        "conv_stats": _q_conv_stats,
         "sample_10pct": _q_sample,
         "events_sessions": _q_sessions,
         "running_total": _q_running_total,
