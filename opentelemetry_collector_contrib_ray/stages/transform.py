@@ -324,13 +324,43 @@ class Statement:
             tbl = tbl.drop_columns([src])
         return tbl
 
-    def _op_unquote(self, tbl, mask, target: str, src: str | None = None):
-        # stanza unquote (transformer/unquote): strip one matching pair
-        # of surrounding double or single quotes
+    def _op_unquote(self, tbl, mask, target: str, src: str | None = None,
+                    on_error: str = "send"):
+        # stanza unquote (transformer/unquote) = Go strconv.Unquote:
+        # double-quoted and back-quoted strings unquote; a SINGLE
+        # quote pair unquotes only a single character ('v' -> v,
+        # 'val' -> invalid syntax); anything else (incl. bare
+        # unquoted values) is a per-row error — kept unchanged under
+        # on_error=send (the stanza default), raised under propagate.
         col_ = _val(tbl, Col(src or target))
-        dq = pc.struct_field(pc.extract_regex(col_, pattern=r'^"(?P<q>.*)"$'), "q")
-        sq = pc.struct_field(pc.extract_regex(col_, pattern=r"^'(?P<s>.*)'$"), "s")
-        out = pc.coalesce(dq, sq, col_)
+        s = pc.cast(col_, pa.string())
+        dq = pc.struct_field(
+            pc.extract_regex(s, pattern=r'^"(?P<q>[^"\\]*)"$'), "q")
+        bq = pc.struct_field(
+            pc.extract_regex(s, pattern=r"^`(?P<b>[^`]*)`$"), "b")
+        sq = pc.struct_field(
+            pc.extract_regex(s, pattern=r"^'(?P<s>[^'\\])'$"), "s")
+        out = pc.coalesce(dq, bq, sq)
+        # double-quoted values containing escapes take the per-row Go
+        # escape path (rows with a backslash only)
+        esc = pc.and_(pc.match_substring(s, "\\"),
+                      pc.match_substring_regex(s, r'^".*"$'))
+        if pc.any(pc.fill_null(esc, False)).as_py():
+            import codecs
+
+            vals = out.to_numpy(zero_copy_only=False).astype(object)
+            for i in np.nonzero(esc.to_numpy(zero_copy_only=False))[0]:
+                inner = s[int(i)].as_py()[1:-1]
+                try:
+                    vals[int(i)] = codecs.decode(inner, "unicode_escape")
+                except Exception:
+                    pass  # stays invalid
+            out = pa.array(vals, pa.string())
+        bad = pc.and_(pc.is_valid(s), pc.is_null(out))
+        if on_error == "propagate" and pc.any(bad).as_py():
+            i = int(np.argmax(bad.to_numpy(zero_copy_only=False)))
+            raise ValueError(f"invalid syntax: cannot unquote {s[i].as_py()!r}")
+        out = pc.coalesce(out, col_)  # send: error rows unchanged
         return _masked(tbl, target, out, mask)
 
     def _op_sanitize_utf8(self, tbl, mask, target: str, src: str | None = None):

@@ -290,3 +290,24 @@ def test_is_match_value_position():
         ['set(is_err, IsMatch(level, "^ERROR$"))'],
         error_mode="propagate").fn(t)
     assert out["is_err"].to_pylist() == [True, False, None]
+
+
+def test_unquote_strconv_semantics():
+    # transformer/unquote/transformer_test.go over strconv.Unquote:
+    # double/back quotes unquote; single quotes only for one char;
+    # bare values are errors (unchanged under send, raise under
+    # propagate)
+    from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+    t = pa.table({"b": ['"val"', "`val`", "'v'", "'val'", "val",
+                        '"a\\tb"', None]})
+    out = Statement("unquote", {"target": "b"})(t)
+    assert out["b"].to_pylist() == ["val", "val", "v", "'val'", "val",
+                                    "a\tb", None]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="invalid syntax"):
+        Statement("unquote", {"target": "b", "on_error": "propagate"})(
+            pa.table({"b": ["val"]}))
+    with _pt.raises(ValueError, match="invalid syntax"):
+        Statement("unquote", {"target": "b", "on_error": "propagate"})(
+            pa.table({"b": ["'val'"]}))

@@ -111,9 +111,11 @@ def test_error_mode_propagate():
 
 
 def test_unquote_and_sanitize_utf8():
-    t = pa.table({"s": ['"hello"', "'single'", "plain", '"unbalanced', None]})
+    t = pa.table({"s": ['"hello"', "'s'", "plain", '"unbalanced', None]})
     out = Statement("unquote", {"target": "s"})(t)
-    assert out["s"].to_pylist() == ["hello", "single", "plain", '"unbalanced', None]
+    # strconv.Unquote semantics (round 4): single quotes only unquote
+    # a single char; bare/unbalanced values are send-mode pass-through
+    assert out["s"].to_pylist() == ["hello", "s", "plain", '"unbalanced', None]
     t2 = pa.table({"b": pa.array([b"ok", b"bad\xff", None], pa.binary())})
     out2 = Statement("sanitize_utf8", {"target": "clean", "src": "b"})(t2)
     vals = out2["clean"].to_pylist()
