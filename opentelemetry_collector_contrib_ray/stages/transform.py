@@ -363,15 +363,43 @@ class Statement:
         out = pc.coalesce(out, col_)  # send: error rows unchanged
         return _masked(tbl, target, out, mask)
 
+    @staticmethod
+    def _to_valid_utf8(b: bytes) -> str:
+        # Go strings.ToValidUTF8 (used by transformer/sanitizeutf8):
+        # each RUN of invalid bytes becomes ONE U+FFFD
+        # (transformer_test.go: "\xfe\xfe" -> one replacement,
+        # "\xfe and another \xfe" -> two) — Python's errors="replace"
+        # would emit one per byte, so scan sequences explicitly
+        out: list[str] = []
+        i, n = 0, len(b)
+        in_bad = False
+        while i < n:
+            c = b[i]
+            ln = (1 if c < 0x80 else 2 if 0xC2 <= c <= 0xDF
+                  else 3 if 0xE0 <= c <= 0xEF else 4 if 0xF0 <= c <= 0xF4
+                  else 0)
+            if ln:
+                seq = b[i:i + ln]
+                try:
+                    out.append(seq.decode("utf-8"))
+                    in_bad = False
+                    i += ln
+                    continue
+                except UnicodeDecodeError:
+                    pass
+            if not in_bad:
+                out.append("�")
+                in_bad = True
+            i += 1
+        return "".join(out)
+
     def _op_sanitize_utf8(self, tbl, mask, target: str, src: str | None = None):
         # stanza sanitizeutf8: repair invalid byte sequences (U+FFFD)
         col_ = _val(tbl, Col(src or target))
         if pa.types.is_string(col_.type):
             return _masked(tbl, target, col_, mask)  # already valid UTF-8
-        import pandas as pd
-
-        s = pd.Series(col_.to_pylist())
-        fixed = s.map(lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else b)
+        fixed = [self._to_valid_utf8(b) if isinstance(b, (bytes, bytearray))
+                 else b for b in col_.to_pylist()]
         return _masked(tbl, target, pa.array(fixed, pa.string()), mask)
 
     def _op_trim(self, tbl, mask, target: str, src: str | None = None, chars: str | None = None):

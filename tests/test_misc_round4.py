@@ -311,3 +311,26 @@ def test_unquote_strconv_semantics():
     with _pt.raises(ValueError, match="invalid syntax"):
         Statement("unquote", {"target": "b", "on_error": "propagate"})(
             pa.table({"b": ["'val'"]}))
+
+
+def test_sanitize_utf8_run_coalescing():
+    # transformer/sanitizeutf8/transformer_test.go: each RUN of
+    # invalid bytes becomes ONE U+FFFD (Go strings.ToValidUTF8), not
+    # one per byte
+    from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+    t = pa.table({"b": pa.array([
+        b"This is a normal string",
+        b"This is an invalid utf8 string \xfe",
+        b"This is an invalid utf8 string \xfe\xfe",
+        b"This is an invalid utf8 string \xfe and another \xfe",
+        "caf\xe9".encode("utf-8"),  # valid multi-byte stays
+    ], pa.binary())})
+    out = Statement("sanitize_utf8", {"target": "b"})(t)
+    assert out["b"].to_pylist() == [
+        "This is a normal string",
+        "This is an invalid utf8 string �",
+        "This is an invalid utf8 string �",
+        "This is an invalid utf8 string � and another �",
+        "caf\xe9",
+    ]
