@@ -334,3 +334,31 @@ def test_sanitize_utf8_run_coalescing():
         "This is an invalid utf8 string � and another �",
         "caf\xe9",
     ]
+
+
+def test_assign_keys_reference_vectors():
+    # transformer/assignkeys/transformer_test.go: the 5-element input
+    # list becomes a struct keyed origin/sev/msg/count/isBool
+    # (homogeneous string list — the Arrow adaptation of the Go
+    # mixed-type slice, values AsString); mismatched length -> null
+    from opentelemetry_collector_contrib_ray.stages.transform import Statement
+
+    keys = ["origin", "sev", "msg", "count", "isBool"]
+    t = pa.table({"input": pa.array([
+        ["body", "INFO", "started agent", "42", "true"],
+        ["attribute", "INFO", "started agent", "42", "true"],
+        ["too", "short"],
+    ])})
+    out = Statement("assign_keys",
+                    {"target": "out", "src": "input", "keys": keys})(t)
+    rows = out["out"].to_pylist()
+    assert rows[0] == {"origin": "body", "sev": "INFO",
+                       "msg": "started agent", "count": "42",
+                       "isBool": "true"}
+    assert rows[1]["origin"] == "attribute"
+    assert rows[2] is None  # per-row error like OnError=drop's trigger
+    # missing keys config is a build error (transformer_test.go
+    # assign_keys_missing_keys)
+    import pytest as _pt
+    with _pt.raises(TypeError):
+        Statement("assign_keys", {"target": "out", "src": "input"})(t)
