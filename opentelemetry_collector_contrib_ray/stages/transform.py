@@ -2588,3 +2588,41 @@ class FilterStage:
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+# derived from the ANSI CSI escape table the reference embeds
+# (transformer/regexreplace/config.go:21)
+ANSI_CSI_ESCAPE_RE = r"\x1B\[[\x30-\x3F]*[\x20-\x2F]*[\x40-\x7E]"
+
+
+@register("regex_replace")
+class RegexReplaceStage:
+    """stanza regex_replace (transformer/regexreplace/config.go:39-81):
+    substitute every match of ``regex`` (or the named
+    ``ansi_control_sequences`` preset) in ``field`` with
+    ``replace_with``. Exactly one of regex / regex_name must be set."""
+
+    def __init__(self, field: str, regex: str | None = None,
+                 regex_name: str | None = None, replace_with: str = ""):
+        if (regex is None) == (regex_name is None):
+            raise ValueError("either regex or regex_name must be set")
+        if regex_name is not None:
+            if regex_name != "ansi_control_sequences":
+                raise ValueError(f"regex_name {regex_name} is unknown")
+            regex = ANSI_CSI_ESCAPE_RE
+        self.field = field
+        self.regex = regex
+        self.replace_with = replace_with
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.field]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = pc.replace_substring_regex(col, pattern=self.regex,
+                                         replacement=self.replace_with)
+        return batch.set_column(batch.schema.get_field_index(self.field),
+                                self.field, out)
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -362,3 +362,29 @@ def test_assign_keys_reference_vectors():
     import pytest as _pt
     with _pt.raises(TypeError):
         Statement("assign_keys", {"target": "out", "src": "input"})(t)
+
+
+def test_regex_replace_stage_reference_vectors():
+    # transformer/regexreplace/transformer_test.go: regex replace,
+    # no-match pass-through, and the ansi_control_sequences preset
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        RegexReplaceStage,
+    )
+
+    t = pa.table({"body": ["a__b__c", "{a}{b}{c}", "asdf", "\x1b[mred"]})
+    out = RegexReplaceStage("body", regex="__", replace_with=",").fn(t)
+    assert out["body"][0].as_py() == "a,b,c"
+    out = RegexReplaceStage("body", regex="[{}]", replace_with="").fn(t)
+    assert out["body"][1].as_py() == "abc"
+    out = RegexReplaceStage("body", regex="x", replace_with="y").fn(t)
+    assert out["body"][2].as_py() == "asdf"  # no match -> unchanged
+    out = RegexReplaceStage("body",
+                            regex_name="ansi_control_sequences").fn(t)
+    assert out["body"][3].as_py() == "red"
+    import pytest as _pt
+    with _pt.raises(ValueError, match="either regex or regex_name"):
+        RegexReplaceStage("body")
+    with _pt.raises(ValueError, match="either regex or regex_name"):
+        RegexReplaceStage("body", regex="a", regex_name="ansi_control_sequences")
+    with _pt.raises(ValueError, match="is unknown"):
+        RegexReplaceStage("body", regex_name="nope")
