@@ -259,6 +259,23 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         return _Chain(lambda ds: fn(
             ds, cfg["key_field"], cfg.get("ts_field", "ts"),
             cfg["value_field"]))
+    if t == "interval":
+        from ..stages.window import last_value_per_window
+
+        return _Chain(lambda ds: last_value_per_window(
+            ds, cfg["key_fields"], cfg.get("ts_field", "ts"),
+            cfg["value_field"], window=cfg.get("interval", "hour")))
+    if t == "metricstransform":
+        from ..stages.aggregate import aggregate_labels
+
+        action = cfg.get("action", "aggregate_labels")
+        if action != "aggregate_labels":
+            raise ValueError(
+                "metricstransform loader subset supports "
+                f"aggregate_labels only (got {action!r})")
+        return _Chain(lambda ds: aggregate_labels(
+            ds, cfg["label_set"], cfg["value_field"],
+            aggregation_type=cfg.get("aggregation_type", "sum")))
     if t == "tail_sampling":
         from ..stages.tailpolicy import tail_sample_policies
 
@@ -270,7 +287,8 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         f"unsupported processor {name!r}; supported: transform, filter, "
         "attributes, resource, redaction, probabilistic_sampler, "
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
-        "deltatocumulative, deltatorate, tail_sampling, batch (no-op), "
+        "deltatocumulative, deltatorate, interval, metricstransform, "
+        "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 
 

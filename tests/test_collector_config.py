@@ -573,3 +573,47 @@ service:
     assert rows[("a", 1)] == (1, 3.0)
     assert rows[("a", 9)] == (1, 900.0)
     assert rows[("b", 2)] == (1, 5.0)
+
+
+def test_interval_and_metricstransform_processors(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    src = str(tmp_path / "iv.parquet")
+    pq.write_table(pa.table({
+        "k": ["a", "a", "b"],
+        "region": ["e", "e", "w"],
+        "ts": pd.to_datetime(["2024-01-01 00:10:00", "2024-01-01 00:40:00",
+                              "2024-01-01 00:20:00"]),
+        "v": [1.0, 2.0, 5.0],
+    }), src)
+    out = str(tmp_path / "o11")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  interval:
+    key_fields: [k, region]
+    ts_field: ts
+    value_field: v
+  metricstransform:
+    action: aggregate_labels
+    label_set: [region]
+    value_field: last_value
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    metrics:
+      receivers: [parquet]
+      processors: [interval, metricstransform]
+      exporters: [file]
+""")
+    pipes["metrics"].run()
+    df = pq.read_table(out).to_pandas().sort_values("region")
+    # interval keeps last-per-hour (as last_value): a->2.0, b->5.0;
+    # aggregate_labels then regroups to region only: e=2.0, w=5.0
+    got = dict(zip(df["region"], df["last_value"]))
+    assert got == {"e": 2.0, "w": 5.0}
