@@ -421,7 +421,7 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     routing_sources: dict[str, Any] = {}
 
     def _routing_reader(conn_name: str, pipe_name: str):
-        if _base_type(conn_name) in ("count", "sum", "spanmetrics"):
+        if _base_type(conn_name) in ("count", "sum", "spanmetrics", "exceptions"):
             return lambda: routing_sources[conn_name]()
 
         def read() -> ray.data.Dataset:
@@ -442,6 +442,23 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
         routed = [e for e in p.get("exporters", []) if e in connectors]
         for conn in routed:
             ccfg = connectors[conn]
+            if _base_type(conn) == "exceptions":
+                # connector/exceptionsconnector: count exception-shaped
+                # rows per dimension set in the downstream pipeline
+                from ..ottl import parse_condition_text as _pct2
+                from ..stages.exceptions import exception_metrics
+
+                cond = _pct2(ccfg["condition"])
+                dims = [(d["name"], d.get("default"))
+                        for d in ccfg.get("dimensions", [])]
+
+                def make_exc_source(p=p, cond=cond, dims=dims):
+                    def src() -> ray.data.Dataset:
+                        return exception_metrics(_compose(p),
+                                                 condition=cond, dims=dims)
+                    return src
+                routing_sources[conn] = make_exc_source()
+                continue
             if _base_type(conn) == "spanmetrics":
                 # connector/spanmetricsconnector (config.go:43-121):
                 # explicit-bounds duration histogram per dimension set.
@@ -509,7 +526,7 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
                 continue
             if _base_type(conn) != "routing":
                 raise ValueError(f"unsupported connector {conn!r}; "
-                                 "supported: routing, count, sum, spanmetrics")
+                                 "supported: routing, count, sum, spanmetrics, exceptions")
             from ..ottl import parse_condition_text
             from ..stages.route import Router
 

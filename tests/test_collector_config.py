@@ -617,3 +617,38 @@ service:
     # aggregate_labels then regroups to region only: e=2.0, w=5.0
     got = dict(zip(df["region"], df["last_value"]))
     assert got == {"e": 2.0, "w": 5.0}
+
+
+def test_exceptions_connector(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "e.parquet")
+    pq.write_table(pa.table({
+        "severity_text": ["ERROR", "ERROR", "INFO"],
+        "svc": ["a", "b", "a"],
+    }), src)
+    out = str(tmp_path / "o12")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+connectors:
+  exceptions:
+    condition: 'severity_text == "ERROR"'
+    dimensions:
+      - name: svc
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    traces:
+      receivers: [parquet]
+      exporters: [exceptions]
+    metrics:
+      receivers: [exceptions]
+      exporters: [file]
+""")
+    pipes["metrics"].run()
+    df = pq.read_table(out).to_pandas().sort_values("svc")
+    assert dict(zip(df["svc"], df["exceptions_total"])) == {"a": 1, "b": 1}
