@@ -375,10 +375,46 @@ class CollectorPipeline:
             ds = s.apply(ds)
         return ds
 
-    def run(self) -> dict[str, str]:
-        """Execute and write every exporter; returns name -> path."""
+    def run(self, manifest_root: str | None = None) -> dict[str, str]:
+        """Execute and write every exporter; returns name -> path.
+
+        With ``manifest_root``, each exporter commits a lineage entry
+        (rows written, wall seconds, output path) to the same atomic
+        per-key manifest the flagship uses (state/manifest.py) — and a
+        rerun SKIPS exporters whose entries are already committed, the
+        per-pipeline resume analog of the flagship's partition skip."""
+        import time as _time
+
+        man = None
+        if manifest_root is not None:
+            from ..state.manifest import Manifest
+
+            man = Manifest(manifest_root)
         ds = self.dataset()
-        return {name: w(ds) for name, w in self._writers}
+        out: dict[str, str] = {}
+        for name, w in self._writers:
+            if man is not None and man.is_done(f"exporter:{name}"):
+                out[name] = man.entry(f"exporter:{name}")["output"]
+                continue
+            t0 = _time.perf_counter()
+            path = w(ds)
+            out[name] = path
+            if man is not None:
+                rows = None
+                try:
+                    import glob as _g
+
+                    import pyarrow.parquet as _pq
+
+                    rows = sum(_pq.read_metadata(f).num_rows
+                               for f in _g.glob(path + "/**/*.parquet",
+                                                recursive=True))
+                except Exception:
+                    pass
+                man.commit(f"exporter:{name}", output=path, metrics={
+                    "wall_s": round(_time.perf_counter() - t0, 3),
+                    "rows": rows})
+        return out
 
 
 def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:

@@ -652,3 +652,43 @@ service:
     pipes["metrics"].run()
     df = pq.read_table(out).to_pandas().sort_values("svc")
     assert dict(zip(df["svc"], df["exceptions_total"])) == {"a": 1, "b": 1}
+
+
+def test_run_with_manifest_skips_committed_exporters(ray_session, tmp_path):
+    import json
+
+    log = _write_log(tmp_path, "m.log", "INFO a id=1\nINFO b id=2\n")
+    out = str(tmp_path / "o13")
+    man_root = str(tmp_path / "man")
+    yaml_text = f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) id=(?P<id>\\d+)'
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      exporters: [file]
+"""
+    pipes = collector_from_yaml(yaml_text)
+    paths = pipes["logs"].run(manifest_root=man_root)
+    assert paths == {"file": out}
+    entry = json.load(open(os.path.join(man_root, "_manifest",
+                                        "exporter%3Afile.json")))
+    assert entry["metrics"]["rows"] == 2 and entry["output"] == out
+
+    # rerun: committed exporter skipped (files untouched)
+    before = {f: os.path.getmtime(f)
+              for f in glob.glob(os.path.join(out, "*.parquet"))}
+    paths2 = collector_from_yaml(yaml_text)["logs"].run(manifest_root=man_root)
+    assert paths2 == {"file": out}
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(os.path.join(out, "*.parquet"))}
+    assert before == after
