@@ -598,6 +598,37 @@ class _Parser:
             # pdata IDs live as hex-string columns in the flat model;
             # ProfileID keeps bytes for the String() byte-list render
             return _IDBytes(raw) if name == "ProfileID" else raw.hex()
+        if name in ("IsString", "IsDouble", "IsBool", "IsInt",
+                    "IsMap", "IsList"):
+            # value-position type predicates (func_is_*.go return bool
+            # VALUES): in the typed columnar model the column type
+            # decides, per-row null -> false (a nil pdata value is not
+            # of any type)
+            if len(args) != 1:
+                raise OTTLParseError(f"{name}(value) expected: {self.text!r}")
+            v = args[0]
+            if _is_literal(v):
+                want = {"IsString": str, "IsDouble": float, "IsBool": bool,
+                        "IsInt": int, "IsMap": dict, "IsList": list}[name]
+                if want is int:
+                    return isinstance(v, int) and not isinstance(v, bool)
+                if want is float:
+                    return isinstance(v, float)
+                return isinstance(v, want)
+            if isinstance(v, dict) and "__converter__" in v:
+                rt = self._RESULT_TYPES.get(v["__converter__"])
+                if rt is not None:
+                    return {"IsString": rt == "string"}.get(name, False)                         if name == "IsString" else False
+                v = self._as_col(v)
+            if isinstance(v, Col):
+                return {"__converter__": "is_type",
+                        "args": {"src": v.name,
+                                 "want": {"IsString": "string",
+                                          "IsDouble": "double",
+                                          "IsBool": "bool", "IsInt": "int",
+                                          "IsMap": "map",
+                                          "IsList": "list"}[name]}}
+            raise OTTLParseError(f"{name}(value) expected: {self.text!r}")
         if name == "IsEmpty":
             if len(args) != 1:
                 raise OTTLParseError(f"IsEmpty(x) expected: {self.text!r}")

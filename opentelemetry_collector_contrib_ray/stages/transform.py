@@ -1135,6 +1135,23 @@ class Statement:
         out = pc.if_else(pc.is_valid(col_), out, pa.nulls(tbl.num_rows, pa.bool_()))
         return _masked(tbl, target, out, mask)
 
+    def _op_is_type(self, tbl, mask, target: str, src: str, want: str):
+        # Is* type predicates as VALUES: the Arrow column type decides,
+        # null rows are false (nil pdata values have no type)
+        col_ = _val(tbl, Col(src))
+        t = col_.type
+        match = {
+            "string": pa.types.is_string(t) or pa.types.is_large_string(t),
+            "double": pa.types.is_floating(t),
+            "bool": pa.types.is_boolean(t),
+            "int": pa.types.is_integer(t),
+            "map": pa.types.is_struct(t) or pa.types.is_map(t),
+            "list": pa.types.is_list(t) or pa.types.is_large_list(t),
+        }[want]
+        out = pc.and_(pc.is_valid(col_),
+                      pa.array([match] * len(col_), pa.bool_()))
+        return _masked(tbl, target, out, mask)
+
     def _op_is_match(self, tbl, mask, target: str, src: str, pattern: str):
         # IsMatch (func_is_match.go): unanchored RE2 search over the
         # value's string rendering; nil input -> nil

@@ -388,3 +388,23 @@ def test_regex_replace_stage_reference_vectors():
         RegexReplaceStage("body", regex="a", regex_name="ansi_control_sequences")
     with _pt.raises(ValueError, match="is unknown"):
         RegexReplaceStage("body", regex_name="nope")
+
+
+def test_type_predicates_value_position():
+    # func_is_string.go etc. return bool VALUES; typed-column model:
+    # the Arrow type decides, null rows are false
+    t = pa.table({"s": ["a", None], "n": [1, 2], "f": [1.5, None]})
+    out = transform_from_ottl([
+        'set(s_is, IsString(s))',
+        'set(n_is, IsInt(n))',
+        'set(f_is, IsDouble(f))',
+        'set(cross, IsString(n))',
+        'set(lit, IsInt(5))',
+        'set(lit2, IsInt(true))',  # Go: a bool is not an int
+    ], error_mode="propagate").fn(t)
+    assert out["s_is"].to_pylist() == [True, False]
+    assert out["n_is"].to_pylist() == [True, True]
+    assert out["f_is"].to_pylist() == [True, False]
+    assert out["cross"].to_pylist() == [False, False]
+    assert out["lit"].to_pylist() == [True, True]
+    assert out["lit2"].to_pylist() == [False, False]
