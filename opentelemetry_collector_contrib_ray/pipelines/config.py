@@ -210,9 +210,16 @@ def _build_processor(name: str, cfg: dict[str, Any]):
     if t == "redaction":
         from ..stages.attributes import Redaction
 
-        return Redaction(cfg["allowed_keys"],
+        return Redaction(cfg.get("allowed_keys"),
                          blocked_value_patterns=cfg.get("blocked_values"),
-                         mask=cfg.get("mask", "****"))
+                         mask=cfg.get("mask", "****"),
+                         allow_all_keys=cfg.get("allow_all_keys", False),
+                         blocked_key_patterns=cfg.get("blocked_key_patterns"),
+                         ignored_keys=cfg.get("ignored_keys"),
+                         ignored_key_patterns=cfg.get("ignored_key_patterns"),
+                         allowed_values=cfg.get("allowed_values"),
+                         hash_function=cfg.get("hash_function", ""),
+                         summary=cfg.get("summary", "silent"))
     if t == "probabilistic_sampler":
         # config.go:34-76: mode hash_seed (default) | proportional |
         # equalizing — the consistent OTEP-235 modes take the sampling

@@ -408,3 +408,58 @@ def test_type_predicates_value_position():
     assert out["cross"].to_pylist() == [False, False]
     assert out["lit"].to_pylist() == [True, True]
     assert out["lit2"].to_pylist() == [False, False]
+
+
+def test_redaction_full_surface():
+    # processor/redactionprocessor config surface
+    # (config.go:31-92 + processor.go maskValue:385-414)
+    import hashlib
+
+    from opentelemetry_collector_contrib_ray.stages.attributes import Redaction
+
+    t = pa.table({
+        "safe_attribute": ["harmless but suspicious 4111111111111112", "x"],
+        "name": ["placed order", "n"],
+        "credit_card": ["4111111111111111", "nope"],
+        "drop_me": ["gone", "gone"],
+        "ignored_secret": ["4111111111111111", "y"],
+    })
+    # allowed keys fail closed + ignored keys pass untouched +
+    # blocked value masking + allowed_values exemption + key pattern
+    r = Redaction(
+        allowed_keys=["safe_attribute", "name", "credit_card"],
+        ignored_keys=["ignored_secret"],
+        blocked_value_patterns=[r"4[0-9]{12}(?:[0-9]{3})?"],
+        allowed_values=[r".*4111111111111112.*"],
+        blocked_key_patterns=[r".*credit.*"],
+        summary="debug",
+    )
+    out = r.fn(t)
+    rows = out.to_pylist()
+    # drop_me deleted; ignored_secret kept verbatim
+    assert "drop_me" not in out.column_names
+    assert rows[0]["ignored_secret"] == "4111111111111111"
+    # allowed_values exempts the whole value
+    assert rows[0]["safe_attribute"].endswith("4111111111111112")
+    # key pattern masks the WHOLE value
+    assert rows[0]["credit_card"] == "****" and rows[1]["credit_card"] == "****"
+    # summary columns
+    assert rows[0]["redaction.masked.count"] == 1
+    assert rows[0]["redaction.masked.keys"] == "credit_card"
+    assert rows[0]["redaction.redacted.count"] == 1
+    assert rows[0]["redaction.redacted.keys"] == "drop_me"
+
+    # hash_function: each match replaced by its digest
+    r2 = Redaction(allow_all_keys=True,
+                   blocked_value_patterns=[r"4[0-9]{15}"],
+                   hash_function="md5")
+    out2 = r2.fn(pa.table({"cc": ["call 4111111111111111 now", "z"]}))
+    want = hashlib.md5(b"4111111111111111").hexdigest()
+    assert out2["cc"].to_pylist() == [f"call {want} now", "z"]
+
+    # fail-closed allow list + bad configs raise
+    import pytest as _pt
+    with _pt.raises(ValueError, match="fails closed"):
+        Redaction()
+    with _pt.raises(ValueError, match="hash_function"):
+        Redaction(allow_all_keys=True, hash_function="crc32")
