@@ -266,6 +266,16 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         return _Chain(lambda ds: fn(
             ds, cfg["key_field"], cfg.get("ts_field", "ts"),
             cfg["value_field"]))
+    if t == "cardinality_guardian":
+        from ..stages.cardinality import cardinality_guard
+
+        return _Chain(lambda ds: cardinality_guard(
+            ds, cfg["field"], cfg["max_values"],
+            overflow_value=cfg.get("overflow_value", "__overflow__")))
+    if t == "genai":
+        from ..stages.genai import genai_normalizer
+
+        return genai_normalizer(cfg["sources"])
     if t == "interval":
         from ..stages.window import last_value_per_window
 
@@ -295,6 +305,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "attributes, resource, redaction, probabilistic_sampler, "
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
         "deltatocumulative, deltatorate, interval, metricstransform, "
+        "cardinality_guardian, genai, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 

@@ -692,3 +692,41 @@ service:
     after = {f: os.path.getmtime(f)
              for f in glob.glob(os.path.join(out, "*.parquet"))}
     assert before == after
+
+
+def test_cardinality_guardian_and_genai_processors(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "cg.parquet")
+    pq.write_table(pa.table({
+        "tool": ["a"] * 5 + ["b"] * 3 + ["rare1", "rare2"],
+        "model": ["gpt-x"] * 10,
+    }), src)
+    out = str(tmp_path / "o14")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  cardinality_guardian:
+    field: tool
+    max_values: 2
+  genai:
+    sources:
+      - name: custom
+        mappings:
+          model: gen_ai.request.model
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [cardinality_guardian, genai]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert set(df["tool"]) == {"a", "b", "__overflow__"}
+    assert set(df["gen_ai.request.model"]) == {"gpt-x"}
