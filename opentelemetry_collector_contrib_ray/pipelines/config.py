@@ -276,6 +276,33 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..stages.genai import genai_normalizer
 
         return genai_normalizer(cfg["sources"])
+    if t == "metricstarttime":
+        from ..stages.starttime import metric_start_time
+
+        return _Chain(lambda ds: metric_start_time(
+            ds, cfg["key_fields"], cfg.get("ts_field", "ts"),
+            cfg["value_field"],
+            strategy=cfg.get("strategy", "true_reset_point")))
+    if t == "metricsgeneration":
+        # metricsgenerationprocessor 'calculate': new = m1 <op> m2
+        from ..stages.transform import TransformStage
+
+        from ..expr import Col
+
+        ops = {"add": "add", "subtract": "sub", "multiply": "mul",
+               "divide": "div"}
+        stmts = []
+        for r in cfg.get("rules", []):
+            if r.get("type", "calculate") != "calculate":
+                raise ValueError(
+                    "metricsgeneration loader subset supports "
+                    f"type: calculate only (got {r.get('type')!r})")
+            stmts.append({"editor": "arith",
+                          "args": {"target": r["name"],
+                                   "op": ops[r["operation"]],
+                                   "a": Col(r["metric1"]),
+                                   "b": Col(r["metric2"])}})
+        return TransformStage(stmts, error_mode="ignore")
     if t == "interval":
         from ..stages.window import last_value_per_window
 
@@ -305,7 +332,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "attributes, resource, redaction, probabilistic_sampler, "
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
         "deltatocumulative, deltatorate, interval, metricstransform, "
-        "cardinality_guardian, genai, "
+        "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 

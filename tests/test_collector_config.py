@@ -730,3 +730,49 @@ service:
     df = pq.read_table(out).to_pandas()
     assert set(df["tool"]) == {"a", "b", "__overflow__"}
     assert set(df["gen_ai.request.model"]) == {"gpt-x"}
+
+
+def test_metricsgeneration_and_starttime(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    src = str(tmp_path / "mg.parquet")
+    pq.write_table(pa.table({
+        "k": ["a", "a", "a"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                              "2024-01-01 00:02:00"]),
+        "total": [10.0, 20.0, 5.0],
+        "count": [2.0, 4.0, 1.0],
+    }), src)
+    out = str(tmp_path / "o15")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  metricsgeneration:
+    rules:
+      - name: avg
+        type: calculate
+        metric1: total
+        operation: divide
+        metric2: count
+  metricstarttime:
+    key_fields: [k]
+    ts_field: ts
+    value_field: total
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    metrics:
+      receivers: [parquet]
+      processors: [metricsgeneration, metricstarttime]
+      exporters: [file]
+""")
+    pipes["metrics"].run()
+    df = pq.read_table(out).to_pandas().sort_values("ts")
+    assert list(df["avg"]) == [5.0, 5.0, 5.0]
+    # true_reset_point: every point carries the key's first-seen ts
+    assert set(df["start_time"]) == {pd.Timestamp("2024-01-01 00:00:00")}
