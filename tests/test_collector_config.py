@@ -776,3 +776,59 @@ service:
     assert list(df["avg"]) == [5.0, 5.0, 5.0]
     # true_reset_point: every point carries the key's first-seen ts
     assert set(df["start_time"]) == {pd.Timestamp("2024-01-01 00:00:00")}
+
+
+def test_pipeline_exports_to_file_and_connector(ray_session, tmp_path):
+    # one traces pipeline feeding BOTH a file sink and the spanmetrics
+    # connector (tail-sampled stream flows into both)
+    import pyarrow as pa
+
+    src = str(tmp_path / "sp.parquet")
+    rows = []
+    for tid, n, step in [("slow", 4, 60_000_000), ("fast", 3, 1_000_000)]:
+        for i in range(n):
+            rows.append((tid, i * step, "svc1", 50.0))
+    pq.write_table(pa.table({
+        "trace_id": [r[0] for r in rows],
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "svc": [r[2] for r in rows],
+        "dur": [r[3] for r in rows],
+    }), src)
+    out_t = str(tmp_path / "ot")
+    out_m = str(tmp_path / "om")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  tail_sampling:
+    group_key: trace_id
+    ts_field: ts
+    policies:
+      - name: slow
+        type: latency
+        latency: {{threshold_ms: 100000}}
+connectors:
+  spanmetrics:
+    duration_column: dur
+    dimensions: [{{name: svc}}]
+exporters:
+  file/sampled: {{path: {out_t}}}
+  file/metrics: {{path: {out_m}}}
+service:
+  pipelines:
+    traces:
+      receivers: [parquet]
+      processors: [tail_sampling]
+      exporters: [file/sampled, spanmetrics]
+    metrics:
+      receivers: [spanmetrics]
+      exporters: [file/metrics]
+""")
+    pipes["traces"].run()
+    pipes["metrics"].run()
+    t = pq.read_table(out_t).to_pandas()
+    assert set(t["trace_id"]) == {"slow"} and len(t) == 4
+    m = pq.read_table(out_m).to_pandas()
+    # spanmetrics sees only the sampled stream: 4 calls for svc1
+    assert int(m["call_count"].sum()) == 4
