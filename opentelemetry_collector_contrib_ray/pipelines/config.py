@@ -276,6 +276,16 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..stages.genai import genai_normalizer
 
         return genai_normalizer(cfg["sources"])
+    if t == "schema":
+        # schemaprocessor: versioned rename chain (the flat-model
+        # subset of OTel schema-file changesets)
+        from ..stages.schema import SchemaTranslation, schema_convert
+
+        tr = SchemaTranslation(family=cfg.get("family", "default"),
+                               versions=cfg["versions"])
+        return _Chain(lambda ds: schema_convert(
+            ds, tr, source=cfg["source"], target=cfg["target"],
+            migrate_from=cfg.get("migrate_from")))
     if t == "metricstarttime":
         from ..stages.starttime import metric_start_time
 
@@ -333,6 +343,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
         "deltatocumulative, deltatorate, interval, metricstransform, "
         "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
+        "schema, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 

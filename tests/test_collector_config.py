@@ -832,3 +832,37 @@ service:
     m = pq.read_table(out_m).to_pandas()
     # spanmetrics sees only the sampled stream: 4 calls for svc1
     assert int(m["call_count"].sum()) == 4
+
+
+def test_schema_processor(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "sc.parquet")
+    pq.write_table(pa.table({"http.method": ["GET"], "v": [1]}), src)
+    out = str(tmp_path / "o16")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  schema:
+    family: demo
+    source: "1.0.0"
+    target: "1.1.0"
+    versions:
+      "1.1.0":
+        http.method: http.request.method
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [schema]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert "http.request.method" in df.columns
+    assert "http.method" not in df.columns
