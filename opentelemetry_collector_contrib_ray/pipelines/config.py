@@ -276,6 +276,12 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..stages.genai import genai_normalizer
 
         return genai_normalizer(cfg["sources"])
+    if t == "resourcedetection":
+        from ..stages.resourcedetect import apply_resource, detect_resource
+
+        resource = detect_resource(cfg.get("detectors", ["env"]))
+        return _Chain(lambda ds: apply_resource(
+            ds, resource, override=cfg.get("override", False)))
     if t == "schema":
         # schemaprocessor: versioned rename chain (the flat-model
         # subset of OTel schema-file changesets)
@@ -343,7 +349,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
         "deltatocumulative, deltatorate, interval, metricstransform, "
         "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
-        "schema, "
+        "schema, resourcedetection, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 

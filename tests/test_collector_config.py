@@ -866,3 +866,34 @@ service:
     df = pq.read_table(out).to_pandas()
     assert "http.request.method" in df.columns
     assert "http.method" not in df.columns
+
+
+def test_resourcedetection_processor(ray_session, tmp_path, monkeypatch):
+    import pyarrow as pa
+
+    monkeypatch.setenv("OTEL_RESOURCE_ATTRIBUTES",
+                       "service.name=demo,deployment=prod")
+    src = str(tmp_path / "rd.parquet")
+    pq.write_table(pa.table({"v": [1, 2]}), src)
+    out = str(tmp_path / "o17")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+processors:
+  resourcedetection:
+    detectors: [env]
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [resourcedetection]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas()
+    assert set(df["service.name"]) == {"demo"}
+    assert set(df["deployment"]) == {"prod"}
