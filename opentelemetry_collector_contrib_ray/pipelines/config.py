@@ -517,10 +517,23 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     # the upstream read — for a single fused write of all sinks use
     # pipelines/flagship's write-audit-publish path instead).
     routing_sources: dict[str, Any] = {}
+    rr_index: dict[tuple[str, str], int] = {}
+    rr_cache: dict[str, list] = {}
 
     def _routing_reader(conn_name: str, pipe_name: str):
         if _base_type(conn_name) in ("count", "sum", "spanmetrics", "exceptions"):
             return lambda: routing_sources[conn_name]()
+        if _base_type(conn_name) == "roundrobin":
+            from ..stages.reshape import round_robin
+
+            n = sum(1 for k in rr_index if k[0] == conn_name)
+
+            def read_rr() -> ray.data.Dataset:
+                if conn_name not in rr_cache:
+                    rr_cache[conn_name] = round_robin(
+                        routing_sources[conn_name](), n)
+                return rr_cache[conn_name][rr_index[(conn_name, pipe_name)]]
+            return read_rr
 
         def read() -> ray.data.Dataset:
             import pyarrow.compute as _pc
@@ -540,6 +553,22 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
         routed = [e for e in p.get("exporters", []) if e in connectors]
         for conn in routed:
             ccfg = connectors[conn]
+            if _base_type(conn) == "roundrobin":
+                # roundrobinconnector: split the upstream stream evenly
+                # across its downstream pipelines (YAML order). The
+                # split materializes once (cached) so each branch does
+                # not recompute the upstream.
+                downstream = [q for q, qq in pipelines.items()
+                              if conn in qq.get("receivers", [])]
+                for i, q in enumerate(downstream):
+                    rr_index[(conn, q)] = i
+
+                def make_rr_source(p=p, n=len(downstream)):
+                    def src() -> ray.data.Dataset:
+                        return _compose(p)
+                    return src
+                routing_sources[conn] = make_rr_source()
+                continue
             if _base_type(conn) == "exceptions":
                 # connector/exceptionsconnector: count exception-shaped
                 # rows per dimension set in the downstream pipeline
@@ -624,7 +653,7 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
                 continue
             if _base_type(conn) != "routing":
                 raise ValueError(f"unsupported connector {conn!r}; "
-                                 "supported: routing, count, sum, spanmetrics, exceptions")
+                                 "supported: routing, count, sum, spanmetrics, exceptions, roundrobin")
             from ..ottl import parse_condition_text
             from ..stages.route import Router
 

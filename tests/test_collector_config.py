@@ -897,3 +897,39 @@ service:
     df = pq.read_table(out).to_pandas()
     assert set(df["service.name"]) == {"demo"}
     assert set(df["deployment"]) == {"prod"}
+
+
+def test_roundrobin_connector(ray_session, tmp_path):
+    import pyarrow as pa
+
+    src = str(tmp_path / "rr.parquet")
+    pq.write_table(pa.table({"v": list(range(10))}), src)
+    out_a = str(tmp_path / "rra")
+    out_b = str(tmp_path / "rrb")
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {src}
+connectors:
+  roundrobin: {{}}
+exporters:
+  file/a: {{path: {out_a}}}
+  file/b: {{path: {out_b}}}
+service:
+  pipelines:
+    logs/in:
+      receivers: [parquet]
+      exporters: [roundrobin]
+    logs/a:
+      receivers: [roundrobin]
+      exporters: [file/a]
+    logs/b:
+      receivers: [roundrobin]
+      exporters: [file/b]
+""")
+    pipes["logs/a"].run()
+    pipes["logs/b"].run()
+    a = pq.read_table(out_a).to_pandas()
+    b = pq.read_table(out_b).to_pandas()
+    assert len(a) + len(b) == 10 and abs(len(a) - len(b)) <= 1
+    assert sorted(list(a["v"]) + list(b["v"])) == list(range(10))
