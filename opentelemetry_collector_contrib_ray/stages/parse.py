@@ -726,3 +726,25 @@ class SeverityParserStage:
 
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(self.fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+
+
+@register("scope_name_parser")
+class ScopeNameParser:
+    """stanza scope_name_parser (parser/scope/parser.go over
+    helper/scope_name.go:26-46): copy a string field into the
+    ``scope_name`` column (InstrumentationScope.Name); non-string
+    input is a per-row error (null under send)."""
+
+    def __init__(self, parse_from: str, out_col: str = "scope_name"):
+        self.parse_from = parse_from
+        self.out_col = out_col
+
+    def fn(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.parse_from]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return batch.append_column(self.out_col, pc.cast(col, pa.string()))
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds.map_batches(self.fn, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

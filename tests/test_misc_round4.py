@@ -463,3 +463,13 @@ def test_redaction_full_surface():
         Redaction()
     with _pt.raises(ValueError, match="hash_function"):
         Redaction(allow_all_keys=True, hash_function="crc32")
+
+
+def test_scope_name_parser(ray_session):
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.parse import ScopeNameParser
+
+    t = pa.table({"logger": ["my.logger", None]})
+    out = ScopeNameParser("logger").apply(ray.data.from_arrow(t)).to_pandas()
+    assert list(out["scope_name"].fillna("-")) == ["my.logger", "-"]
