@@ -748,3 +748,15 @@ class ScopeNameParser:
     def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
         return ds.map_batches(self.fn, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+@register("noop")
+class Noop:
+    """stanza noop (transformer/noop): identity pass-through — kept so
+    reference operator chains paste unchanged."""
+
+    def __init__(self, **_ignored):
+        pass
+
+    def apply(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        return ds
