@@ -191,26 +191,31 @@ def join_partials(
     is_last_entry = logtag == 'F', combine_with ''). Docker rows
     (null logtag) pass through as singleton segments.
 
-    One group = one container log file — the natural ingest partition,
-    so per-group work is bounded by file size."""
+    Runs on the recombine segmented-bypass engine: complete segments
+    (the overwhelming majority — most container lines are 'F')
+    finalize inside their sorted block with zero shuffle; only the
+    <=2 block-edge pieces per block take the merge groupby, so a
+    multi-GB hot container file never materializes in one task."""
+    from ..expr import col as _col
+    from .recombine import Recombine
 
-    def per_source(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort")
-        tag = g[logtag_col].fillna("F").to_numpy()
-        is_last = tag != "P"
-        # segment id = count of finished segments BEFORE this row
-        seg = np.concatenate([[0], np.cumsum(is_last[:-1])])
-        g = g.assign(_seg=seg)
-        agg = g.groupby("_seg", sort=True).agg(
-            **{
-                source_col: (source_col, "first"),
-                body_col: (body_col, "sum"),  # string concat, combine_with ''
-                order_col: (order_col, "first"),
-                "n_lines": (body_col, "size"),
-                "event_ts": ("event_ts", "first"),
-                "log.iostream": ("log.iostream", "first"),
-            }
-        )
-        return agg.reset_index(drop=True)
+    rc = Recombine(
+        group_key=source_col,
+        order_key=order_col,
+        combine_field=body_col,
+        combine_with="",
+        # non-P ends the segment; docker rows have null logtag and
+        # pass through as singletons
+        is_last_entry=("or", ("!=", _col(logtag_col), "P"),
+                       ("is_null", _col(logtag_col))),
+        keep_fields=["event_ts", "log.iostream"],
+    )
+    out = rc.apply(ds, strategy="segmented-bypass")
 
-    return ds.groupby(source_col).map_groups(per_source, batch_format="pandas")
+    rename = {"n_turns": "n_lines", "first_" + order_col: order_col}
+
+    def to_contract(b: pa.Table) -> pa.Table:
+        return b.rename_columns([rename.get(c, c) for c in b.column_names])
+
+    return out.map_batches(
+        to_contract, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)

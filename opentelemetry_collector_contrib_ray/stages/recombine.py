@@ -32,6 +32,14 @@ from ..expr import compile_predicate
 from . import register
 
 
+def _null_safe_join(sep: str, vals) -> str | None:
+    """Match pc.binary_join: a segment containing a null combines to
+    null (the block-partial path already behaves this way)."""
+    if vals.isna().any():
+        return None
+    return sep.join(vals)
+
+
 @register("recombine")
 class Recombine:
     def __init__(
@@ -85,7 +93,8 @@ class Recombine:
             row = {
                 self.group_key: sg[self.group_key].iloc[0],
                 "segment": int(seg_id),
-                self.combine_field: self.combine_with.join(sg[self.combine_field].astype(str)),
+                self.combine_field: (None if sg[self.combine_field].isna().any()
+                                     else self.combine_with.join(sg[self.combine_field].astype(str))),
                 "n_turns": len(sg),
                 "first_" + self.order_key: sg[self.order_key].iloc[0],
             }
@@ -119,6 +128,8 @@ class Recombine:
         has_marker = self.first_pred is not None or self.last_pred is not None
         if strategy is None:
             strategy = "segmented" if has_marker else "sort"
+        if strategy == "segmented-bypass" and has_marker:
+            return self._apply_segmented_bypass(ds)
         if strategy in ("sort", "segmented") and has_marker:
             return self._apply_segmented(ds)
         if strategy == "sort" and self.first_pred is None:
@@ -156,6 +167,76 @@ class Recombine:
         sorted_ds = ds.sort([self.group_key, self.order_key])
         return self._merge_partials_segmented(
             self._block_partials(sorted_ds, segmented=True))
+
+    def _apply_segmented_bypass(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        """Marker recombine for MARKER-DENSE streams (container P/F
+        logs: nearly every line ends a segment), usable when segment
+        ORDINALS are not needed — output has no ``segment`` column.
+
+        Within a sorted block, every segment piece that does not
+        contain the block's first or last row is a COMPLETE segment:
+        it starts at a group change or a marker break and ends at one,
+        both genuine segment boundaries (groups are contiguous after
+        the sort, so an interior group change is a real group end).
+        Those finalize block-locally with zero shuffle. Only the <=2
+        edge pieces per block can span blocks; they alone take the
+        merge groupby. Shuffled bytes are O(block boundaries), not
+        O(segments) — unlike ``segmented``, whose merge groupby moves
+        every segment (fine for marker-sparse conversations, a
+        scale-killer when segments ~= rows)."""
+        import pyarrow as pa
+
+        group_key, order_key = self.group_key, self.order_key
+        combine_field, combine_with = self.combine_field, self.combine_with
+        keep_fields = self.keep_fields
+        first_key = "first_" + order_key
+        first_mode = self.first_pred is not None
+        out_cols = [group_key, combine_field, "n_turns", first_key, *keep_fields]
+
+        # pin: interior + edge consumers must not re-run the sort
+        partials = self._block_partials(
+            ds.sort([group_key, order_key]), segmented=True).materialize()
+
+        def interior(b: pa.Table) -> pa.Table:
+            if b.num_rows <= 2:
+                return b.slice(0, 0).select(out_cols)
+            return b.slice(1, b.num_rows - 2).select(out_cols)
+
+        def edges(b: pa.Table) -> pa.Table:
+            if b.num_rows <= 1:
+                return b
+            return b.take(pa.array([0, b.num_rows - 1]))
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            # an edge piece that is not its block's last piece for the
+            # group always carries a closed boundary (_endm=True /
+            # next-piece _marker=True), so re-running the marker
+            # segmentation over edge pieces alone cannot join across
+            # the finalized interior
+            g = g.sort_values(first_key, kind="mergesort")
+            if first_mode:
+                seg = g["_marker"].astype(int).cumsum() + 1
+            else:
+                seg = 1 + g["_endm"].shift(1, fill_value=False).astype(int).cumsum()
+            rows = []
+            for _, sg in g.groupby(seg.values, sort=True):
+                row = {
+                    group_key: sg[group_key].iloc[0],
+                    combine_field: _null_safe_join(combine_with, sg[combine_field]),
+                    "n_turns": int(sg["n_turns"].sum()),
+                    first_key: sg[first_key].iloc[0],
+                }
+                for f in keep_fields:
+                    row[f] = sg[f].iloc[0]
+                rows.append(row)
+            return pd.DataFrame(rows)[out_cols]
+
+        finals = partials.map_batches(
+            interior, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        merged = partials.map_batches(
+            edges, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).groupby(group_key).map_groups(merge, batch_format="pandas")
+        return finals.union(merged)
 
     def _block_partials(self, sorted_ds: ray.data.Dataset,
                         segmented: bool = False) -> ray.data.Dataset:
@@ -250,7 +331,7 @@ class Recombine:
                 row = {
                     group_key: sg[group_key].iloc[0],
                     "segment": int(seg_id),
-                    combine_field: combine_with.join(sg[combine_field]),
+                    combine_field: _null_safe_join(combine_with, sg[combine_field]),
                     "n_turns": int(sg["n_turns"].sum()),
                     first_key: sg[first_key].iloc[0],
                 }
@@ -276,7 +357,7 @@ class Recombine:
             row = {
                 group_key: g[group_key].iloc[0],
                 "segment": 1,
-                combine_field: combine_with.join(g[combine_field]),
+                combine_field: _null_safe_join(combine_with, g[combine_field]),
                 "n_turns": int(g["n_turns"].sum()),
                 first_key: g[first_key].iloc[0],
             }
@@ -360,7 +441,7 @@ class Recombine:
             row = {
                 group_key: g[group_key].iloc[0],
                 "segment": 1,
-                combine_field: combine_with.join(g[combine_field]),
+                combine_field: _null_safe_join(combine_with, g[combine_field]),
                 "n_turns": int(g["n_turns"].sum()),
                 first_key: g[first_key].iloc[0],
             }

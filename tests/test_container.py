@@ -98,3 +98,75 @@ def test_join_partials():
     assert list(joined["n_lines"]) == [3, 1, 1]
     # first-line ts is kept for the joined row
     assert joined.iloc[0]["event_ts"] == pd.Timestamp("2024-04-13T07:59:37.505201Z")
+
+
+def test_join_partials_multiblock_no_per_file_frame():
+    """One source file spanning many blocks: the P/F join must run on
+    the recombine segmented-bypass engine — never the per-group pandas
+    path, and never the full segmented merge (which would move every
+    segment of the file through one groupby group)."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.recombine import Recombine
+
+    n = 4000
+    # one hot file ("big") interleaved with a small one; every 5th
+    # line is a P..P F run of 3, the rest are standalone F lines
+    tags, bodies = [], []
+    for i in range(n):
+        if i % 5 == 0:
+            tags.append("P"); bodies.append(f"p{i}-")
+        elif i % 5 == 1:
+            tags.append("P"); bodies.append(f"q{i}-")
+        elif i % 5 == 2:
+            tags.append("F"); bodies.append(f"end{i}")
+        else:
+            tags.append("F"); bodies.append(f"solo{i}")
+    src = ["big"] * (n - 100) + ["small"] * 100
+    tbl = pa.table({
+        "src": src, "line": list(range(n)),
+        "body": bodies, "logtag": tags,
+        "event_ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                             pa.timestamp("us", tz="UTC")),
+        "log.iostream": ["stdout"] * n,
+    })
+    ds = ray.data.from_arrow(tbl).repartition(16)
+
+    def boom_group(self, g):
+        raise AssertionError("per-group pandas path used")
+
+    def boom_segmented(self, partials):
+        raise AssertionError("full segmented merge used (moves every segment)")
+
+    orig_g = Recombine._combine_group
+    orig_s = Recombine._merge_partials_segmented
+    Recombine._combine_group = boom_group
+    Recombine._merge_partials_segmented = boom_segmented
+    try:
+        got = join_partials(ds, "src", "line").to_pandas()
+    finally:
+        Recombine._combine_group = orig_g
+        Recombine._merge_partials_segmented = orig_s
+
+    got = got.sort_values(["src", "line"]).reset_index(drop=True)
+    # oracle: single-threaded numpy recombine
+    expect = []
+    for s in ("big", "small"):
+        rows = [(i, bodies[i], tags[i]) for i in range(n) if src[i] == s]
+        buf, first = "", None
+        for i, b, t in rows:
+            if first is None:
+                first = i
+            buf += b
+            if t != "P":
+                expect.append((s, first, buf))
+                buf, first = "", None
+        if buf:
+            expect.append((s, first, buf))
+    expect.sort()
+    assert len(got) == len(expect)
+    assert list(got["src"]) == [e[0] for e in expect]
+    assert list(got["line"]) == [e[1] for e in expect]
+    assert list(got["body"]) == [e[2] for e in expect]
+    # first-line metadata is preserved
+    assert got["event_ts"].notna().all()

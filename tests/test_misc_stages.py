@@ -336,3 +336,31 @@ def test_recombine_reference_case_table():
     # OneEntryLast
     assert run(["test"], is_last_entry=("==", col("text"), "never")) \
         == ["test"]
+
+
+def test_recombine_segmented_bypass_parity_both_modes():
+    """segmented-bypass (interior segments finalize block-locally,
+    only block-edge pieces shuffle) must equal the groupby reference
+    path on text/n_turns/first_turn_idx for BOTH marker modes,
+    including markers adjacent to block boundaries."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.expr import col
+
+    n_a, n_b = 97, 13
+    tbl = pa.table({
+        "conv_id": ["A"] * n_a + ["B"] * n_b,
+        "turn_idx": list(range(n_a)) + list(range(n_b)),
+        "text": [f"a{i}" for i in range(n_a)] + [f"b{i}" for i in range(n_b)],
+        "mark": [(i % 3 == 0) for i in range(n_a)] + [(i % 4 == 1) for i in range(n_b)],
+    })
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    for mode in ("is_first_entry", "is_last_entry"):
+        pred = ("==", col("mark"), True)
+        byp = Recombine(**{mode: pred}).apply(ds, strategy="segmented-bypass") \
+            .to_pandas().sort_values(["conv_id", "first_turn_idx"]).reset_index(drop=True)
+        ref = Recombine(**{mode: pred}).apply(ds, strategy="groupby") \
+            .to_pandas().sort_values(["conv_id", "first_turn_idx"]).reset_index(drop=True)
+        assert "segment" not in byp.columns  # documented: no ordinals
+        cols = ["conv_id", "text", "n_turns", "first_turn_idx"]
+        pd.testing.assert_frame_equal(byp[cols], ref[cols], check_dtype=False)
