@@ -303,6 +303,58 @@ service:
         ["conv_id", "turn_idx", "role_upper", "tool_tag"])
 
 
+def _q_collector_yaml2(sf_dir: str):
+    """Round-5 YAML wirings SQL-checked end-to-end: lookup processor
+    (processor/lookupprocessor README shape, inline source + default
+    on miss), span processor (name.from_attributes), drain processor
+    (masking template column) and groupbytrace (cluster by trace key),
+    all compiled by collector_from_yaml into one streaming pipeline."""
+    from opentelemetry_collector_contrib_ray.pipelines.config import (
+        collector_from_yaml,
+    )
+    from opentelemetry_collector_contrib_ray.sources.transcripts import (
+        ensure_transcripts,
+    )
+
+    tdir = ensure_transcripts(sf_dir)
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: {tdir}
+processors:
+  lookup:
+    source:
+      type: inline
+      rows:
+        key: [bash, search, editor, browser, python]
+        team: [shell, web, ide, web, lang]
+    lookups:
+      - key: tool
+        attributes:
+          - destination: team
+            default: none
+  span:
+    name:
+      from_attributes: [role, tool]
+      separator: "::"
+  drain:
+    body_field: text
+    template_attribute: template
+    masking_rules:
+      - pattern: '\\d+'
+        replacement: '<NUM>'
+  groupbytrace:
+    trace_key: conv_id
+service:
+  pipelines:
+    logs:
+      receivers: [parquet]
+      processors: [lookup, span, drain, groupbytrace]
+""")
+    return pipes["logs"].dataset().select_columns(
+        ["conv_id", "turn_idx", "team", "name", "template"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1843,6 +1895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # below-cutoff entry has a green driver row in CORRECTNESS_r01-r03
     # on unchanged code (the local gate still runs all of them).
     return {
+        # -- new round-5 queries --
+        "collector_yaml2": _q_collector_yaml2,
         # -- new round-4 queries --
         "ottl_funcs3": _q_ottl_funcs3,
         "sampler_proportional": _q_sampler_proportional,
@@ -2176,6 +2230,15 @@ SELECT conv_id, turn_idx, upper(role) AS role_upper,
        CASE WHEN tool IS NULL OR tool = '' THEN '-' ELSE tool END AS tool_tag
 FROM read_parquet('{tpath}')
 WHERE NOT (turn_idx >= 40)""",
+        "collector_yaml2": f"""
+SELECT t.conv_id, t.turn_idx,
+  COALESCE(lk.team, 'none') AS team,
+  t.role || '::' || t.tool AS name,
+  regexp_replace(t.text, '\\d+', '<NUM>', 'g') AS template
+FROM read_parquet('{tpath}') t
+LEFT JOIN (VALUES ('bash','shell'),('search','web'),('editor','ide'),
+           ('browser','web'),('python','lang')) lk(tool, team)
+  ON t.tool = lk.tool""",
         "time_parse": """
 SELECT event_id,
   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,

@@ -343,15 +343,194 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         return _Chain(lambda ds: tail_sample_policies(
             ds, cfg.get("group_key", "trace_id"),
             cfg.get("ts_field", "ts"), pols))
+    if t == "lookup":
+        # processor/lookupprocessor (processor.go:46; README config):
+        # source + ordered lookups, silent miss unless a default is
+        # given. Flat-model subset: source.type parquet|csv|inline,
+        # lookup key = a stream column (OTTL attributes["k"] paths
+        # reduce to the column name), destination columns renamed from
+        # the source table's value columns.
+        from ..stages.enrich import LookupEnrich
+
+        src = cfg["source"]
+        tbl = _load_table_source(src)
+        key_column = src.get("key_column", "key")
+        stages = []
+        for lk in cfg["lookups"]:
+            key_col = _ottl_path_to_column(lk["key"])
+            fields: dict[str, Any] = {}
+            renames: dict[str, str] = {key_column: "key"}
+            for a in lk["attributes"]:
+                dest = a["destination"]
+                renames[a.get("source_column", dest)] = dest
+                fields[dest] = a.get("default")
+            lt = tbl.rename_columns(
+                [renames.get(c, c) for c in tbl.column_names])
+            stages.append(LookupEnrich(
+                lt.select(["key", *fields]), [key_col], fields))
+
+        def apply_lookups(ds, stages=stages):
+            for s in stages:
+                ds = s.apply(ds)
+            return ds
+        return _Chain(apply_lookups)
+    if t == "geoip":
+        # processor/geoipprocessor README shape (providers + context +
+        # attributes); the concrete provider here is the engine's
+        # file-backed CIDR table (stages/geoip.py) rather than a
+        # MaxMind mmdb: providers.cidr_file.database_path points at a
+        # parquet/csv with a `cidr` column + payload columns.
+        from ..stages.geoip import cidr_to_ranges, geoip_enrich
+
+        prov = cfg.get("providers") or {}
+        if "cidr_file" not in prov:
+            raise ValueError(
+                "geoip loader requires providers.cidr_file.database_path "
+                "(file-backed CIDR provider; maxmind mmdb is out of scope)")
+        db = _load_table_source(prov["cidr_file"],
+                                path_key="database_path")
+        ranges = cidr_to_ranges(db)
+        attrs = cfg.get("attributes") or ["client.address"]
+        ip_col = attrs[0]  # loader subset: first attribute is the IP col
+        payload = cfg.get("payload_columns") or [
+            c for c in db.column_names if c != "cidr"]
+        return _Chain(lambda ds: geoip_enrich(ds, ip_col, ranges, payload))
+    if t == "unroll":
+        # processor/unrollprocessor (processor.go:37-56): one row per
+        # list element, parent fields repeated. The flat model names
+        # the column explicitly (`field`); recursive nesting is out of
+        # scope and fails loud like the rest of the loader.
+        from ..stages.reshape import unroll
+
+        if cfg.get("recursive"):
+            raise ValueError("unroll loader subset: recursive: true is "
+                             "not supported (flat lists only)")
+        return _Chain(lambda ds: unroll(
+            ds, cfg["field"], out_col=cfg.get("out_field"),
+            split_pattern=cfg.get("split_pattern"),
+            keep_cols=cfg.get("keep_cols")))
+    if t == "span":
+        # processor/spanprocessor (span.go:121; README name/status
+        # shape). `status.where` is an engine extension: the flat
+        # model applies set-status behind an OTTL condition.
+        from ..ottl import parse_condition_text
+        from ..stages.spanrename import SpanProcessor
+
+        nm = cfg.get("name") or {}
+        ta = nm.get("to_attributes") or {}
+        st = cfg.get("status") or {}
+        return SpanProcessor(
+            name_col=cfg.get("name_column", "name"),
+            from_attributes=nm.get("from_attributes"),
+            separator=nm.get("separator", ""),
+            to_attributes=ta.get("rules"),
+            keep_original_name=ta.get("keep_original_name", False),
+            break_after_match=ta.get("break_after_match", False),
+            status_code=st.get("code"),
+            status_description=st.get("description", ""),
+            status_where=(parse_condition_text(st["where"])
+                          if st.get("where") else None))
+    if t == "drain":
+        # processor/drainprocessor README (masking_rules, body_field,
+        # template_attribute). Loader subset: the vectorized masking
+        # template column; full Drain-tree mining is the terminal
+        # stages/templates.drain_mine aggregate (drain_templates query).
+        from ..stages.templates import add_template_column
+
+        masks = [(r["pattern"], r["replacement"])
+                 for r in cfg.get("masking_rules", [])] or None
+        return _Chain(lambda ds: add_template_column(
+            ds, text_col=cfg.get("body_field") or "text",
+            out=cfg.get("template_attribute", "log.record.template"),
+            masks=masks))
+    if t == "dynamic_sampling":
+        # processor/dynamicsamplingprocessor README rules shape:
+        # ordered first-match rules, each with OTTL conditions and a
+        # sampler. trace_timeout/decision_delay/num_traces vanish on a
+        # finite table (group completeness is exact, SURVEY §2.5).
+        from ..ottl import parse_condition_text
+        from ..stages.dynsample import SamplingRule, dynamic_sample
+
+        rules = []
+        for r in cfg["rules"]:
+            s = r.get("sampler") or {"type": "always_sample"}
+            stype = s.get("type", "always_sample")
+            if stype == "always_sample":
+                sampler, rate, target = "deterministic", 1, 0
+            elif stype in ("probabilistic", "deterministic"):
+                pct = s.get("sampling_percentage")
+                rate = (max(1, int(round(100.0 / pct))) if pct
+                        else int(s.get("rate", 1)))
+                sampler, target = "deterministic", 0
+            elif stype in ("throughput", "ema_dynamic"):
+                sampler, rate = "throughput", 1
+                target = int(s.get("goal_traces")
+                             or s.get("target_keep", 0))
+            else:
+                raise ValueError(f"unknown sampler type {stype!r}")
+            rules.append(SamplingRule(
+                name=r["name"],
+                conditions=[parse_condition_text(c)
+                            for c in r.get("conditions", [])],
+                sampler=sampler, rate=rate, target_keep=target))
+        return _Chain(lambda ds: dynamic_sample(
+            ds, cfg.get("trace_key", "trace_id"), rules,
+            seed=cfg.get("hash_seed", 0),
+            strategy=cfg.get("strategy", "broadcast")))
+    if t == "groupbytrace":
+        # processor/groupbytraceprocessor: buffer and re-emit all spans
+        # of one trace together. Finite-table analog: cluster the
+        # stream by trace key (a range sort makes every trace
+        # contiguous within blocks); wait_duration/num_traces are
+        # buffering knobs with no finite-table meaning and are accepted
+        # but ignored.
+        key = cfg.get("trace_key", "trace_id")
+        return _Chain(lambda ds: ds.sort([key]))
     raise ValueError(
         f"unsupported processor {name!r}; supported: transform, filter, "
         "attributes, resource, redaction, probabilistic_sampler, "
         "logstransform, logdedup, groupbyattrs, cumulativetodelta, "
         "deltatocumulative, deltatorate, interval, metricstransform, "
         "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
-        "schema, resourcedetection, "
+        "schema, resourcedetection, lookup, geoip, unroll, span, drain, "
+        "dynamic_sampling, groupbytrace, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
+
+
+def _load_table_source(src: dict[str, Any], path_key: str = "path"):
+    """A small-side table for lookup/geoip providers: parquet or csv
+    by file extension, or inline ``rows:`` (a column->values mapping,
+    the test-friendly shape)."""
+    import pyarrow as pa
+
+    if "rows" in src:
+        return pa.table(src["rows"])
+    path = src[path_key]
+    if str(path).endswith(".csv"):
+        from pyarrow import csv as pacsv
+
+        return pacsv.read_csv(path)
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def _ottl_path_to_column(key: str) -> str:
+    """Reduce the lookupprocessor's OTTL key paths to flat columns:
+    log.attributes["user.id"] / span.attributes["x"] /
+    resource.attributes["x"] -> the quoted name; bare names pass
+    through."""
+    import re
+
+    m = re.match(r'^(?:log|span|datapoint|resource)\.attributes\["([^"]+)"\]$',
+                 key)
+    if m:
+        return m.group(1)
+    m = re.match(r'^attributes\["([^"]+)"\]$', key)
+    if m:
+        return m.group(1)
+    return key
 
 
 def _translate_tail_policy(p: dict) -> dict:
@@ -521,7 +700,10 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
     rr_cache: dict[str, list] = {}
 
     def _routing_reader(conn_name: str, pipe_name: str):
-        if _base_type(conn_name) in ("count", "sum", "spanmetrics", "exceptions"):
+        if _base_type(conn_name) in (
+                "count", "sum", "spanmetrics", "exceptions", "servicegraph",
+                "signaltometrics", "signal_to_metrics", "slowsql",
+                "metricsaslogs", "otlpjson"):
             return lambda: routing_sources[conn_name]()
         if _base_type(conn_name) == "roundrobin":
             from ..stages.reshape import round_robin
@@ -651,9 +833,117 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
                     return src
                 routing_sources[conn] = make_metric_source()
                 continue
+            if _base_type(conn) == "servicegraph":
+                # connector/servicegraphconnector: pair client/server
+                # spans on (trace_id, span_id)-like keys and emit edge
+                # metrics. Flat-model config: kind_field splits the
+                # upstream into the two sides (each side filters the
+                # shared lazy stream — the upstream re-executes per
+                # side, same documented behavior as routing branches).
+                from ..stages.servicegraph import service_graph_edges
+
+                kf = ccfg.get("kind_field", "kind")
+                cv = ccfg.get("client_value", "client")
+                sv = ccfg.get("server_value", "server")
+                # YAML 1.1 parses a bare `on:` key as boolean True —
+                # accept both spellings
+                on = ccfg.get("on") or ccfg.get(True) or ccfg["join_on"]
+                dims = ccfg["dimensions"]
+
+                def make_sg_source(p=p, kf=kf, cv=cv, sv=sv, on=on,
+                                   dims=dims, ccfg=ccfg):
+                    def src() -> ray.data.Dataset:
+                        import pyarrow.compute as _pc
+
+                        up = _compose(p)
+
+                        def side(v):
+                            return up.map_batches(
+                                lambda b, v=v: b.filter(
+                                    _pc.equal(b[kf], v)),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True, batch_size=None)
+                        return service_graph_edges(
+                            side(cv), side(sv), on=on, edge_dims=dims,
+                            client_ts=ccfg.get("client_ts", "ts"),
+                            server_ts=ccfg.get("server_ts", "ts"),
+                            guard_empty=ccfg.get("guard_empty", False))
+                    return src
+                routing_sources[conn] = make_sg_source()
+                continue
+            if _base_type(conn) in ("signaltometrics", "signal_to_metrics"):
+                # connector/signaltometricsconnector: grouped count +
+                # sums per attribute set. Loader subset: one metric
+                # table per connector (dimensions + optional sums).
+                from ..stages.aggregate import grouped_count_sum
+
+                def make_stm_source(p=p, ccfg=ccfg):
+                    def src() -> ray.data.Dataset:
+                        return grouped_count_sum(
+                            _compose(p), ccfg["dimensions"],
+                            sum_cols=ccfg.get("sum_columns"),
+                            count_name=ccfg.get("count_name", "n"))
+                    return src
+                routing_sources[conn] = make_stm_source()
+                continue
+            if _base_type(conn) == "slowsql":
+                # connector/slowsqlconnector: traces -> slow-SQL logs
+                from ..stages.convertlogs import slow_sql_logs
+
+                def make_sql_source(p=p, ccfg=ccfg):
+                    def src() -> ray.data.Dataset:
+                        return slow_sql_logs(
+                            _compose(p),
+                            duration_col=ccfg["duration_column"],
+                            threshold=ccfg["threshold"],
+                            db_system_col=ccfg["db_system_column"],
+                            db_statement_col=ccfg["db_statement_column"],
+                            db_systems=ccfg["db_systems"],
+                            service_col=ccfg.get("service_column"),
+                            span_name_col=ccfg.get("span_name_column"),
+                            dims=ccfg.get("dimensions"))
+                    return src
+                routing_sources[conn] = make_sql_source()
+                continue
+            if _base_type(conn) == "metricsaslogs":
+                # connector/metricsaslogsconnector: one log per
+                # datapoint
+                from ..stages.convertlogs import metrics_as_logs
+
+                def make_mal_source(p=p, ccfg=ccfg):
+                    def src() -> ray.data.Dataset:
+                        return metrics_as_logs(
+                            _compose(p),
+                            name_col=ccfg["name_column"],
+                            value_col=ccfg["value_column"],
+                            metric_type=ccfg.get("metric_type", "gauge"),
+                            unit=ccfg.get("unit", ""),
+                            description=ccfg.get("description", ""),
+                            keep_cols=ccfg.get("keep_columns"))
+                    return src
+                routing_sources[conn] = make_mal_source()
+                continue
+            if _base_type(conn) == "otlpjson":
+                # connector/otlpjsonconnector: parse a JSON-lines body
+                # column into typed columns (stages/parse.JsonParser)
+                from ..stages.parse import JsonParser
+
+                def make_oj_source(p=p, ccfg=ccfg):
+                    def src() -> ray.data.Dataset:
+                        return JsonParser(
+                            parse_from=ccfg.get("parse_from", "body"),
+                            fields=ccfg["fields"],
+                            on_error=ccfg.get("on_error", "send"),
+                        ).apply(_compose(p))
+                    return src
+                routing_sources[conn] = make_oj_source()
+                continue
             if _base_type(conn) != "routing":
-                raise ValueError(f"unsupported connector {conn!r}; "
-                                 "supported: routing, count, sum, spanmetrics, exceptions, roundrobin")
+                raise ValueError(
+                    f"unsupported connector {conn!r}; supported: routing, "
+                    "count, sum, spanmetrics, exceptions, roundrobin, "
+                    "servicegraph, signaltometrics, slowsql, metricsaslogs, "
+                    "otlpjson")
             from ..ottl import parse_condition_text
             from ..stages.route import Router
 

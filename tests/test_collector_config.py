@@ -933,3 +933,353 @@ service:
     b = pq.read_table(out_b).to_pandas()
     assert len(a) + len(b) == 10 and abs(len(a) - len(b)) <= 1
     assert sorted(list(a["v"]) + list(b["v"])) == list(range(10))
+
+
+def test_lookup_processor(ray_session, tmp_path):
+    # processor/lookupprocessor README config shape: source + lookups
+    # (key -> attributes with destination + default); flat-model key
+    # paths: log.attributes["user.id"] reduces to the column
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    users = pa.table({"uid": ["u1", "u2"], "name": ["alice", "bob"],
+                      "team": ["core", "infra"]})
+    db = str(tmp_path / "users.parquet")
+    _pq.write_table(users, db)
+    log = _write_log(tmp_path, "l.log", "m1 u1\nm2 u2\nm3 u9\n")
+    out = str(tmp_path / "out")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<msg>\\w+) (?P<user_id>\\w+)'
+processors:
+  lookup:
+    source:
+      type: parquet
+      path: {db}
+      key_column: uid
+    lookups:
+      - key: log.attributes["user_id"]
+        attributes:
+          - destination: user.name
+            source_column: name
+            default: "Unknown User"
+          - destination: team
+            source_column: team
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [lookup]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas().sort_values("msg")
+    assert list(df["user.name"]) == ["alice", "bob", "Unknown User"]
+    assert list(df["team"])[:2] == ["core", "infra"]
+    assert df["team"].isna().iloc[2]  # no default -> silent-miss null
+
+
+def test_geoip_processor(ray_session, tmp_path):
+    # processor/geoipprocessor README shape (providers + attributes);
+    # concrete provider = the engine's file-backed CIDR table
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    db = pa.table({"cidr": ["10.0.0.0/8", "192.168.1.0/24"],
+                   "country": ["US", "DE"], "city": ["nyc", "ber"]})
+    dbp = str(tmp_path / "geo.parquet")
+    _pq.write_table(db, dbp)
+    log = _write_log(tmp_path, "g.log",
+                     "a 10.1.2.3\nb 192.168.1.77\nc 8.8.8.8\n")
+    out = str(tmp_path / "out")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<msg>\\w+) (?P<client_address>[\\d\\.]+)'
+processors:
+  geoip:
+    providers:
+      cidr_file:
+        database_path: {dbp}
+    context: record
+    attributes: [client_address]
+exporters:
+  file:
+    path: {out}
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [geoip]
+      exporters: [file]
+""")
+    pipes["logs"].run()
+    df = pq.read_table(out).to_pandas().sort_values("msg")
+    assert list(df["country"].fillna("-")) == ["US", "DE", "-"]
+    assert list(df["city"].fillna("-")) == ["nyc", "ber", "-"]
+
+
+def test_unroll_and_span_processors(ray_session, tmp_path):
+    # processor/unrollprocessor (flat-model: field + split_pattern) and
+    # processor/spanprocessor README name.from_attributes shape
+    log = _write_log(tmp_path, "u.log",
+                     "db-q1 mysql select\ndb-q2 pg insert\n")
+    out = str(tmp_path / "out")
+    out2 = str(tmp_path / "out2")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<name>[\\w-]+) (?P<db_svc>\\w+) (?P<ops>[\\w ]+)'
+processors:
+  span:
+    name:
+      from_attributes: ["db_svc", "ops"]
+      separator: "::"
+  unroll:
+    field: ops
+    out_field: op
+    split_pattern: " "
+service:
+  pipelines:
+    spans:
+      receivers: [filelog]
+      processors: [span]
+      exporters: []
+    words:
+      receivers: [filelog]
+      processors: [unroll]
+      exporters: []
+""")
+    spans = pipes["spans"].dataset().to_pandas().sort_values("db_svc")
+    assert list(spans["name"]) == ["mysql::select", "pg::insert"]
+    words = pipes["words"].dataset().to_pandas()
+    assert sorted(words["op"]) == ["insert", "select"]
+    # recursive fails loud
+    with pytest.raises(ValueError, match="recursive"):
+        collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+processors:
+  unroll:
+    field: ops
+    recursive: true
+service:
+  pipelines:
+    l: {{receivers: [filelog], processors: [unroll], exporters: []}}
+""")
+
+
+def test_drain_and_groupbytrace_processors(ray_session, tmp_path):
+    # processor/drainprocessor README masking_rules/template_attribute
+    # (loader subset: masking template column); groupbytrace clusters
+    # rows by trace key
+    log = _write_log(tmp_path, "d.log",
+                     "t2 connect from 10.0.0.1 port 4411\n"
+                     "t1 connect from 10.0.0.9 port 80\n"
+                     "t1 disconnect user 42\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<trace_id>\\w+) (?P<body>.*)$'
+processors:
+  drain:
+    body_field: body
+    template_attribute: log.record.template
+    masking_rules:
+      - pattern: '\\d+\\.\\d+\\.\\d+\\.\\d+'
+        replacement: '<IP>'
+      - pattern: '\\d+'
+        replacement: '<NUM>'
+  groupbytrace:
+    trace_key: trace_id
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [drain, groupbytrace]
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas()
+    assert list(df["trace_id"]) == ["t1", "t1", "t2"]  # clustered
+    assert set(df["log.record.template"]) == {
+        "connect from <IP> port <NUM>", "disconnect user <NUM>"}
+
+
+def test_dynamic_sampling_processor(ray_session, tmp_path):
+    # processor/dynamicsamplingprocessor README rules shape: ordered
+    # first-match rules (keep-errors always, catch-all probabilistic)
+    lines = "".join(
+        f"{'ERROR' if i % 10 == 0 else 'INFO'} msg{i} trace{i % 40}\n"
+        for i in range(200))
+    log = _write_log(tmp_path, "ds.log", lines)
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\w+) (?P<msg>\\w+) (?P<trace_id>\\w+)'
+processors:
+  dynamic_sampling:
+    trace_key: trace_id
+    rules:
+      - name: keep-errors
+        conditions: ['level == "ERROR"']
+        sampler: {{type: always_sample}}
+      - name: default
+        sampler: {{type: probabilistic, sampling_percentage: 25}}
+service:
+  pipelines:
+    traces:
+      receivers: [filelog]
+      processors: [dynamic_sampling]
+      exporters: []
+""")
+    df = pipes["traces"].dataset().to_pandas()
+    # every trace containing an ERROR row is kept in full (20 traces
+    # hit ERROR: trace0,10,20,30 mod 40 -> 4 distinct trace ids * 5 rows)
+    err_traces = {f"trace{i % 40}" for i in range(0, 200, 10)}
+    kept_err = df[df["sampling_rule"] == "keep-errors"]
+    assert set(kept_err["trace_id"]) == err_traces
+    # catch-all is 1-in-4 deterministic on the remaining traces
+    rest = df[df["sampling_rule"] == "default"]
+    assert set(rest["sample_rate"]) == {4}
+    assert not set(rest["trace_id"]) & err_traces
+
+
+def test_servicegraph_and_signaltometrics_connectors(ray_session, tmp_path):
+    # connector/servicegraphconnector (client/server pairing -> edge
+    # metrics) and connector/signaltometricsconnector (grouped counts)
+    log = _write_log(
+        tmp_path, "sg.log",
+        "client t1 s1 search 1000\nserver t1 s1 search 3000\n"
+        "client t2 s1 db 500\nserver t2 s1 db 4500\n"
+        "client t3 s1 db 0\nserver t3 s1 db 9000\n")
+    out_sg = str(tmp_path / "sg")
+    out_stm = str(tmp_path / "stm")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<kind>\\w+) (?P<trace_id>\\w+) (?P<span_id>\\w+) (?P<tool>\\w+) (?P<us>\\d+)'
+      - type: transform
+        statements:
+          - 'set(ts, Int(us))'
+connectors:
+  servicegraph:
+    kind_field: kind
+    client_value: client
+    server_value: server
+    on: [trace_id, span_id]
+    dimensions: [tool]
+  signaltometrics:
+    dimensions: [kind, tool]
+exporters:
+  file/sg:
+    path: {out_sg}
+  file/stm:
+    path: {out_stm}
+service:
+  pipelines:
+    traces:
+      receivers: [filelog]
+      exporters: [servicegraph, signaltometrics]
+    graph:
+      receivers: [servicegraph]
+      exporters: [file/sg]
+    metrics:
+      receivers: [signaltometrics]
+      exporters: [file/stm]
+""")
+    pipes["graph"].run()
+    pipes["metrics"].run()
+    sg = pq.read_table(out_sg).to_pandas().set_index("tool")
+    assert sg.loc["search", "n_calls"] == 1
+    assert sg.loc["search", "latency_us_sum"] == 2000
+    assert sg.loc["db", "n_calls"] == 2
+    assert sg.loc["db", "latency_us_sum"] == 4000 + 9000
+    stm = pq.read_table(out_stm).to_pandas()
+    assert stm["n"].sum() == 6
+    assert set(stm["kind"]) == {"client", "server"}
+
+
+def test_slowsql_metricsaslogs_otlpjson_connectors(ray_session, tmp_path):
+    # connector/slowsqlconnector, metricsaslogsconnector,
+    # otlpjsonconnector — signal conversions as YAML connectors
+    log = _write_log(
+        tmp_path, "sq.log",
+        'mysql 900 {"k": 1}\npostgresql 100 {"k": 2}\noracle 950 {"k": 3}\n')
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<db_system>\\w+) (?P<dur>\\d+) (?P<body>.*)$'
+      - type: transform
+        statements:
+          - 'set(dur_ns, Int(dur))'
+          - 'set(stmt, "select 1")'
+connectors:
+  slowsql:
+    duration_column: dur_ns
+    threshold: 500
+    db_system_column: db_system
+    db_statement_column: stmt
+    db_systems: [mysql, postgresql]
+  metricsaslogs:
+    name_column: db_system
+    value_column: dur_ns
+    metric_type: gauge
+    keep_columns: [db_system]
+  otlpjson:
+    parse_from: body
+    fields: {{k: int64}}
+service:
+  pipelines:
+    traces:
+      receivers: [filelog]
+      exporters: [slowsql, metricsaslogs, otlpjson]
+    slow:
+      receivers: [slowsql]
+      exporters: []
+    logs:
+      receivers: [metricsaslogs]
+      exporters: []
+    parsed:
+      receivers: [otlpjson]
+      exporters: []
+""")
+    slow = pipes["slow"].dataset().to_pandas()
+    # only mysql row passes: >= threshold AND in db_systems
+    assert list(slow["db.system"]) == ["mysql"]
+    logs = pipes["logs"].dataset().to_pandas()
+    assert len(logs) == 3 and set(logs["metric.type"]) == {"gauge"}
+    parsed = pipes["parsed"].dataset().to_pandas()
+    assert sorted(parsed["k"]) == [1, 2, 3]
