@@ -355,6 +355,45 @@ service:
         ["conv_id", "turn_idx", "team", "name", "template"])
 
 
+def _q_k8s_enrich(sf_dir: str):
+    """k8sattributesprocessor with the concrete file-backed pod
+    snapshot (stages/k8sattributes.py): default pod-IP association,
+    metadata + label extract rules; misses stay null (silent-miss,
+    processor.go). The pod IP is synthesized deterministically from
+    event_id so DuckDB can replay the join."""
+    from opentelemetry_collector_contrib_ray.stages.k8sattributes import (
+        K8sAttributes,
+    )
+
+    snapshot = pa.table({
+        "k8s.pod.ip": [f"10.0.{i}.5" for i in range(20)],
+        "k8s.pod.name": [f"pod-{i}" for i in range(20)],
+        "k8s.namespace.name": [f"ns{i % 3}" for i in range(20)],
+        "label.app": [("web" if i % 2 == 0 else "db") for i in range(20)],
+    })
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def mk_ip(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        octet = b["event_id"].to_numpy(zero_copy_only=False) % 30
+        ip = pc.binary_join_element_wise(
+            pa.array(["10.0."] * b.num_rows),
+            pc.cast(pa.array(octet.astype(np.int64)), pa.string()),
+            pa.array([".5"] * b.num_rows), "")
+        return b.append_column("k8s.pod.ip", ip)
+
+    ds = ds.map_batches(mk_ip, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    out = K8sAttributes(
+        snapshot,
+        metadata=["k8s.pod.name", "k8s.namespace.name"],
+        labels=[{"tag_name": "app", "key": "app", "from": "pod"}],
+    ).apply(ds)
+    return out.select_columns(
+        ["event_id", "k8s.pod.name", "k8s.namespace.name", "app"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1897,6 +1936,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new round-5 queries --
         "collector_yaml2": _q_collector_yaml2,
+        "k8s_enrich": _q_k8s_enrich,
         # -- new round-4 queries --
         "ottl_funcs3": _q_ottl_funcs3,
         "sampler_proportional": _q_sampler_proportional,
@@ -2239,6 +2279,15 @@ FROM read_parquet('{tpath}') t
 LEFT JOIN (VALUES ('bash','shell'),('search','web'),('editor','ide'),
            ('browser','web'),('python','lang')) lk(tool, team)
   ON t.tool = lk.tool""",
+        "k8s_enrich": """
+WITH src AS (
+  SELECT event_id,
+         '10.0.' || CAST(event_id % 30 AS VARCHAR) || '.5' AS ip
+  FROM events),
+pods(ip, pod_name, ns, app) AS (VALUES ('10.0.0.5','pod-0','ns0','web'),('10.0.1.5','pod-1','ns1','db'),('10.0.2.5','pod-2','ns2','web'),('10.0.3.5','pod-3','ns0','db'),('10.0.4.5','pod-4','ns1','web'),('10.0.5.5','pod-5','ns2','db'),('10.0.6.5','pod-6','ns0','web'),('10.0.7.5','pod-7','ns1','db'),('10.0.8.5','pod-8','ns2','web'),('10.0.9.5','pod-9','ns0','db'),('10.0.10.5','pod-10','ns1','web'),('10.0.11.5','pod-11','ns2','db'),('10.0.12.5','pod-12','ns0','web'),('10.0.13.5','pod-13','ns1','db'),('10.0.14.5','pod-14','ns2','web'),('10.0.15.5','pod-15','ns0','db'),('10.0.16.5','pod-16','ns1','web'),('10.0.17.5','pod-17','ns2','db'),('10.0.18.5','pod-18','ns0','web'),('10.0.19.5','pod-19','ns1','db'))
+SELECT s.event_id, p.pod_name AS "k8s.pod.name",
+       p.ns AS "k8s.namespace.name", p.app AS app
+FROM src s LEFT JOIN pods p ON s.ip = p.ip""",
         "time_parse": """
 SELECT event_id,
   strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts_rt,

@@ -477,6 +477,21 @@ def _build_processor(name: str, cfg: dict[str, Any]):
             ds, cfg.get("trace_key", "trace_id"), rules,
             seed=cfg.get("hash_seed", 0),
             strategy=cfg.get("strategy", "broadcast")))
+    if t == "k8sattributes":
+        # processor/k8sattributesprocessor README shape
+        # (pod_association + extract.metadata/labels/annotations); the
+        # watcher becomes a file-backed pod snapshot table
+        # (stages/k8sattributes.py module docstring).
+        from ..stages.k8sattributes import K8sAttributes
+
+        snap = _load_table_source(cfg["snapshot"])
+        ex = cfg.get("extract") or {}
+        return K8sAttributes(
+            snap,
+            pod_association=cfg.get("pod_association"),
+            metadata=ex.get("metadata"),
+            labels=ex.get("labels"),
+            annotations=ex.get("annotations"))
     if t == "groupbytrace":
         # processor/groupbytraceprocessor: buffer and re-emit all spans
         # of one trace together. Finite-table analog: cluster the
@@ -493,7 +508,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "deltatocumulative, deltatorate, interval, metricstransform, "
         "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
         "schema, resourcedetection, lookup, geoip, unroll, span, drain, "
-        "dynamic_sampling, groupbytrace, "
+        "dynamic_sampling, groupbytrace, k8sattributes, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 

@@ -65,6 +65,7 @@ from . import (  # noqa: E402,F401
     enrich,
     failover,
     genai,
+    k8sattributes,
     parse,
     recombine,
     route,
