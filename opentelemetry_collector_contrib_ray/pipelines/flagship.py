@@ -209,15 +209,28 @@ def sweep_orphans(routed_path: str) -> list[str]:
     return removed
 
 
+def _row_group_blocks(input_files: list[str]) -> int:
+    """Read-task parallelism = total parquet row groups across the
+    (sorted) input list — deterministic, and footer-metadata-only on
+    the driver (no data reads)."""
+    return sum(max(1, pq.read_metadata(f).num_row_groups)
+               for f in input_files)
+
+
 def _fused_pass(input_files: list[str], routed_path: str) -> pa.Table:
     """read -> parse -> enrich -> route -> write+partial -> tree merge.
     One streaming consumption; returns the merged metric partial.
 
-    override_num_blocks=len(files) keeps one block per input file so
-    the executor fuses the read INTO the map chain (no SplitBlocks
-    operator => no extra object-store round trip of the full decoded
-    stream — the only plasma traffic is the tiny partials)."""
-    ds = ray.data.read_parquet(input_files, override_num_blocks=len(input_files))
+    override_num_blocks = total ROW GROUPS (not files): the read still
+    fuses INTO the map chain (no SplitBlocks operator => no extra
+    object-store round trip of the full decoded stream — the only
+    plasma traffic is the tiny partials), but a giant input file
+    splits into one task per row group instead of serializing the
+    whole stage behind a single task (one-block-per-FILE was the r4
+    VERDICT's skew hazard #2). On the uniform fixture (one row group
+    per shard) this is byte-identical to one block per file."""
+    ds = ray.data.read_parquet(
+        input_files, override_num_blocks=_row_group_blocks(input_files))
     ds = TranscriptParser(on_error="send").apply(ds)
     # project away parse intermediates the sinks don't carry BEFORE the
     # enrich/route/write stages — less memory traffic per fused task

@@ -151,3 +151,34 @@ def test_orphan_sweep(tmp_path):
     removed = sweep_orphans(routed)
     assert removed == [orphan]
     assert not os.path.exists(orphan)
+
+
+def test_giant_file_splits_into_row_group_tasks(ray_session, tmp_path):
+    """One input file >> the others must NOT serialize the stage
+    behind a single task: read parallelism is one block per parquet
+    ROW GROUP (r4 VERDICT skew hazard #2)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.pipelines.flagship import (
+        _row_group_blocks,
+    )
+
+    big = pa.table({"conv_id": [f"c{i % 50:04d}" for i in range(200_000)],
+                    "turn_idx": pa.array(np.arange(200_000) % 4000),
+                    "x": pa.array(np.arange(200_000))})
+    pq.write_table(big, str(tmp_path / "big.parquet"), row_group_size=25_000)
+    for j in range(3):
+        small = pa.table({"conv_id": [f"s{j}"] * 10,
+                          "turn_idx": pa.array(np.arange(10)),
+                          "x": pa.array(np.arange(10))})
+        pq.write_table(small, str(tmp_path / f"small{j}.parquet"))
+    files = sorted(str(p) for p in tmp_path.glob("*.parquet"))
+    nb = _row_group_blocks(files)
+    assert nb == 8 + 3  # 8 row groups in the giant file + 3 singles
+    ds = ray.data.read_parquet(files, override_num_blocks=nb).materialize()
+    # the giant file yields MULTIPLE blocks (>=8 of the total)
+    assert ds.num_blocks() >= nb
+    assert ds.count() == 200_030
