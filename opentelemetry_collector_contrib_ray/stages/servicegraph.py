@@ -96,6 +96,7 @@ def adjacent_edges_presorted(
     edge_dim: str,
     latency_name: str = "latency_us_sum",
     count_name: str = "n_calls",
+    broadcast_edge_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """Shuffle-free service-graph pairing for PRESORTED input.
 
@@ -179,20 +180,27 @@ def adjacent_edges_presorted(
             pa.array([dim[0].as_py(), dim[-1].as_py()], pa.string())])
         return pa.table(out)
 
-    rows = ds.map_batches(block, batch_format="pyarrow",
-                          zero_copy_batch=True, batch_size=None).take_all()
-    partials: dict[str, tuple[int, int]] = {}
-    firsts, lasts = [], []
-    # a block's output rows stay contiguous and ordered through
-    # take_all, so firsts[i]/lasts[i] belong to the same block
-    for rrow in rows:
-        if rrow["kind"] == "partial":
-            cur = partials.get(rrow["edge"], (0, 0))
-            partials[rrow["edge"]] = (cur[0] + rrow["n"], cur[1] + rrow["lat"])
-        elif rrow["kind"] == "first":
-            firsts.append(rrow)
-        elif rrow["kind"] == "last":
-            lasts.append(rrow)
+    # summary stream: per-block edge partials + 2 boundary rows per
+    # block; pinned once, consumed by the boundary scan and the
+    # partial merge below
+    summary = ds.map_batches(block, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=None
+                             ).materialize()
+
+    def _keep(kinds):
+        ks = pa.array(kinds, pa.string())
+
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b["kind"], value_set=ks))
+        return f
+
+    # boundary rows are O(blocks) at any scale — always driver-side
+    rows = summary.map_batches(_keep(["first", "last"]),
+                               batch_format="pyarrow",
+                               zero_copy_batch=True,
+                               batch_size=None).take_all()
+    firsts = [r for r in rows if r["kind"] == "first"]
+    lasts = [r for r in rows if r["kind"] == "last"]
     if len(firsts) != len(lasts):
         raise AssertionError("presorted pairing: mismatched block summaries")
     blks = sorted(zip(firsts, lasts), key=lambda p: (p[0]["grp"], p[0]["ord"]))
@@ -201,16 +209,48 @@ def adjacent_edges_presorted(
         raise AssertionError(
             "presorted pairing: duplicate block order tokens — input is "
             "not (group, order)-sorted; use service_graph_edges instead")
+    bedges, bns, blats = [], [], []
     for (pf, pl), (nf, nl) in zip(blks[:-1], blks[1:]):
         last, first = pl, nf
         if (last["grp"] == first["grp"] and first["ord"] == last["ord"] + 1
                 and last["role"] == client_role and first["role"] == server_role):
-            cur = partials.get(first["edge"], (0, 0))
-            partials[first["edge"]] = (cur[0] + 1,
-                                       cur[1] + first["ts_us"] - last["ts_us"])
-    edges = sorted(partials)
-    return ray.data.from_arrow(pa.table({
-        edge_dim: pa.array(edges, pa.string()),
-        count_name: pa.array([partials[e][0] for e in edges], pa.int64()),
-        latency_name: pa.array([partials[e][1] for e in edges], pa.int64()),
-    }))
+            bedges.append(first["edge"])
+            bns.append(1)
+            blats.append(first["ts_us"] - last["ts_us"])
+    boundary_tbl = pa.table({"edge": pa.array(bedges, pa.string()),
+                             "n": pa.array(bns, pa.int64()),
+                             "lat": pa.array(blats, pa.int64())})
+
+    parts = summary.map_batches(
+        lambda b: _keep(["partial"])(b).select(["edge", "n", "lat"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+    # SIZE GATE (same 2M-key shape as tailsample's broadcast gate): the
+    # driver merge holds distinct-edges x blocks partial rows — fine
+    # for service-pair cardinality, pathological for a high-cardinality
+    # edge dim. Above the gate the merge stays distributed and the
+    # result is never driver-resident.
+    n_partial = parts.count()
+    if n_partial <= broadcast_edge_limit:
+        partials: dict[str, tuple[int, int]] = {}
+        for rrow in parts.take_all():
+            cur = partials.get(rrow["edge"], (0, 0))
+            partials[rrow["edge"]] = (cur[0] + rrow["n"], cur[1] + rrow["lat"])
+        for e, dn, dl in zip(bedges, bns, blats):
+            cur = partials.get(e, (0, 0))
+            partials[e] = (cur[0] + dn, cur[1] + dl)
+        edges = sorted(partials)
+        return ray.data.from_arrow(pa.table({
+            edge_dim: pa.array(edges, pa.string()),
+            count_name: pa.array([partials[e][0] for e in edges], pa.int64()),
+            latency_name: pa.array([partials[e][1] for e in edges], pa.int64()),
+        }))
+    merged = parts.union(ray.data.from_arrow(boundary_tbl)) \
+        .groupby("edge").sum(["n", "lat"])
+
+    def rename(b: pa.Table) -> pa.Table:
+        m = {"edge": edge_dim, "sum(n)": count_name, "sum(lat)": latency_name}
+        b = b.rename_columns([m.get(c, c) for c in b.column_names])
+        return b.select([edge_dim, count_name, latency_name])
+
+    return merged.map_batches(rename, batch_format="pyarrow",
+                              zero_copy_batch=True, batch_size=None)

@@ -473,3 +473,45 @@ def test_scope_name_parser(ray_session):
     t = pa.table({"logger": ["my.logger", None]})
     out = ScopeNameParser("logger").apply(ray.data.from_arrow(t)).to_pandas()
     assert list(out["scope_name"].fillna("-")) == ["my.logger", "-"]
+
+
+def test_adjacent_edges_gate_parity(ray_session):
+    """adjacent_edges_presorted: driver-merge path (below the edge
+    gate) and distributed-groupby path (gate=0) must agree exactly."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        adjacent_edges_presorted,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = []
+    for c in range(8):
+        conv = f"c{c:03d}"
+        for i in range(9):
+            role = "user" if i % 2 == 0 else "assistant"
+            tool = ["search", "db", "llm", "edit"][i % 4]
+            rows.append((conv, i, role, tool,
+                         T0 + timedelta(seconds=c * 100 + 3 * i)))
+    t = pa.table({"conv_id": pa.array([r[0] for r in rows]),
+                  "turn_idx": pa.array([r[1] for r in rows], pa.int64()),
+                  "role": pa.array([r[2] for r in rows]),
+                  "tool": pa.array([r[3] for r in rows]),
+                  "ts": pa.array([r[4] for r in rows], pa.timestamp("us"))})
+    # blocks cut mid-conversation to force boundary pairs
+    blocks = [t.slice(0, 13), t.slice(13, 11), t.slice(24, 1),
+              t.slice(25, 20), t.slice(45)]
+    ds = rd.from_arrow(blocks)
+    kw = dict(client_role="user", server_role="assistant",
+              role_col="role", ts_col="ts", edge_dim="tool")
+    a = adjacent_edges_presorted(ds, "conv_id", "turn_idx", **kw) \
+        .to_pandas().sort_values("tool").reset_index(drop=True)
+    b = adjacent_edges_presorted(ds, "conv_id", "turn_idx",
+                                 broadcast_edge_limit=0, **kw) \
+        .to_pandas().sort_values("tool").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["n_calls"].sum() == 8 * 4  # 4 user->assistant pairs per conv
