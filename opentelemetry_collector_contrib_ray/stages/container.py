@@ -154,13 +154,14 @@ class ContainerParser:
             time_v[idxs] = times
             ok[idxs] = fast_ok
 
-        ts = pd.to_datetime(pd.Series(time_v), format="ISO8601", errors="coerce", utc=True)
+        from .syslog import _iso_ts_us
+
+        ts = _iso_ts_us(pa.array(time_v, pa.string()))
 
         out = batch.append_column("body", pa.array(log_v, pa.string()))
         out = out.append_column("log.iostream", pa.array(stream_v, pa.string()))
         out = out.append_column("logtag", pa.array(logtag_v, pa.string()))
-        out = out.append_column(
-            "event_ts", pa.Array.from_pandas(ts).cast(pa.timestamp("us", tz="UTC"), safe=False))
+        out = out.append_column("event_ts", ts)
         out = out.append_column("format", pa.array(fmt, pa.string()))
         if self.add_meta and self.path_col in batch.column_names:
             paths = batch[self.path_col]

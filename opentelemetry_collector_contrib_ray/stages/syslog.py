@@ -84,6 +84,19 @@ _SD_PARAM = re.compile(r'(?P<k>[^\s=\]]+)="(?P<v>(?:[^"\\]|\\.)*)"')
 _SD_GROUP = re.compile(r"\[(?P<id>[^\s\]]+)(?P<params>[^\]]*)\]")
 
 
+def _iso_ts_us(arr: pa.Array) -> pa.Array:
+    """ISO8601 string -> timestamp[us, UTC]: Arrow's native cast (C++)
+    on the hot path; pandas ISO8601 fallback only when a value Arrow
+    cannot parse slips through the shape regex (e.g. lowercase 't')."""
+    try:
+        return pc.cast(arr, pa.timestamp("us", tz="UTC"), safe=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        ts = pd.to_datetime(pd.Series(arr.to_pandas()), format="ISO8601",
+                            errors="coerce", utc=True)
+        return pa.Array.from_pandas(ts).cast(pa.timestamp("us", tz="UTC"),
+                                             safe=False)
+
+
 def _sd_to_json(sd: str | None) -> str | None:
     """One SD string -> deterministic JSON (sorted ids and params).
     Only called for rows whose sd is present and not '-'."""
@@ -229,9 +242,7 @@ class SyslogParser:
         cols = self._pri_columns(pri_str, had_pri)
         cols["version"] = pc.cast(pc.struct_field(res, "version"), pa.int64(), safe=False)
         ts_str = self._dash_null(pc.struct_field(res, "ts"))
-        ts = pd.to_datetime(pd.Series(ts_str.to_pandas()), format="ISO8601",
-                            errors="coerce", utc=True)
-        cols["timestamp"] = pa.Array.from_pandas(ts).cast(pa.timestamp("us", tz="UTC"), safe=False)
+        cols["timestamp"] = _iso_ts_us(ts_str)
         for f in ("hostname", "appname", "proc_id", "msg_id"):
             cols[f] = self._dash_null(pc.struct_field(res, f))
         sd_raw = pc.struct_field(res, "sd")

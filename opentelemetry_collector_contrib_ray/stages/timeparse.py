@@ -296,6 +296,9 @@ class TimeParserStage:
                          .astype("datetime64[ns]"))
 
     # ------------------------------------------------------- formatted
+    # stays pandas: Arrow's strptime has no %z/%Z support and no
+    # per-value mixed-offset handling, both required by the Go layout
+    # semantics this mirrors (gotime %Z excision, location localize)
 
     def _parse_formatted(self, col: pa.Array) -> pd.Series:
         s = pd.Series(pc.cast(col, pa.string()).to_pandas())
