@@ -589,10 +589,14 @@ def _build_exporter(name: str, cfg: dict[str, Any]):
     """-> (ds) -> output path. ``file`` (fileexporter analog) writes
     partitioned Parquet under ``path`` — the engine-native sink format
     (the reference writes JSON/proto lines; Parquet is the columnar
-    equivalent and what every reader stage here consumes)."""
+    equivalent and what every reader stage here consumes).
+    ``awss3`` mirrors exporter/awss3exporter/config.go:27-101."""
     t = _base_type(name)
+    if t == "awss3":
+        return _build_awss3_exporter(cfg)
     if t != "file":
-        raise ValueError(f"unsupported exporter {name!r}; supported: file")
+        raise ValueError(f"unsupported exporter {name!r}; "
+                         "supported: file, awss3")
     path = cfg["path"]
     fmt = cfg.get("format", "parquet")
     if fmt not in ("parquet", "json"):
@@ -609,6 +613,85 @@ def _build_exporter(name: str, cfg: dict[str, Any]):
             ds.write_parquet(path, partition_cols=partition_by)
         else:
             ds.write_parquet(path)
+        return path
+
+    return write
+
+
+def _build_awss3_exporter(cfg: dict[str, Any]):
+    """awss3exporter (exporter/awss3exporter/config.go:27-101):
+    s3uploader.{s3_bucket, s3_base_prefix, s3_prefix,
+    s3_partition_format (strftime), file_prefix, compression,
+    endpoint} + marshaler. ONE writer code path for every
+    destination: the object key is
+    ``<base>/<base_prefix>/<prefix>/<strftime partition>/`` where
+    ``<base>`` is ``s3://<bucket>`` — or, when ``endpoint`` is a
+    ``file://`` URI (the reference uses endpoint for
+    S3-compatible/localstack targets), that local root standing in
+    for the bucket, which exercises the full marshal+partition path
+    without AWS. Marshalers: ``parquet`` (engine-native) and
+    ``otlp_json`` (JSON lines, the reference's OtlpJSON); others fail
+    loud. ``partition_time`` (ISO string, engine extension) pins the
+    strftime partition for deterministic tests; default is upload
+    time (UTC when s3_partition_timezone is UTC, reference default
+    Local)."""
+    import datetime as _dt
+    import os as _os
+
+    up = cfg.get("s3uploader") or {}
+    bucket = up["s3_bucket"]
+    endpoint = up.get("endpoint", "")
+    if endpoint.startswith("file://"):
+        base = _os.path.join(endpoint[len("file://"):], bucket)
+    elif endpoint:
+        raise ValueError(
+            f"unsupported awss3 endpoint {endpoint!r} (s3-compatible "
+            "HTTP endpoints need network; use file:// or omit)")
+    else:
+        base = f"s3://{bucket}"
+    parts = [p for p in (up.get("s3_base_prefix", ""),
+                         up.get("s3_prefix", "")) if p]
+    fmt = up.get("s3_partition_format")
+    if fmt:
+        when = cfg.get("partition_time")
+        if when is not None:
+            ts = _dt.datetime.fromisoformat(when)
+        elif up.get("s3_partition_timezone", "").upper() == "UTC":
+            ts = _dt.datetime.now(_dt.timezone.utc)
+        else:
+            ts = _dt.datetime.now()
+        parts.append(ts.strftime(fmt))
+    path = "/".join([base] + parts)
+    marshaler = cfg.get("marshaler", "parquet")
+    if marshaler not in ("parquet", "otlp_json"):
+        raise ValueError(
+            f"unsupported marshaler {marshaler!r}; supported: parquet, "
+            "otlp_json (otlp_proto/sumo_ic/body are out of scope)")
+    compression = up.get("compression") or "zstd"
+    file_prefix = up.get("file_prefix", "")
+
+    filename_provider = None
+    if file_prefix:
+        from ray.data.datasource import FilenameProvider
+
+        class _Prefixed(FilenameProvider):
+            def __init__(self, prefix: str, ext: str):
+                self._p, self._e = prefix, ext
+
+            def get_filename_for_block(self, block, write_uuid,
+                                       task_index, block_index) -> str:
+                return (f"{self._p}{write_uuid}_{task_index:06}_"
+                        f"{block_index:06}.{self._e}")
+
+        filename_provider = _Prefixed(
+            file_prefix, "json" if marshaler == "otlp_json" else "parquet")
+
+    def write(ds: ray.data.Dataset) -> str:
+        if marshaler == "otlp_json":
+            ds.write_json(path, filename_provider=filename_provider)
+        else:
+            ds.write_parquet(path, compression=compression,
+                             filename_provider=filename_provider)
         return path
 
     return write

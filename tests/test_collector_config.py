@@ -1283,3 +1283,75 @@ service:
     assert len(logs) == 3 and set(logs["metric.type"]) == {"gauge"}
     parsed = pipes["parsed"].dataset().to_pandas()
     assert sorted(parsed["k"]) == [1, 2, 3]
+
+
+def test_awss3_exporter_local_endpoint(ray_session, tmp_path):
+    # exporter/awss3exporter config surface (config.go:27-101) driven
+    # through the same writer code path, with a file:// endpoint
+    # standing in for the bucket (the reference points `endpoint` at
+    # S3-compatible targets the same way)
+    import glob as _glob
+    import json as _json
+
+    log = _write_log(tmp_path, "s3.log", "a 1\nb 2\nc 3\n")
+    root = str(tmp_path / "fake-s3")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<k>\\w+) (?P<v>\\d+)'
+exporters:
+  awss3/parquet:
+    s3uploader:
+      region: us-east-1
+      s3_bucket: telemetry
+      s3_prefix: logs
+      s3_partition_format: 'year=%Y/month=%m/day=%d'
+      s3_partition_timezone: UTC
+      file_prefix: app-
+      compression: zstd
+      endpoint: file://{root}
+    marshaler: parquet
+    partition_time: '2026-03-01T10:00:00'
+  awss3/json:
+    s3uploader:
+      s3_bucket: telemetry
+      s3_base_prefix: base
+      endpoint: file://{root}
+    marshaler: otlp_json
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      exporters: [awss3/parquet, awss3/json]
+""")
+    out = pipes["logs"].run()
+    pdir = out["awss3/parquet"]
+    assert pdir == f"{root}/telemetry/logs/year=2026/month=03/day=01"
+    files = _glob.glob(pdir + "/*.parquet")
+    assert files and all("/app-" in f for f in files)
+    df = pq.read_table(pdir).to_pandas()
+    assert sorted(df["k"]) == ["a", "b", "c"]
+    jdir = out["awss3/json"]
+    assert jdir == f"{root}/telemetry/base"
+    rows = []
+    for f in _glob.glob(jdir + "/*.json"):
+        with open(f) as fh:
+            rows += [_json.loads(line) for line in fh if line.strip()]
+    assert sorted(r["k"] for r in rows) == ["a", "b", "c"]
+    # unsupported marshaler / http endpoint fail loud
+    with pytest.raises(ValueError, match="marshaler"):
+        collector_from_yaml(f"""
+receivers:
+  filelog: {{include: ["{log}"]}}
+exporters:
+  awss3:
+    s3uploader: {{s3_bucket: b, endpoint: file://{root}}}
+    marshaler: sumo_ic
+service:
+  pipelines:
+    logs: {{receivers: [filelog], exporters: [awss3]}}
+""")
