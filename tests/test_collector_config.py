@@ -172,12 +172,12 @@ service:
 receivers:
   parquet: {path: /tmp/in}
 processors:
-  k8sattributes: {}
+  sumologic: {}
 exporters:
   file: {path: /tmp/x}
 service:
   pipelines:
-    logs: {receivers: [parquet], processors: [k8sattributes], exporters: [file]}
+    logs: {receivers: [parquet], processors: [sumologic], exporters: [file]}
 """)
     with pytest.raises(ValueError, match="requires service.pipelines"):
         collector_from_yaml("receivers: {}\n")
