@@ -1926,17 +1926,24 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING MATTERS: the driver's correctness harness checks the FIRST
-    # 50 entries only. Round-4 ordering: the 6 new round-4 queries and
-    # every query whose code paths changed this round (the OTTL parser/
-    # converter rework -> ottl_funcs2/ottl_text/transform_ottl/list_ops/
-    # grok_parse; concat editor -> route_sink_counts; rawtext encodings
-    # -> raw_lines_parse; tail_sample gate) are INSIDE the window; every
-    # below-cutoff entry has a green driver row in CORRECTNESS_r01-r03
-    # on unchanged code (the local gate still runs all of them).
+    # 50 entries only. Round-5 ordering: the 2 new round-5 queries
+    # (collector_yaml2, k8s_enrich) lead; queries whose code paths
+    # changed this round stay inside the window — container_parse
+    # (P/F join on the recombine segmented-bypass engine),
+    # recombine_conv (null-safe merges), service_graph (size-gated
+    # driver merge), lang_id (Arrow kernels), syslog_parse (Arrow ts
+    # cast). Every below-cutoff entry has a green driver row in
+    # CORRECTNESS_r01-r04 on unchanged code (the local gate still runs
+    # all of them).
     return {
         # -- new round-5 queries --
         "collector_yaml2": _q_collector_yaml2,
         "k8s_enrich": _q_k8s_enrich,
+        # -- code paths changed in round 5, fronted per the rotation
+        #    rule (container P/F engine, Arrow lang_id, Arrow ts cast) --
+        "container_parse": _q_container_parse,
+        "lang_id": _q_lang_id,
+        "syslog_parse": _q_syslog_parse,
         # -- new round-4 queries --
         "ottl_funcs3": _q_ottl_funcs3,
         "sampler_proportional": _q_sampler_proportional,
@@ -1999,7 +2006,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cutoff this round (green r3, stages unchanged) to make room
         # for is_root_span, time_parse and the behavior-changed
         # uri_parse above
-        "lang_id": _q_lang_id,
         "range_join": _q_range_join,
         "hopping_counts": _q_hopping_counts,
         "geoip_enrich": _q_geoip_enrich,
@@ -2012,8 +2018,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "graph_components": _q_graph_components,
         "knn_cosine": _q_knn,
-        "syslog_parse": _q_syslog_parse,
-        "container_parse": _q_container_parse,
         "dup_pairs_exact": _q_dup_pairs_exact,
         "top_events": _q_top_events,
         # ---- driver cutoff is ~here (50); below proven in CORRECTNESS_r02 ----
