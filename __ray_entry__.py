@@ -338,6 +338,7 @@ processors:
       from_attributes: [role, tool]
       separator: "::"
   drain:
+    mode: masking
     body_field: text
     template_attribute: template
     masking_rules:

@@ -431,18 +431,26 @@ def _build_processor(name: str, cfg: dict[str, Any]):
             status_where=(parse_condition_text(st["where"])
                           if st.get("where") else None))
     if t == "drain":
-        # processor/drainprocessor README (masking_rules, body_field,
-        # template_attribute). Loader subset: the vectorized masking
-        # template column; full Drain-tree mining is the terminal
-        # stages/templates.drain_mine aggregate (drain_templates query).
-        from ..stages.templates import add_template_column
-
+        # processor/drainprocessor README (merge_threshold,
+        # masking_rules, body_field, template_attribute). Default =
+        # the reference's per-record CLUSTER template via two-pass
+        # Drain (stages/templates.assign_templates: distributed mine,
+        # broadcast final templates, vectorized tag); mode: masking
+        # keeps the cheaper single-pass masked-text column.
         masks = [(r["pattern"], r["replacement"])
                  for r in cfg.get("masking_rules", [])] or None
-        return _Chain(lambda ds: add_template_column(
-            ds, text_col=cfg.get("body_field") or "text",
-            out=cfg.get("template_attribute", "log.record.template"),
-            masks=masks))
+        body = cfg.get("body_field") or "text"
+        attr = cfg.get("template_attribute", "log.record.template")
+        if cfg.get("mode", "drain") == "masking":
+            from ..stages.templates import add_template_column
+
+            return _Chain(lambda ds: add_template_column(
+                ds, text_col=body, out=attr, masks=masks))
+        from ..stages.templates import assign_templates
+
+        return _Chain(lambda ds: assign_templates(
+            ds, text_col=body, out=attr,
+            sim_threshold=cfg.get("merge_threshold", 0.5), masks=masks))
     if t == "dynamic_sampling":
         # processor/dynamicsamplingprocessor README rules shape:
         # ordered first-match rules, each with OTTL conditions and a

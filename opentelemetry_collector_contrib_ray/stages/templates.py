@@ -154,7 +154,78 @@ def drain_mine(
     tables = [_ray.get(r) for r in partials.materialize().to_arrow_refs()]
     merged = DrainLite(sim_threshold, masks=[])  # partial templates are pre-masked
     for t in tables:
+        if "template" not in t.column_names:  # zero-column empty block
+            continue
         for tmpl, cnt in zip(t["template"].to_pylist(), t["n_rows"].to_pylist()):
             merged.add(tmpl, weight=cnt)
     rows = sorted(merged.templates(), key=lambda x: (-x[1], x[0]))
     return pd.DataFrame(rows, columns=["template", "n_rows"])
+
+
+def assign_templates(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    out: str = "log.record.template",
+    sim_threshold: float = 0.5,
+    masks: list[tuple[str, str]] | None = None,
+) -> ray.data.Dataset:
+    """Two-pass Drain tagging (processor/drainprocessor: every record
+    gets its cluster's template in ``template_attribute``). The
+    reference tags online with the cluster's CURRENT template
+    mid-stream; the batch-engine analog mines the FINAL template set
+    first (drain_mine, distributed) and tags every row with it — same
+    clusters, more consistent values (no mid-stream snapshots).
+
+    Pass 2 broadcasts the mined templates (grouped by token count,
+    largest cluster first) and matches each row vectorized per length
+    group: token == template token or template token is the wildcard.
+    Cost is O(#templates-of-that-length) numpy passes per batch."""
+    import numpy as np
+    import ray as _ray
+
+    mined = drain_mine(ds, text_col, sim_threshold, masks)
+    by_len: dict[int, list[list[str]]] = {}
+    for tmpl in mined["template"]:  # already largest-count-first
+        toks = tmpl.split()
+        by_len.setdefault(len(toks), []).append(toks)
+    ref = _ray.put(by_len)
+    mask_list = MASKS if masks is None else masks
+    wild = DrainLite.WILD
+
+    def tag(b: pa.Table) -> pa.Table:
+        groups = _ray.get(ref)
+        t = b[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        t = pc.fill_null(t, "")
+        for pat, repl in mask_list:
+            t = pc.replace_substring_regex(t, pattern=pat, replacement=repl)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t), pattern=r"\s+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        token_lists = toks.to_pylist()
+        result = np.full(b.num_rows, None, dtype=object)
+        for n in np.unique(lens):
+            tmpls = groups.get(int(n))
+            if not tmpls:
+                continue
+            sel = np.nonzero(lens == n)[0]
+            if n == 0:
+                continue
+            tok_mat = np.array([token_lists[i] for i in sel], dtype=object)
+            if tok_mat.ndim == 1:  # "" splits to [""]
+                continue
+            unassigned = np.ones(len(sel), dtype=bool)
+            for tm in tmpls:
+                tm_arr = np.array(tm, dtype=object)
+                hit = ((tok_mat == tm_arr) | (tm_arr == wild)).all(axis=1)
+                take = hit & unassigned
+                if take.any():
+                    result[sel[take]] = " ".join(tm)
+                    unassigned &= ~hit
+                if not unassigned.any():
+                    break
+        return b.append_column(out, pa.array(result, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True, batch_size=None)

@@ -1355,3 +1355,40 @@ service:
   pipelines:
     logs: {{receivers: [filelog], exporters: [awss3]}}
 """)
+
+
+def test_drain_full_assignment(ray_session, tmp_path):
+    # default drain mode = per-record CLUSTER template (two-pass
+    # Drain); rows of the same shape share one template with
+    # wildcarded variable positions
+    log = _write_log(tmp_path, "dr.log",
+                     "connected to alpha port 80\n"
+                     "connected to beta port 443\n"
+                     "connected to gamma port 8080\n"
+                     "user carol logged out\n"
+                     "user dave logged out\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+processors:
+  drain:
+    body_field: line
+    merge_threshold: 0.5
+    template_attribute: template
+    masking_rules:
+      - pattern: '\\d+'
+        replacement: '<NUM>'
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [drain]
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas().sort_values("line_no")
+    tm = list(df["template"])
+    # the three connect lines share ONE cluster: host wildcarded,
+    # ports pre-masked by the rule
+    assert tm[0] == tm[1] == tm[2] == "connected to <*> port <NUM>"
+    assert tm[3] == tm[4] == "user <*> logged out"
