@@ -1008,6 +1008,41 @@ def _q_list_ops(sf_dir: str):
         ["doc_id", "n_words", "w_first", "w_alpha_first", "n_big", "h256", "hmd5", "b64"])
 
 
+def _q_container_join(sf_dir: str):
+    """CRI P/F partial-line joining on the recombine segmented-bypass
+    engine (stages/container.join_partials): containerd lines rendered
+    deterministically from events (every 5th pair is a P,P,F run, the
+    rest standalone F), parsed then joined per source file. Oracle:
+    DuckDB windowed segment ids (count of prior non-P rows per source)
+    + string_agg. SQL-checked — the driver gate covers the new join
+    engine end-to-end, not just its pytest."""
+    from opentelemetry_collector_contrib_ray.stages.container import (
+        ContainerParser,
+        join_partials,
+    )
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        lines, srcs = [], []
+        for v in e:
+            body = f"part{v}-" if v % 5 <= 1 else f"end{v}"
+            tag = "P" if v % 5 <= 1 else "F"
+            lines.append(
+                f"2024-04-13T07:59:37.505201169Z stdout {tag} {body}")
+            srcs.append(f"file{v % 7}")
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "line_no": b["event_id"],
+                         "text": pa.array(lines, pa.string())})
+
+    ds = ds.map_batches(render, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    parsed = ContainerParser(parse_from="text").apply(ds)
+    out = join_partials(parsed, "src", "line_no")
+    return out.select_columns(["src", "line_no", "body", "n_lines"])
+
+
 def _q_simhash_pairs(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.dedup import simhash_dedup
 
@@ -1943,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- code paths changed in round 5, fronted per the rotation
         #    rule (container P/F engine, Arrow lang_id, Arrow ts cast) --
         "container_parse": _q_container_parse,
+        "container_join": _q_container_join,
         "lang_id": _q_lang_id,
         "syslog_parse": _q_syslog_parse,
         # -- new round-4 queries --
@@ -2284,6 +2320,23 @@ FROM read_parquet('{tpath}') t
 LEFT JOIN (VALUES ('bash','shell'),('search','web'),('editor','ide'),
            ('browser','web'),('python','lang')) lk(tool, team)
   ON t.tool = lk.tool""",
+        "container_join": """
+WITH src AS (
+  SELECT event_id, 'file' || CAST(event_id % 7 AS VARCHAR) AS src,
+         CASE WHEN event_id % 5 <= 1 THEN 'P' ELSE 'F' END AS tag,
+         CASE WHEN event_id % 5 <= 1
+              THEN 'part' || CAST(event_id AS VARCHAR) || '-'
+              ELSE 'end' || CAST(event_id AS VARCHAR) END AS body
+  FROM events),
+seg AS (
+  SELECT *, COALESCE(SUM(CASE WHEN tag <> 'P' THEN 1 ELSE 0 END) OVER (
+      PARTITION BY src ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+  FROM src)
+SELECT src, MIN(event_id) AS line_no,
+       string_agg(body, '' ORDER BY event_id) AS body,
+       COUNT(*) AS n_lines
+FROM seg GROUP BY src, seg_id""",
         "k8s_enrich": """
 WITH src AS (
   SELECT event_id,
