@@ -2030,9 +2030,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_props": _q_redact_props,
         "attrs_actions": _q_attrs_actions,
         "events_quantiles": _q_events_quantiles,
-        "quantiles_by_type": _q_quantiles_by_type,
-        # -- queries whose implementation changed in round 3 --
+        # -- queries whose implementation changed in round 3 (recombine
+        #    also underpins the round-5 container join engine, keep it
+        #    inside the 50-query driver window) --
         "recombine_conv": _q_recombine,
+        "quantiles_by_type": _q_quantiles_by_type,
         "tail_sample": _q_tail_sample,
         # -- representative spread of round-2-green families --
         "parse_drop": _q_parse_drop,
