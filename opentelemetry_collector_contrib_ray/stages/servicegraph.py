@@ -194,11 +194,24 @@ def adjacent_edges_presorted(
             return b.filter(pc.is_in(b["kind"], value_set=ks))
         return f
 
-    # boundary rows are O(blocks) at any scale — always driver-side
-    rows = summary.map_batches(_keep(["first", "last"]),
-                               batch_format="pyarrow",
-                               zero_copy_batch=True,
-                               batch_size=None).take_all()
+    # SIZE GATE probe: count() on a materialized dataset is
+    # metadata-only, so deciding the strategy costs no execution pass.
+    # Gate on total summary rows (partials + 2 boundary rows per
+    # block) — marginally stricter than partial-count alone, same
+    # 2M-row shape as tailsample's broadcast gate.
+    small = summary.count() <= broadcast_edge_limit
+    if small:
+        # common path: ONE take_all of the whole summary, split by
+        # kind driver-side — no extra filter/count executions
+        rows = summary.take_all()
+        partial_rows = [r for r in rows if r["kind"] == "partial"]
+    else:
+        # boundary rows are O(blocks) at any scale — always driver-side
+        rows = summary.map_batches(_keep(["first", "last"]),
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True,
+                                   batch_size=None).take_all()
+        partial_rows = None
     firsts = [r for r in rows if r["kind"] == "first"]
     lasts = [r for r in rows if r["kind"] == "last"]
     if len(firsts) != len(lasts):
@@ -221,18 +234,13 @@ def adjacent_edges_presorted(
                              "n": pa.array(bns, pa.int64()),
                              "lat": pa.array(blats, pa.int64())})
 
-    parts = summary.map_batches(
-        lambda b: _keep(["partial"])(b).select(["edge", "n", "lat"]),
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-    # SIZE GATE (same 2M-key shape as tailsample's broadcast gate): the
-    # driver merge holds distinct-edges x blocks partial rows — fine
-    # for service-pair cardinality, pathological for a high-cardinality
-    # edge dim. Above the gate the merge stays distributed and the
-    # result is never driver-resident.
-    n_partial = parts.count()
-    if n_partial <= broadcast_edge_limit:
+    # The driver merge holds distinct-edges x blocks partial rows —
+    # fine for service-pair cardinality, pathological for a
+    # high-cardinality edge dim. Above the gate the merge stays
+    # distributed and the result is never driver-resident.
+    if partial_rows is not None:
         partials: dict[str, tuple[int, int]] = {}
-        for rrow in parts.take_all():
+        for rrow in partial_rows:
             cur = partials.get(rrow["edge"], (0, 0))
             partials[rrow["edge"]] = (cur[0] + rrow["n"], cur[1] + rrow["lat"])
         for e, dn, dl in zip(bedges, bns, blats):
@@ -244,6 +252,9 @@ def adjacent_edges_presorted(
             count_name: pa.array([partials[e][0] for e in edges], pa.int64()),
             latency_name: pa.array([partials[e][1] for e in edges], pa.int64()),
         }))
+    parts = summary.map_batches(
+        lambda b: _keep(["partial"])(b).select(["edge", "n", "lat"]),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     merged = parts.union(ray.data.from_arrow(boundary_tbl)) \
         .groupby("edge").sum(["n", "lat"])
 
