@@ -166,6 +166,10 @@ def _run_bench() -> dict:
         "is_root_span",
         "time_parse",
         "collector_yaml",
+        # round-5 additions
+        "container_join",
+        "collector_yaml2",
+        "k8s_enrich",
     ]
     qs = e.queries()
     qtimes = {}

@@ -221,7 +221,11 @@ def dynamic_sample(
 
             matched = matched.map_batches(fix_rates, batch_format="pyarrow",
                                           zero_copy_batch=True, batch_size=None)
-        decisions = matched.filter(lambda r: r["keep"]).drop_columns(["keep"])
+        def _kept(b: pa.Table) -> pa.Table:
+            return b.filter(b["keep"]).drop_columns(["keep"])
+
+        decisions = matched.map_batches(_kept, batch_format="pyarrow",
+                                        zero_copy_batch=True, batch_size=None)
         return ds.join(decisions, join_type="inner", on=(trace_key,),
                        num_partitions=num_partitions)
 
