@@ -886,6 +886,20 @@ def _q_dup_pairs_exact(sf_dir: str):
     return sorted_run_pairs(rows, "bucket_key", "doc_id").select_columns(["id_a", "id_b"])
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup (the SQL-checkable dedup-family member):
+    8-codepoint-prefix blocking -> distributed sorted-run pair
+    explosion -> exact character-3-gram Jaccard >= 0.8 via two hash
+    joins. Oracle replays the grams with DuckDB DISTINCT substring
+    unnest + a candidate self-join."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import char_ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return char_ngram_jaccard_pairs(
+        ds, "text", "doc_id", prefix_len=8, ngram=3, threshold=0.8, num_partitions=4
+    )
+
+
 def _q_metrics_rename_scale(sf_dir: str):
     """metricstransformprocessor: rename a metric + scale its values
     (processor/metricstransformprocessor update/experimental_scale_value
@@ -1973,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # all of them).
     return {
         # -- new round-5 queries --
+        "ngram_jaccard": _q_ngram_jaccard,
         "collector_yaml2": _q_collector_yaml2,
         "k8s_enrich": _q_k8s_enrich,
         # -- code paths changed in round 5, fronted per the rotation
@@ -2014,7 +2029,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_prune": _q_span_prune,
         "ottl_funcs": _q_ottl_funcs,
         "asof_join": _q_asof_join,
-        "events_anomalies": _q_events_anomalies,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -2045,6 +2059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cutoff this round (green r3, stages unchanged) to make room
         # for is_root_span, time_parse and the behavior-changed
         # uri_parse above
+        # events_anomalies rotated below the cutoff this round (green
+        # r4, anomaly stage unchanged) to make room for ngram_jaccard
+        "events_anomalies": _q_events_anomalies,
         "range_join": _q_range_join,
         "hopping_counts": _q_hopping_counts,
         "geoip_enrich": _q_geoip_enrich,
@@ -2739,6 +2756,28 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b
   ON md5_number_lower(a.text) % 211 = md5_number_lower(b.text) % 211
  AND a.doc_id < b.doc_id""",
+        "ngram_jaccard": """
+WITH d AS (SELECT doc_id, text, substring(text, 1, 8) AS blk FROM documents),
+e AS (SELECT doc_id, text, unnest(range(length(text) - 2)) AS g FROM d),
+g AS (SELECT DISTINCT doc_id, substring(text, CAST(g AS INT) + 1, 3) AS gram FROM e),
+sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+i AS (SELECT c.id_a AS pa, c.id_b AS pb, count(*) AS inter
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.id_a
+      JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, inter, uni, jaccard FROM (
+  SELECT c.id_a, c.id_b, COALESCE(i.inter, 0) AS inter,
+         sa.n + sb.n - COALESCE(i.inter, 0) AS uni,
+         CAST(COALESCE(i.inter, 0) AS DOUBLE)
+           / (sa.n + sb.n - COALESCE(i.inter, 0)) AS jaccard
+  FROM cand c
+  LEFT JOIN i ON i.pa = c.id_a AND i.pb = c.id_b
+  JOIN sz sa ON sa.doc_id = c.id_a
+  JOIN sz sb ON sb.doc_id = c.id_b)
+WHERE jaccard >= 0.8""",
         "container_parse": """
 WITH src AS (
   SELECT event_id AS e, user_id AS u, ts, event_id % 20 = 0 AS garbage,

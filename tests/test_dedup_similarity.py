@@ -336,3 +336,54 @@ def test_dedup_windowed(ray_session):
         dedup_windowed(ds, "event_id", "ts",
                        exclude_fields=["props", "user_id", "event_type",
                                        "value"])
+
+
+def test_char_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    """char_ngram_jaccard_pairs == brute-force prefix-block + exact
+    char-3-gram jaccard, across many blocks and multibyte text."""
+    from opentelemetry_collector_contrib_ray.stages.dedup import char_ngram_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    texts, ids = [], []
+    protos = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "中文字符测试 分布式 去重 引擎 批处理 向量化 计算",
+        "short",  # < 8 chars: whole text is the blocking key
+        "zz",     # < ngram: no grams -> never emitted
+    ]
+    for i in range(120):
+        p = protos[i % len(protos)]
+        if rng.random() < 0.5:
+            # mutate a suffix so the 8-char prefix (blocking key) holds
+            texts.append(p + " tail" + str(rng.integers(0, 3)))
+        else:
+            texts.append(p)
+        ids.append(i)
+
+    def grams(t, n=3):
+        return {t[j:j + n] for j in range(len(t) - n + 1)}
+
+    expect = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if texts[a][:8] != texts[b][:8]:
+                continue
+            sa, sb = grams(texts[a]), grams(texts[b])
+            if not sa or not sb:
+                continue
+            it = len(sa & sb)
+            if it / (len(sa) + len(sb) - it) >= 0.8:
+                expect.add((a, b))
+
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts})) \
+                 .repartition(7)
+    out = char_ngram_jaccard_pairs(ds, "text", "doc_id",
+                                   prefix_len=8, ngram=3, threshold=0.8).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == expect and len(expect) > 50
+    # jaccard/inter/uni columns agree with the set definition
+    for _, r in out.head(20).iterrows():
+        sa, sb = grams(texts[int(r["id_a"])]), grams(texts[int(r["id_b"])])
+        assert r["inter"] == len(sa & sb)
+        assert r["uni"] == len(sa | sb)
+        assert r["jaccard"] == len(sa & sb) / len(sa | sb)
