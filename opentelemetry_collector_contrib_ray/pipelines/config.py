@@ -500,6 +500,20 @@ def _build_processor(name: str, cfg: dict[str, Any]):
             metadata=ex.get("metadata"),
             labels=ex.get("labels"),
             annotations=ex.get("annotations"))
+    if t == "aws_ecs_attributes":
+        # processor/awsecsattributesprocessor README shape
+        # (container_id.sources + attributes regex allowlist +
+        # cache_ttl); the Docker/ECS-endpoint metadata cache becomes a
+        # file-backed container snapshot table (stages/awsecs.py
+        # module docstring).
+        from ..stages.awsecs import AwsEcsAttributes
+
+        snap = _load_table_source(cfg["snapshot"])
+        return AwsEcsAttributes(
+            snap,
+            sources=(cfg.get("container_id") or {}).get("sources") or [],
+            attributes=cfg.get("attributes"),
+            cache_ttl=int(cfg.get("cache_ttl", 300)))
     if t == "groupbytrace":
         # processor/groupbytraceprocessor: buffer and re-emit all spans
         # of one trace together. Finite-table analog: cluster the
@@ -517,6 +531,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "cardinality_guardian, genai, metricstarttime, metricsgeneration, "
         "schema, resourcedetection, lookup, geoip, unroll, span, drain, "
         "dynamic_sampling, groupbytrace, k8sattributes, "
+        "aws_ecs_attributes, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
 
