@@ -896,7 +896,7 @@ def _q_ngram_jaccard(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return char_ngram_jaccard_pairs(
-        ds, "text", "doc_id", prefix_len=8, ngram=3, threshold=0.8, num_partitions=4
+        ds, "text", "doc_id", prefix_len=8, ngram=3, threshold=0.8
     )
 
 

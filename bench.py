@@ -170,6 +170,7 @@ def _run_bench() -> dict:
         "container_join",
         "collector_yaml2",
         "k8s_enrich",
+        "ngram_jaccard",
     ]
     qs = e.queries()
     qtimes = {}
