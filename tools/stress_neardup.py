@@ -69,6 +69,23 @@ def _simhash_mode(ds, n, dup_frac):
             "pairs": pairs, "sec": round(sec, 2), "docs_per_sec": round(n / sec, 1)}
 
 
+def _ngram_mode(ds, n, dup_frac):
+    from opentelemetry_collector_contrib_ray.stages.dedup import (
+        char_ngram_jaccard_pairs,
+    )
+
+    # prefix_len=16 ≈ first 2.7 words shared: groups are dup clusters
+    # plus coincidental first-word collisions, the realistic blocking
+    # selectivity regime
+    t0 = time.perf_counter()
+    pairs = char_ngram_jaccard_pairs(
+        ds, "text", "doc_id", prefix_len=16, threshold=0.8).count()
+    sec = time.perf_counter() - t0
+    return {"metric": "ngram_jaccard_stress", "n_docs": n,
+            "dup_frac": dup_frac, "pairs": pairs, "sec": round(sec, 2),
+            "docs_per_sec": round(n / sec, 1)}
+
+
 def _embedding_mode(n, dup_frac):
     import ray.data
 
@@ -119,6 +136,10 @@ def main() -> None:
     ds = ray.data.from_arrow(tbl).repartition(32).materialize()
     if mode == "simhash":
         print(json.dumps(_simhash_mode(ds, n, dup_frac)))
+        ray.shutdown()
+        return
+    if mode == "ngram":
+        print(json.dumps(_ngram_mode(ds, n, dup_frac)))
         ray.shutdown()
         return
 
