@@ -395,6 +395,51 @@ def _q_k8s_enrich(sf_dir: str):
         ["event_id", "k8s.pod.name", "k8s.namespace.name", "app"])
 
 
+def _q_ecs_enrich(sf_dir: str):
+    """aws_ecs_attributes with the concrete file-backed container
+    snapshot (stages/awsecs.py): even rows carry the ID directly in
+    container.id, odd rows only embed it in a docker log path (the
+    64-hex extraction path); IDs are deterministic
+    repeat(2-digit, 32) strings so DuckDB can replay the resolution +
+    join; snapshot has 25 of the 30 IDs so misses stay null; the
+    attributes allowlist drops the image.tag column."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.awsecs import AwsEcsAttributes
+
+    snapshot = pa.table({
+        "container.id": [f"{i:02d}" * 32 for i in range(25)],
+        "aws.ecs.cluster": [f"cluster-{i}" for i in range(25)],
+        "docker.name": [f"/svc-{i}" for i in range(25)],
+        "image.tag": [f"v{i}" for i in range(25)],
+    })
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def mk_sources(b: pa.Table) -> pa.Table:
+        e = b["event_id"].to_numpy(zero_copy_only=False)
+        two = pc.utf8_lpad(pc.cast(pa.array((e % 30).astype(np.int64)),
+                                   pa.string()), 2, "0")
+        cid = pc.binary_repeat(two, 32)
+        path = pc.binary_join_element_wise(
+            pa.array(["/var/lib/docker/containers/"] * b.num_rows),
+            cid, pa.array(["/"] * b.num_rows), cid,
+            pa.array(["-json.log"] * b.num_rows), "")
+        even = pa.array(e % 2 == 0)
+        b = b.append_column("container.id",
+                            pc.if_else(even, cid, pa.array([""] * b.num_rows)))
+        return b.append_column("log.file.name",
+                               pc.if_else(even, pa.array([""] * b.num_rows), path))
+
+    ds = ds.map_batches(mk_sources, batch_format="pyarrow",
+                        zero_copy_batch=True, batch_size=None)
+    out = AwsEcsAttributes(
+        snapshot,
+        sources=["container.id", "log.file.name"],
+        attributes=[r"^aws\.ecs", r"^docker"],
+    ).apply(ds)
+    return out.select_columns(["event_id", "aws.ecs.cluster", "docker.name"])
+
+
 def _q_sample(sf_dir: str):
     from opentelemetry_collector_contrib_ray.stages.sample import ProbabilisticSampler
 
@@ -1988,6 +2033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # -- new round-5 queries --
         "ngram_jaccard": _q_ngram_jaccard,
+        "ecs_enrich": _q_ecs_enrich,
         "collector_yaml2": _q_collector_yaml2,
         "k8s_enrich": _q_k8s_enrich,
         # -- code paths changed in round 5, fronted per the rotation
@@ -2028,7 +2074,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dynamic_sample": _q_dynamic_sample,
         "span_prune": _q_span_prune,
         "ottl_funcs": _q_ottl_funcs,
-        "asof_join": _q_asof_join,
         # -- rows-only family, also past the round-2 cutoff --
         "minhash_lsh_pairs": _q_minhash_pairs,
         "near_dup_clusters": _q_near_dup_clusters,
@@ -2059,9 +2104,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cutoff this round (green r3, stages unchanged) to make room
         # for is_root_span, time_parse and the behavior-changed
         # uri_parse above
-        # events_anomalies rotated below the cutoff this round (green
-        # r4, anomaly stage unchanged) to make room for ngram_jaccard
+        # events_anomalies + asof_join rotated below the cutoff this
+        # round (green r4 + sf1 sweep, stages unchanged) to make room
+        # for ngram_jaccard + ecs_enrich
         "events_anomalies": _q_events_anomalies,
+        "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "hopping_counts": _q_hopping_counts,
         "geoip_enrich": _q_geoip_enrich,
@@ -2756,6 +2803,26 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b
 FROM documents a JOIN documents b
   ON md5_number_lower(a.text) % 211 = md5_number_lower(b.text) % 211
  AND a.doc_id < b.doc_id""",
+        "ecs_enrich": """
+WITH snap AS (
+  SELECT repeat(lpad(CAST(i AS VARCHAR), 2, '0'), 32) AS cid,
+         'cluster-' || CAST(i AS VARCHAR) AS cluster,
+         '/svc-' || CAST(i AS VARCHAR) AS dname
+  FROM range(25) t(i)),
+src AS (
+  SELECT event_id,
+         repeat(lpad(CAST(event_id % 30 AS VARCHAR), 2, '0'), 32) AS cid,
+         event_id % 2 = 0 AS direct
+  FROM events),
+resolved AS (
+  SELECT event_id,
+         CASE WHEN direct THEN cid
+              ELSE regexp_extract('/var/lib/docker/containers/' || cid
+                                  || '/' || cid || '-json.log',
+                                  '[0-9a-f]{64}', 0) END AS cidr
+  FROM src)
+SELECT r.event_id, s.cluster AS "aws.ecs.cluster", s.dname AS "docker.name"
+FROM resolved r LEFT JOIN snap s ON s.cid = r.cidr""",
         "ngram_jaccard": """
 WITH d AS (SELECT doc_id, text, substring(text, 1, 8) AS blk FROM documents),
 e AS (SELECT doc_id, text, unnest(range(length(text) - 2)) AS g FROM d),

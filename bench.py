@@ -171,6 +171,7 @@ def _run_bench() -> dict:
         "collector_yaml2",
         "k8s_enrich",
         "ngram_jaccard",
+        "ecs_enrich",
     ]
     qs = e.queries()
     qtimes = {}
