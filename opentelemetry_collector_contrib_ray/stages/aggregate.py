@@ -35,13 +35,22 @@ from ..expr import compile_predicate
 
 @dataclass
 class MetricDef:
-    """One count/sum definition (countconnector config.go:20-64)."""
+    """One count/sum definition (countconnector config.go:20-64).
+
+    ``resource_keys`` are the STRUCTURAL per-Resource grouping columns
+    (counter.go:39-60 counts within each Resource): unlike ``dims``
+    they have no missing-skip semantics — a null resource attribute
+    forms its own group, exactly as an absent resource attribute forms
+    its own Resource in the reference (golden logs/input.yaml has a
+    resource with no attributes at all, and every golden output keeps
+    it)."""
 
     name: str
     agg: str = "count"  # "count" | "sum"
     source: str | None = None  # summed column for agg="sum"
     conditions: list[Any] = field(default_factory=list)  # OR-ed predicates
     dims: list[tuple[str, Any]] = field(default_factory=list)  # (col, default|None)
+    resource_keys: list[str] = field(default_factory=list)  # structural group-by
     value_name: str | None = None  # output column; default <name>
 
     def out_col(self) -> str:
@@ -84,9 +93,11 @@ def _dims_prepare(batch: pa.Table, def_: MetricDef) -> pa.Table:
 
 
 def _partial(batch: pa.Table, def_: MetricDef) -> pa.Table:
-    """Per-batch combiner: one row per key (Arrow hash group-by)."""
+    """Per-batch combiner: one row per key (Arrow hash group-by).
+    Null resource-key values form their own groups (Arrow's group_by
+    hashes nulls together), matching per-Resource counting."""
     batch = _dims_prepare(batch, def_)
-    dims = [d for d, _ in def_.dims]
+    dims = def_.resource_keys + [d for d, _ in def_.dims]
     out = def_.out_col()
     if batch.num_rows == 0:
         typ = pa.int64() if def_.agg == "count" else batch.schema.field(def_.source).type
@@ -153,7 +164,7 @@ def tree_reduce(partials: ray.data.Dataset, combine, fan_in: int = 64) -> pa.Tab
 def run_metric_def(ds: ray.data.Dataset, def_: MetricDef) -> ray.data.Dataset:
     """filter -> per-batch partial -> tree-combine merge (metric dims
     are low-cardinality, so no all-to-all shuffle is needed)."""
-    dims = [d for d, _ in def_.dims]
+    dims = def_.resource_keys + [d for d, _ in def_.dims]
     out = def_.out_col()
     partials = ds.map_batches(lambda b, d=def_: _partial(b, d), batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
     merged = tree_merge_groupby(partials, dims, [out])

@@ -1,0 +1,138 @@
+"""countconnector logs→metrics golden tests ported verbatim
+(connector/countconnector/connector_test.go TestLogsToMetrics +
+testdata/logs/*.yaml): 4 resources x 4 logs crossing attribute
+presence, each case's expected per-Resource datapoints transcribed
+from the golden files. The columnar replay flattens resource + log
+attributes into one row per log record; absent attribute = null."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentelemetry_collector_contrib_ray.expr import col
+from opentelemetry_collector_contrib_ray.stages.aggregate import (
+    MetricDef,
+    run_metric_def,
+)
+
+# testdata/logs/input.yaml: resources (resource.required, resource.optional)
+_RESOURCES = [("foo", "bar"), ("foo", "notbar"), ("notfoo", None), (None, None)]
+# ...each carrying the same 4 log records (log.required, log.optional)
+_LOGS = [("foo", "bar"), ("foo", "notbar"), ("notfoo", None), (None, None)]
+
+_RES_KEYS = ["resource.required", "resource.optional"]
+
+
+def _input_table() -> pa.Table:
+    rows = {"resource.required": [], "resource.optional": [],
+            "log.required": [], "log.optional": []}
+    for rr, ro in _RESOURCES:
+        for lr, lo in _LOGS:
+            rows["resource.required"].append(rr)
+            rows["resource.optional"].append(ro)
+            rows["log.required"].append(lr)
+            rows["log.optional"].append(lo)
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def _run(def_: MetricDef) -> set:
+    ds = ray.data.from_arrow(_input_table()).repartition(3)
+    out = run_metric_def(ds, def_).to_pandas()
+    dims = [d for d, _ in def_.dims]
+    got = set()
+    for _, r in out.iterrows():
+        res = tuple((k, r[k]) for k in _RES_KEYS if r[k] is not None)
+        attrs = tuple((k, r[k]) for k in dims)
+        got.add((res, attrs, int(r[def_.out_col()])))
+    return got
+
+
+def _expect(rows) -> set:
+    return {(tuple(res), tuple(attrs), n) for res, attrs, n in rows}
+
+
+R1 = [("resource.required", "foo"), ("resource.optional", "bar")]
+R2 = [("resource.required", "foo"), ("resource.optional", "notbar")]
+R3 = [("resource.required", "notfoo")]
+R4 = []
+NOT_NULL_RES_OPT = ("not_null", col("resource.optional"))
+NOT_NULL_LOG_OPT = ("not_null", col("log.optional"))
+
+
+def test_zero_conditions():
+    # golden logs/zero_conditions.yaml: every resource counts all 4
+    got = _run(MetricDef(name="log.record.count", resource_keys=_RES_KEYS))
+    assert got == _expect([(R1, [], 4), (R2, [], 4), (R3, [], 4), (R4, [], 4)])
+
+
+def test_one_condition():
+    # golden logs/one_condition.yaml: resource.optional != nil
+    got = _run(MetricDef(name="count.if", resource_keys=_RES_KEYS,
+                         conditions=[NOT_NULL_RES_OPT]))
+    assert got == _expect([(R1, [], 4), (R2, [], 4)])
+
+
+def test_multiple_conditions_or_semantics():
+    # golden logs/multiple_conditions.yaml: conditions are OR-ed —
+    # resources without resource.optional still count the 2 logs that
+    # have log.optional
+    got = _run(MetricDef(name="count.if", resource_keys=_RES_KEYS,
+                         conditions=[NOT_NULL_RES_OPT, NOT_NULL_LOG_OPT]))
+    assert got == _expect([(R1, [], 4), (R2, [], 4), (R3, [], 2), (R4, [], 2)])
+
+
+def test_multiple_metrics():
+    # golden logs/multiple_metrics.yaml: two defs over one stream
+    got_all = _run(MetricDef(name="count.all", resource_keys=_RES_KEYS))
+    got_if = _run(MetricDef(name="count.if", resource_keys=_RES_KEYS,
+                            conditions=[NOT_NULL_RES_OPT]))
+    assert got_all == _expect([(R1, [], 4), (R2, [], 4), (R3, [], 4), (R4, [], 4)])
+    assert got_if == _expect([(R1, [], 4), (R2, [], 4)])
+
+
+def test_one_attribute():
+    # golden logs/one_attribute.yaml: dim log.required, missing -> skip
+    got = _run(MetricDef(name="log.count.by_attr", resource_keys=_RES_KEYS,
+                         dims=[("log.required", None)]))
+    exp = []
+    for res in (R1, R2, R3, R4):
+        exp += [(res, [("log.required", "foo")], 2),
+                (res, [("log.required", "notfoo")], 1)]
+    assert got == _expect(exp)
+
+
+def test_multiple_attributes():
+    # golden logs/multiple_attributes.yaml: both dims required — the
+    # (notfoo, -) and (-, -) logs are skipped
+    got = _run(MetricDef(name="log.count.by_attr", resource_keys=_RES_KEYS,
+                         dims=[("log.required", None), ("log.optional", None)]))
+    exp = []
+    for res in (R1, R2, R3, R4):
+        exp += [(res, [("log.required", "foo"), ("log.optional", "bar")], 1),
+                (res, [("log.required", "foo"), ("log.optional", "notbar")], 1)]
+    assert got == _expect(exp)
+
+
+def test_default_attribute_value():
+    # golden logs/default_attribute_value.yaml: log.optional defaults
+    # to "other"; log.required still has no default -> last log skipped
+    got = _run(MetricDef(name="log.count.by_attr", resource_keys=_RES_KEYS,
+                         dims=[("log.required", None), ("log.optional", "other")]))
+    exp = []
+    for res in (R1, R2, R3, R4):
+        exp += [(res, [("log.required", "foo"), ("log.optional", "bar")], 1),
+                (res, [("log.required", "foo"), ("log.optional", "notbar")], 1),
+                (res, [("log.required", "notfoo"), ("log.optional", "other")], 1)]
+    assert got == _expect(exp)
+
+
+def test_condition_and_attribute():
+    # golden logs/condition_and_attribute.yaml
+    got = _run(MetricDef(name="log.count.if.by_attr", resource_keys=_RES_KEYS,
+                         conditions=[NOT_NULL_RES_OPT],
+                         dims=[("log.required", None)]))
+    exp = []
+    for res in (R1, R2):
+        exp += [(res, [("log.required", "foo")], 2),
+                (res, [("log.required", "notfoo")], 1)]
+    assert got == _expect(exp)
