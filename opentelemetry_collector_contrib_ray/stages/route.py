@@ -55,7 +55,11 @@ class Router:
     append duplicated rows. Row content is otherwise untouched, so
     routed-row equality vs the reference is exact."""
 
-    def __init__(self, routes: list[Route | dict[str, Any]], default_sink: str = DEFAULT_SINK):
+    def __init__(self, routes: list[Route | dict[str, Any]],
+                 default_sink: str | None = DEFAULT_SINK):
+        """``default_sink=None`` = no default_pipelines configured:
+        rows matching no move-route are DROPPED, not defaulted
+        (routingconnector logs_test.go "match_none_without_default")."""
         self.routes = [r if isinstance(r, Route) else Route(**r) for r in routes]
         self.default_sink = default_sink
 
@@ -90,9 +94,14 @@ class Router:
                 if dup.num_rows:
                     dup = dup.append_column("sink", pa.array([r.sink] * dup.num_rows, pa.string()))
                     copies.append(with_attrs(dup, {k: str(v) for k, v in r.attributes.items()}))
-        sink = pc.if_else(remaining, pa.scalar(self.default_sink, pa.string()), sink)
-        out = batch.append_column("sink", sink)
-        out = with_attrs(out, attach)
+        if self.default_sink is None:
+            out = batch.append_column("sink", sink)
+            out = with_attrs(out, attach)
+            out = out.filter(pc.invert(remaining))
+        else:
+            sink = pc.if_else(remaining, pa.scalar(self.default_sink, pa.string()), sink)
+            out = batch.append_column("sink", sink)
+            out = with_attrs(out, attach)
         if copies:
             out = pa.concat_tables([out] + copies, promote_options="none")
         return out
