@@ -52,6 +52,13 @@ class MetricDef:
     dims: list[tuple[str, Any]] = field(default_factory=list)  # (col, default|None)
     resource_keys: list[str] = field(default_factory=list)  # structural group-by
     value_name: str | None = None  # output column; default <name>
+    # sum.go:40-57 parity mode: a record with an ABSENT source attr or
+    # an unparseable string contributes 0.0 and is still counted into
+    # its attr-set group (sumVal, _ = strconv.ParseFloat swallows the
+    # error; a missing attr leaves sumVal at 0). Default False keeps
+    # SQL-oracle SUM semantics (null source rows ignored), which the
+    # SQL-checked agg_dur_sum query pins.
+    missing_source_as_zero: bool = False
 
     def out_col(self) -> str:
         return self.value_name or self.name
@@ -83,12 +90,22 @@ def _dims_prepare(batch: pa.Table, def_: MetricDef) -> pa.Table:
     if keep is not None:
         batch = batch.filter(keep)
     if def_.agg == "sum":
-        # a null source value also skips the record (sum.go:21-100
-        # parses the attr; absent -> skip)
         src = batch[def_.source]
         if isinstance(src, pa.ChunkedArray):
             src = src.combine_chunks()
-        batch = batch.filter(pc.is_valid(src))
+        if def_.missing_source_as_zero:
+            # ParseFloat-with-ignored-error semantics: coerce, then 0
+            # for absent/unparseable (sum.go:40-57)
+            import pandas as pd
+
+            vals = pd.to_numeric(pd.Series(src.to_pandas()), errors="coerce") \
+                .fillna(0.0).to_numpy(dtype="float64")
+            batch = batch.set_column(
+                batch.column_names.index(def_.source), def_.source,
+                pa.array(vals, pa.float64()))
+        else:
+            # SQL SUM semantics: null source rows are ignored
+            batch = batch.filter(pc.is_valid(src))
     return batch
 
 

@@ -136,3 +136,120 @@ def test_condition_and_attribute():
         exp += [(res, [("log.required", "foo")], 2),
                 (res, [("log.required", "notfoo")], 1)]
     assert got == _expect(exp)
+
+
+# ---------------------------------------------------------------- sum
+# sumconnector logs→metrics goldens (connector/sumconnector/
+# connector_test.go TestLogsToMetrics + testdata/logs/*.yaml): same
+# 4x4 input but each log carries a "beep" source attribute —
+# double 2.1 / unparseable string "astring" / int 2 / absent — and
+# sum.go:40-57 counts absent/unparseable as 0 (missing_source_as_zero).
+# Columnar encoding: beep is a string column; null = absent.
+
+_BEEP = {  # (resource_idx, log_idx) -> beep value (string column)
+    (0, 0): "2.1", (0, 1): "astring", (0, 2): "2", (0, 3): None,
+    (1, 0): "2.1", (1, 1): "2", (1, 2): "2", (1, 3): None,
+    (2, 0): "2.1", (2, 1): "2", (2, 2): "2", (2, 3): None,
+    (3, 0): "2.1", (3, 1): "2", (3, 2): "2", (3, 3): None,
+}
+
+
+def _sum_input_table() -> pa.Table:
+    rows = {"resource.required": [], "resource.optional": [],
+            "log.required": [], "log.optional": [], "beep": []}
+    for ri, (rr, ro) in enumerate(_RESOURCES):
+        for li, (lr, lo) in enumerate(_LOGS):
+            rows["resource.required"].append(rr)
+            rows["resource.optional"].append(ro)
+            rows["log.required"].append(lr)
+            rows["log.optional"].append(lo)
+            rows["beep"].append(_BEEP[(ri, li)])
+    return pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+
+
+def _run_sum(def_: MetricDef) -> dict:
+    ds = ray.data.from_arrow(_sum_input_table()).repartition(3)
+    out = run_metric_def(ds, def_).to_pandas()
+    dims = [d for d, _ in def_.dims]
+    got = {}
+    for _, r in out.iterrows():
+        res = tuple((k, r[k]) for k in _RES_KEYS if r[k] is not None)
+        attrs = tuple((k, r[k]) for k in dims)
+        got[(res, attrs)] = float(r[def_.out_col()])
+    return got
+
+
+def _sum_def(name, **kw):
+    return MetricDef(name=name, agg="sum", source="beep",
+                     resource_keys=_RES_KEYS, missing_source_as_zero=True, **kw)
+
+
+def test_sum_one_condition():
+    # golden sumconnector logs/one_condition.yaml: 4.1 = 2.1 + 0
+    # ("astring" parses to 0) + 2 + 0 (absent beep)
+    got = _run_sum(_sum_def("sum.if", conditions=[NOT_NULL_RES_OPT]))
+    assert got == {(tuple(R1), ()): pytest.approx(4.1),
+                   (tuple(R2), ()): pytest.approx(6.1)}
+
+
+def test_sum_multiple_conditions():
+    got = _run_sum(_sum_def("sum.if",
+                            conditions=[NOT_NULL_RES_OPT, NOT_NULL_LOG_OPT]))
+    assert got == {(tuple(R1), ()): pytest.approx(4.1),
+                   (tuple(R2), ()): pytest.approx(6.1),
+                   (tuple(R3), ()): pytest.approx(4.1),
+                   (tuple(R4), ()): pytest.approx(4.1)}
+
+
+def test_sum_one_attribute():
+    got = _run_sum(_sum_def("log.sum.by_attr", dims=[("log.required", None)]))
+    exp = {}
+    for i, res in enumerate((R1, R2, R3, R4)):
+        foo = 2.1 if i == 0 else 4.1  # R1's second log is "astring" -> 0
+        exp[(tuple(res), (("log.required", "foo"),))] = pytest.approx(foo)
+        exp[(tuple(res), (("log.required", "notfoo"),))] = pytest.approx(2.0)
+    assert got == exp
+
+
+def test_sum_default_attribute_value():
+    got = _run_sum(_sum_def("log.sum.by_attr",
+                            dims=[("log.required", None),
+                                  ("log.optional", "other")]))
+    # DELIBERATE DIVERGENCE: the reference's increment adds sumVal once
+    # PER CONFIGURED ATTRIBUTE KEY (sum.go:122-127 iterates
+    # attrs.AsRaw()), so every 2-dim golden value is exactly DOUBLED
+    # (logs/default_attribute_value.yaml: the single (foo,bar,2.1) log
+    # shows as 4.2). We sum each record once — correct math — and this
+    # test pins golden == ours x n_dims to prove the quirk is
+    # understood, not missed. (Single-dim goldens multiply by 1 and
+    # match ours exactly — see the tests above.)
+    golden = {
+        (tuple(R1), (("log.required", "foo"), ("log.optional", "bar"))): 4.2,
+        (tuple(R1), (("log.required", "foo"), ("log.optional", "notbar"))): 0.0,
+        (tuple(R1), (("log.required", "notfoo"), ("log.optional", "other"))): 4.0,
+        (tuple(R2), (("log.required", "foo"), ("log.optional", "bar"))): 4.2,
+        (tuple(R2), (("log.required", "foo"), ("log.optional", "notbar"))): 4.0,
+        (tuple(R2), (("log.required", "notfoo"), ("log.optional", "other"))): 4.0,
+        (tuple(R3), (("log.required", "foo"), ("log.optional", "bar"))): 4.2,
+        (tuple(R3), (("log.required", "foo"), ("log.optional", "notbar"))): 4.0,
+        (tuple(R3), (("log.required", "notfoo"), ("log.optional", "other"))): 4.0,
+        (tuple(R4), (("log.required", "foo"), ("log.optional", "bar"))): 4.2,
+        (tuple(R4), (("log.required", "foo"), ("log.optional", "notbar"))): 4.0,
+        (tuple(R4), (("log.required", "notfoo"), ("log.optional", "other"))): 4.0,
+    }
+    n_dims = 2
+    assert set(got) == set(golden)
+    for k, v in golden.items():
+        assert got[k] * n_dims == pytest.approx(v)
+
+
+def test_sum_condition_and_attribute():
+    got = _run_sum(_sum_def("log.sum.if.by_attr",
+                            conditions=[NOT_NULL_RES_OPT],
+                            dims=[("log.required", None)]))
+    assert got == {
+        (tuple(R1), (("log.required", "foo"),)): pytest.approx(2.1),
+        (tuple(R1), (("log.required", "notfoo"),)): pytest.approx(2.0),
+        (tuple(R2), (("log.required", "foo"),)): pytest.approx(4.1),
+        (tuple(R2), (("log.required", "notfoo"),)): pytest.approx(2.0),
+    }
