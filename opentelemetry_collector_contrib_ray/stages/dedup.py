@@ -177,6 +177,7 @@ def dedup_windowed(
     ts_col: str,
     *,
     exclude_fields: list[str] | None = None,
+    include_fields: list[str] | None = None,
     window: str = "hour",
     count_name: str = "log_count",
     condition=None,
@@ -200,9 +201,22 @@ def dedup_windowed(
     Scale: per-batch Arrow hash-groupby partials merged by ONE
     distributed groupby — all aggregates (min/sum/min/max) are
     mergeable, key cardinality is unbounded-safe."""
+    if exclude_fields and include_fields:
+        # config.go:85-86
+        raise ValueError("cannot define both exclude_fields and include_fields")
     excl = set(exclude_fields or ())
     sch = ds.schema()
-    key_cols = [c for c in sch.names if c not in excl and c not in (id_col, ts_col)]
+    if include_fields:
+        # include_fields inverts the key: dedup on ONLY these fields
+        # (config.go:48, validateIncludeFields); non-key payload
+        # columns are recoverable through keep_id (the representative
+        # first record), matching the reference emitting the first log
+        missing = [c for c in include_fields if c not in sch.names]
+        if missing:
+            raise ValueError(f"include_fields not in schema: {missing}")
+        key_cols = list(include_fields)
+    else:
+        key_cols = [c for c in sch.names if c not in excl and c not in (id_col, ts_col)]
     if not key_cols:
         raise ValueError("exclude_fields removed every key column "
                          "(cannot exclude the entire body)")
