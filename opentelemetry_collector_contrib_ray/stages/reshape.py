@@ -23,11 +23,50 @@ def unroll(
     out_col: str | None = None,
     split_pattern: str | None = None,
     keep_cols: list[str] | None = None,
+    recursive: bool = False,
 ) -> ray.data.Dataset:
     """One output row per list element, parent fields repeated —
     vectorized with list_parent_indices/list_flatten (never a Python
-    row loop). ``split_pattern`` first splits a string column."""
+    row loop). ``split_pattern`` first splits a string column.
+
+    ``recursive`` (unrollprocessor config Recursive, testdata/
+    recursive_true vs recursive_false): flatten nested lists all the
+    way to scalars. Arrow's static schema makes this a fixed number of
+    explode passes (the nesting depth is known from the column type),
+    unlike the reference's per-value dynamic recursion. A non-list
+    column with no ``split_pattern`` is a NO-OP (testdata/nop: records
+    whose body is not a slice pass through unchanged)."""
     out_col = out_col or list_col
+
+    def _depth(t: pa.DataType) -> int:
+        d = 0
+        while pa.types.is_list(t) or pa.types.is_large_list(t):
+            d += 1
+            t = t.value_type
+        return d
+
+    col_type = dict(zip(ds.schema().names, ds.schema().types))[list_col]
+    if split_pattern is None:
+        depth = _depth(col_type)
+        if depth == 0:
+            return ds  # nop golden: non-slice bodies pass through
+        passes = depth if recursive else 1
+    else:
+        passes = 1
+    for i in range(passes):
+        ds = _unroll_once(ds, list_col, out_col, split_pattern if i == 0 else None,
+                          keep_cols)
+        list_col = out_col
+    return ds
+
+
+def _unroll_once(
+    ds: ray.data.Dataset,
+    list_col: str,
+    out_col: str,
+    split_pattern: str | None,
+    keep_cols: list[str] | None,
+) -> ray.data.Dataset:
 
     def explode(b: pa.Table) -> pa.Table:
         src = b[list_col]

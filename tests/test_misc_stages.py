@@ -364,3 +364,52 @@ def test_recombine_segmented_bypass_parity_both_modes():
         assert "segment" not in byp.columns  # documented: no ordinals
         cols = ["conv_id", "text", "n_turns", "first_turn_idx"]
         pd.testing.assert_frame_equal(byp[cols], ref[cols], check_dtype=False)
+
+
+def test_unroll_golden_vectors(ray_session):
+    """unrollprocessor testdata ported (processor/unrollprocessor/
+    testdata/{simple,recursive_true,recursive_false,empty,nop}):
+    single-level vs recursive flatten, null elements preserved,
+    non-slice bodies pass through unchanged. (mixed_slice_types /
+    some_not_slices need per-row dynamic body types — unrepresentable
+    in one Arrow column, the documented columnar divergence; row ORDER
+    also differs from the goldens, which interleave non-slice records
+    first — multisets are compared.)"""
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.reshape import unroll
+
+    # simple: list<string> bodies -> one row per element
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1, 2],
+        "body": pa.array([["value1", "value2"]] * 2),
+    }))
+    out = unroll(ds, "body").to_pandas()
+    assert sorted(out["body"]) == ["value1", "value1", "value2", "value2"]
+    assert sorted(out["id"]) == [1, 1, 2, 2]
+
+    # recursive_true: list<list<string>> flattens to scalars
+    nested = pa.table({
+        "id": [1],
+        "body": pa.array([[["one", "two"], ["three", "four"]]]),
+    })
+    out = unroll(ray.data.from_arrow(nested), "body", recursive=True).to_pandas()
+    assert sorted(out["body"]) == ["four", "one", "three", "two"]
+    assert list(out["id"]) == [1, 1, 1, 1]
+
+    # recursive_false: one level only -> elements are still lists
+    out = unroll(ray.data.from_arrow(nested), "body", recursive=False).to_pandas()
+    assert sorted(map(list, out["body"])) == [["one", "two"], ["three", "four"]]
+
+    # empty: null elements inside the list are preserved as records
+    ds = ray.data.from_arrow(pa.table({
+        "id": [1],
+        "body": pa.array([[None, "value2", "aGVsbG8gd29ybGQ="]], pa.list_(pa.string())),
+    }))
+    out = unroll(ds, "body").to_pandas()
+    assert len(out) == 3 and out["body"].isna().sum() == 1
+
+    # nop: a non-slice body column passes through unchanged
+    ds = ray.data.from_arrow(pa.table({"id": [1, 2], "body": ["value1", "value1"]}))
+    out = unroll(ds, "body").to_pandas()
+    assert list(out["body"]) == ["value1", "value1"] and list(out["id"]) == [1, 2]
