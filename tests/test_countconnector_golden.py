@@ -253,3 +253,56 @@ def test_sum_condition_and_attribute():
         (tuple(R2), (("log.required", "foo"),)): pytest.approx(4.1),
         (tuple(R2), (("log.required", "notfoo"),)): pytest.approx(2.0),
     }
+
+
+# ------------------------------------------------- signaltometrics
+# signaltometricsconnector logs sum goldens (connector/
+# signaltometricsconnector/testdata/logs/{logs.yaml,sum/}): one
+# resource, four log records; include_resource_attributes narrows the
+# structural resource keys; conditions are OR-ed; a dim without a
+# value skips the record.
+
+def _s2m_input() -> ray.data.Dataset:
+    t = pa.table({
+        "resource.foo": pa.array(["foo"] * 4, pa.string()),
+        "resource.bar": pa.array(["bar"] * 4, pa.string()),
+        "log.foo": pa.array(["foo", "foo", "notfoo", None], pa.string()),
+        "log.bar": pa.array(["bar", "notbar", None, None], pa.string()),
+        "log.duration": pa.array([101.5, 11.4, 8.1, 7.0]),
+    })
+    return ray.data.from_arrow(t).repartition(2)
+
+
+def _s2m_run(def_: MetricDef) -> set:
+    out = run_metric_def(_s2m_input(), def_).to_pandas()
+    dims = def_.resource_keys + [d for d, _ in def_.dims]
+    return {tuple((k, r[k]) for k in dims if r[k] is not None)
+            + ((def_.out_col(), int(r[def_.out_col()])),)
+            for _, r in out.iterrows()}
+
+
+def test_signaltometrics_sum_goldens():
+    res_keys = ["resource.foo", "resource.bar"]
+    # total.logrecords.sum: constant value 1 == count, all 4 records
+    got = _s2m_run(MetricDef(name="n", resource_keys=res_keys))
+    assert got == {(("resource.foo", "foo"), ("resource.bar", "bar"), ("n", 4))}
+    # include_resource_attributes: [resource.foo] narrows the resource
+    got = _s2m_run(MetricDef(name="n", resource_keys=["resource.foo"]))
+    assert got == {(("resource.foo", "foo"), ("n", 4))}
+    # log.foo.sum: dim skips the attr-less record
+    got = _s2m_run(MetricDef(name="n", resource_keys=["resource.foo"],
+                             dims=[("log.foo", None)]))
+    assert got == {(("resource.foo", "foo"), ("log.foo", "foo"), ("n", 2)),
+                   (("resource.foo", "foo"), ("log.foo", "notfoo"), ("n", 1))}
+    # log.bar.sum: OR-ed conditions, one false one true -> processed
+    got = _s2m_run(MetricDef(
+        name="n", resource_keys=["resource.foo"], dims=[("log.bar", None)],
+        conditions=[("not_null", col("404.attribute")),
+                    ("not_null", col("resource.foo"))]))
+    assert got == {(("resource.foo", "foo"), ("log.bar", "bar"), ("n", 1)),
+                   (("resource.foo", "foo"), ("log.bar", "notbar"), ("n", 1))}
+    # ignored.sum: all conditions false -> no datapoints at all
+    got = _s2m_run(MetricDef(
+        name="n", resource_keys=["resource.foo"], dims=[("log.bar", None)],
+        conditions=[("not_null", col("404.attribute"))]))
+    assert got == set()
