@@ -265,3 +265,96 @@ def adjacent_edges_presorted(
 
     return merged.map_batches(rename, batch_format="pyarrow",
                               zero_copy_batch=True, batch_size=None)
+
+
+def service_graph_edges_virtual(
+    client: ray.data.Dataset,
+    server: ray.data.Dataset,
+    on: list[str],
+    *,
+    client_svc_col: str,
+    server_svc_col: str,
+    peer_attr_cols: list[str] | None = None,
+    server_is_root_col: str | None = None,
+    client_ts: str = "ts",
+    server_ts: str = "ts",
+    num_partitions: int = 16,
+    latency_name: str = "latency_us_sum",
+    count_name: str = "n_calls",
+) -> ray.data.Dataset:
+    """service_graph_edges + the virtual-node feature gate
+    (connector.go:356-385 onExpire): on a finite table "edge expired
+    with one side missing" is exactly the FULL OUTER join's unmatched
+    rows, so no timer store is needed.
+
+      * unmatched CLIENT span -> edge to a virtual SERVER: the first
+        non-null of ``peer_attr_cols`` (VirtualNodePeerAttributes,
+        getPeerHost connector.go:723-731) else "unknown";
+        virtual_node="server" (virtual-node-label-server golden).
+      * unmatched SERVER span -> edge from the virtual client "user",
+        ONLY for root spans (SpanIDIsEmpty key, connector.go:369-375)
+        — pass the root flag via ``server_is_root_col``; non-root
+        unmatched server spans are dropped like the reference's
+        expired half-edges. virtual_node="client"
+        (virtual-node-label-client golden).
+      * paired rows keep latency; virtual edges count only (the
+        missing side has no timestamp). connection_type =
+        "virtual_node" on virtual edges, "" otherwise.
+    """
+    joined = client.join(
+        server, join_type="full_outer", num_partitions=num_partitions,
+        on=tuple(on), right_on=tuple(on), right_suffix="_srv",
+    )
+    peer_attr_cols = peer_attr_cols or []
+
+    def classify(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+
+        def col(name):
+            c = b[name] if name in b.column_names else pa.nulls(n, pa.string())
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        csvc = col(client_svc_col)
+        sname = server_svc_col + "_srv" if server_svc_col + "_srv" in b.column_names \
+            else server_svc_col
+        ssvc = col(sname)
+        client_missing = pc.is_null(csvc)
+        server_missing = pc.is_null(ssvc)
+        # virtual server: first non-null peer attribute else "unknown"
+        peer = pa.array(["unknown"] * n, pa.string())
+        for pcn in reversed(peer_attr_cols):
+            cand = col(pcn if pcn in b.column_names else pcn + "_srv")
+            peer = pc.if_else(pc.is_valid(cand), cand, peer)
+        out_client = pc.if_else(client_missing, "user", pc.fill_null(csvc, ""))
+        out_server = pc.if_else(server_missing, peer, pc.fill_null(ssvc, ""))
+        virtual = pc.or_(client_missing, server_missing)
+        conn = pc.if_else(virtual, "virtual_node", "")
+        vlabel = pc.if_else(client_missing, "client",
+                            pc.if_else(server_missing, "server", ""))
+        # latency only where both sides exist
+        cts = col(client_ts)
+        stsn = server_ts + "_srv" if server_ts + "_srv" in b.column_names else server_ts
+        sts = col(stsn)
+        lat = pa.nulls(n, pa.int64())
+        if pa.types.is_timestamp(cts.type) and pa.types.is_timestamp(sts.type):
+            c_us = pc.cast(pc.cast(cts, pa.timestamp("us")), pa.int64())
+            s_us = pc.cast(pc.cast(sts, pa.timestamp("us")), pa.int64())
+            lat = pc.subtract(s_us, c_us)
+        keep = pc.invert(client_missing)
+        if server_is_root_col is not None:
+            rname = server_is_root_col + "_srv" \
+                if server_is_root_col + "_srv" in b.column_names else server_is_root_col
+            is_root = pc.fill_null(pc.cast(col(rname), pa.bool_()), False)
+            keep = pc.or_(keep, is_root)
+        out = pa.table({
+            "client": out_client, "server": out_server,
+            "connection_type": conn, "virtual_node": vlabel,
+            "_latency_us": lat,
+        })
+        return out.filter(keep)
+
+    edges = joined.map_batches(classify, batch_format="pyarrow",
+                               zero_copy_batch=True, batch_size=None)
+    return grouped_count_sum(
+        edges, ["client", "server", "connection_type", "virtual_node"],
+        sum_cols={"_latency_us": latency_name}, count_name=count_name)

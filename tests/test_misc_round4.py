@@ -515,3 +515,57 @@ def test_adjacent_edges_gate_parity(ray_session):
         .to_pandas().sort_values("tool").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["n_calls"].sum() == 8 * 4  # 4 user->assistant pairs per conv
+
+
+def test_service_graph_virtual_nodes(ray_session):
+    """servicegraphconnector virtual-node feature gate goldens
+    (testdata/virtual-node-label-{client,server}-*.yaml +
+    extra-dimensions-queue-db peer resolution): an unpaired client
+    span becomes an edge to the first-present peer attribute (else
+    "unknown") with virtual_node=server; an unpaired ROOT server span
+    becomes an edge from the virtual client "user" with
+    virtual_node=client; non-root unpaired server spans drop like the
+    reference's expired half-edges; paired spans keep latency."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.servicegraph import (
+        service_graph_edges_virtual,
+    )
+
+    t0 = pd.Timestamp("2025-02-09T16:00:00")
+    client = ray.data.from_arrow(pa.table({
+        "trace_id": pa.array(["t1", "t2", "t3"]),
+        "span_id": pa.array(["a0", "b0", "c0"]),
+        "svc": pa.array(["foo-server", "svcA", "db-caller"]),
+        "peer.service": pa.array([None, None, None], pa.string()),
+        "db.name": pa.array([None, None, "mydb"], pa.string()),
+        "ts": pa.array([t0] * 3, pa.timestamp("us")),
+    }))
+    server = ray.data.from_arrow(pa.table({
+        "trace_id": pa.array(["t2", "t9", "t8"]),
+        "span_id": pa.array(["b0", "z0", "y0"]),
+        "svc": pa.array(["svcB", "bar-requester", "ignored-nonroot"]),
+        "is_root": pa.array([False, True, False]),
+        "ts": pa.array([t0 + pd.Timedelta(microseconds=1500)] * 3, pa.timestamp("us")),
+    }))
+    out = service_graph_edges_virtual(
+        client, server, ["trace_id", "span_id"],
+        client_svc_col="svc", server_svc_col="svc",
+        peer_attr_cols=["peer.service", "db.name"],
+        server_is_root_col="is_root",
+    ).to_pandas()
+    rows = {(r["client"], r["server"], r["connection_type"], r["virtual_node"]):
+            (int(r["n_calls"]), r["latency_us_sum"])
+            for _, r in out.iterrows()}
+    # virtual-node-label-server golden: unpaired client -> unknown
+    assert rows[("foo-server", "unknown", "virtual_node", "server")][0] == 1
+    # extra-dimensions flavor: peer attribute resolves the server name
+    assert rows[("db-caller", "mydb", "virtual_node", "server")][0] == 1
+    # virtual-node-label-client golden: unpaired root server -> "user"
+    assert rows[("user", "bar-requester", "virtual_node", "client")][0] == 1
+    # paired edge keeps latency; non-root unpaired server dropped
+    n, lat = rows[("svcA", "svcB", "", "")]
+    assert n == 1 and lat == 1500
+    assert len(rows) == 4
