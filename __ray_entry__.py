@@ -6,10 +6,11 @@ ray.init()/shutdown() here or in the library (see package docstring).
 Every `queries()` entry has a matching `oracle_sql()` ANSI-SQL string
 unless the operator is genuinely non-SQL-expressible (MinHash-LSH
 pairs/clusters, SimHash, LSH embedding near-dup, Drain clustering,
-the z-score anomaly two-pass, the multimodal decode stub) — those get
+the isolation forest, the multimodal decode pipeline) — those get
 rows-only checks and pytest oracles instead (tests/), plus
 SQL-checked surrogates where one exists (dup_pairs_exact drives the
-same pair-explosion core as the LSH family).
+same pair-explosion core as the LSH family; ngram_jaccard is the
+fully-SQL-checked dedup-family member).
 
 Transcript queries run over the deterministic synthetic transcript
 table (FIXTURES.md F1, BASELINE.json input_hint) generated once under
