@@ -193,12 +193,26 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..ottl import parse_condition_text
         from ..stages.transform import FilterStage
 
-        cond_strs = (cfg.get("logs", {}).get("log_record", [])
+        lcfg = cfg.get("logs") or {}
+        if "include" in lcfg or "exclude" in lcfg:
+            # legacy match_properties shape (internal/filter/
+            # filterlog/filterlog.go NewSkipExpr): skip = NOT(include
+            # match) OR exclude match — include checked first; see
+            # _legacy_log_match for the per-group semantics
+            drop = None
+            if lcfg.get("include"):
+                drop = ("not", _legacy_log_match(lcfg["include"]))
+            if lcfg.get("exclude"):
+                e = _legacy_log_match(lcfg["exclude"])
+                drop = e if drop is None else ("or", drop, e)
+            return FilterStage(drop, mode="drop")
+        cond_strs = (lcfg.get("log_record", [])
                      + cfg.get("traces", {}).get("span", [])
                      + cfg.get("metrics", {}).get("datapoint", []))
         conds = [parse_condition_text(c) for c in cond_strs]
         if not conds:
-            raise ValueError("filter processor requires logs.log_record")
+            raise ValueError("filter processor requires logs.log_record "
+                             "or logs.include/exclude")
         cond = conds[0]
         for c in conds[1:]:  # filterprocessor ORs its conditions
             cond = ("or", cond, c)
@@ -534,6 +548,65 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "aws_ecs_attributes, "
         "tail_sampling, batch (no-op), "
         "memory_limiter (no-op)")
+
+
+def _legacy_log_match(props: dict[str, Any]):
+    """Legacy filterprocessor match_properties -> predicate spec.
+
+    Semantics (internal/filter/filterlog/filterlog.go Eval +
+    filtermatcher/attributematcher.go:84-110): ALL configured groups
+    must match; within ``log_bodies`` / ``log_severity_texts`` ANY
+    entry matches (filterset OR); each listed resource/record
+    attribute must be PRESENT and match (an absent key never matches);
+    ``log_severity_number`` matches severity >= min, with
+    ``match_undefined`` deciding undefined (0/null) severities.
+    ``match_type`` strict = exact equality, regexp = RE2 (applied to
+    string values; non-string exact values always compare equal-typed,
+    attributematcher.go:104-109). The flattened columnar model reads
+    resource and record attributes from the same row."""
+    from ..expr import col as _c
+    from ..functions.severity import SEVERITY_NUMBER
+
+    mt = props.get("match_type", "strict")
+
+    def one(colname, v):
+        if mt == "regexp" and isinstance(v, str):
+            return ("match", _c(colname), v)
+        return ("==", _c(colname), v)
+
+    def any_of(colname, values):
+        p = one(colname, values[0])
+        for v in values[1:]:
+            p = ("or", p, one(colname, v))
+        return p
+
+    groups = []
+    if props.get("log_bodies"):
+        groups.append(any_of("body", props["log_bodies"]))
+    if props.get("log_severity_texts"):
+        groups.append(any_of("severity_text", props["log_severity_texts"]))
+    sn = props.get("log_severity_number")
+    if sn:
+        min_v = sn.get("min", "TRACE")
+        min_num = (int(min_v) if isinstance(min_v, int)
+                   else SEVERITY_NUMBER[str(min_v).upper()])
+        p = (">=", _c("severity_number"), min_num)
+        if sn.get("match_undefined"):
+            p = ("or", p, ("or", ("is_null", _c("severity_number")),
+                           ("==", _c("severity_number"), 0)))
+        groups.append(p)
+    for key in ("resource_attributes", "record_attributes", "attributes"):
+        for a in props.get(key) or []:
+            groups.append(one(a["key"], a.get("value")))
+    if not groups:
+        raise ValueError(
+            'at least one of "log_bodies", "log_severity_texts", '
+            '"log_severity_number", "resource_attributes" or '
+            '"record_attributes" must be specified')  # config.go:131
+    pred = groups[0]
+    for g in groups[1:]:
+        pred = ("and", pred, g)
+    return pred
 
 
 def _load_table_source(src: dict[str, Any], path_key: str = "path"):

@@ -1392,3 +1392,85 @@ service:
     # ports pre-masked by the rule
     assert tm[0] == tm[1] == tm[2] == "connected to <*> port <NUM>"
     assert tm[3] == tm[4] == "user <*> logged out"
+
+
+def test_filter_legacy_include_exclude(ray_session, tmp_path):
+    """Legacy filterprocessor match_properties shape
+    (testdata/config_logs_strict.yaml filter/includeexclude +
+    filterlog.go NewSkipExpr): include applied first, then exclude;
+    strict attribute equality; absent keys never match."""
+    log = tmp_path / "legacy.log"
+    log.write_text("keep yes no\ndropped-not-included no no\n"
+                   "dropped-excluded yes yes\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<msg>\\S+) (?P<should_include>\\S+) (?P<should_exclude>\\S+)'
+processors:
+  filter:
+    logs:
+      include:
+        match_type: strict
+        record_attributes:
+          - key: should_include
+            value: "yes"
+      exclude:
+        match_type: strict
+        record_attributes:
+          - key: should_exclude
+            value: "yes"
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [filter]
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas()
+    assert list(df["msg"]) == ["keep"]
+
+
+def test_filter_legacy_bodies_severity(ray_session, tmp_path):
+    """Legacy log_bodies regexp OR-matching + log_severity_number min
+    with match_undefined (filterlog.go Eval: ALL configured groups
+    must match; filterset ORs the body patterns)."""
+    log = tmp_path / "sev.log"
+    log.write_text("ERROR timeout upstream\nINFO timeout upstream\n"
+                   "ERROR disk full\nNOSEV timeout fallback\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<level>\\S+) (?P<body>.*)$'
+      - type: severity_parser
+        parse_from: level
+processors:
+  filter:
+    logs:
+      exclude:
+        match_type: regexp
+        log_bodies:
+          - 'timeout.*'
+          - 'oom.*'
+        log_severity_number:
+          min: ERROR
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [filter]
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas().sort_values("body")
+    # dropped: ONLY the record matching BOTH groups (timeout body AND
+    # severity >= ERROR); INFO timeout, ERROR disk and undefined-sev
+    # timeout all stay
+    assert sorted(df["body"]) == ["disk full", "timeout fallback",
+                                  "timeout upstream"]
