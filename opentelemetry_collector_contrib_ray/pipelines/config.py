@@ -220,7 +220,16 @@ def _build_processor(name: str, cfg: dict[str, Any]):
     if t in ("attributes", "resource"):
         from ..stages.attributes import AttributesProcessor
 
-        return AttributesProcessor(cfg["actions"])
+        # processor-level include/exclude gate (attributesprocessor
+        # config.go:23 embeds MatchConfig): actions touch only records
+        # that match include AND do not match exclude
+        match = None
+        if cfg.get("include"):
+            match = _legacy_log_match(cfg["include"])
+        if cfg.get("exclude"):
+            e = ("not", _legacy_log_match(cfg["exclude"]))
+            match = e if match is None else ("and", match, e)
+        return AttributesProcessor(cfg["actions"], match_condition=match)
     if t == "redaction":
         from ..stages.attributes import Redaction
 

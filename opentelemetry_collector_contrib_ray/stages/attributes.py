@@ -31,32 +31,51 @@ from . import register
 from .transform import Statement, TransformStage
 
 
-def _action_to_statement(a: dict[str, Any]) -> Statement:
+def _action_to_statement(a: dict[str, Any], match: Any | None = None) -> Statement:
+    """``match``: the processor-level include/exclude gate
+    (processor/attributesprocessor/config.go:23 embeds MatchConfig) —
+    actions apply only to matching records. With a gate, ``delete``
+    nulls the value on matching rows (the column must survive for the
+    non-matching rows) instead of dropping the whole column."""
     act = a["action"]
     key = a["key"]
+
+    def gated(p):
+        return p if match is None else ("and", match, p)
+
     if act == "insert":
-        # set only where currently missing (null)
-        return Statement("coalesce", {"target": key, "sources": [Col(key)], "default": a["value"]})
+        if match is None:
+            # set only where currently missing (null)
+            return Statement("coalesce", {"target": key, "sources": [Col(key)], "default": a["value"]})
+        return Statement("set", {"target": key, "value": a["value"]},
+                         where=gated(("is_null", Col(key))))
     if act == "update":
         return Statement("set", {"target": key, "value": a["value"]},
-                         where=("not_null", Col(key)))
+                         where=gated(("not_null", Col(key))))
     if act == "upsert":
-        return Statement("set", {"target": key, "value": a["value"]})
+        return Statement("set", {"target": key, "value": a["value"]},
+                         where=match)
     if act == "delete":
-        return Statement("delete_keys", {"keys": [key]})
+        if match is None:
+            return Statement("delete_keys", {"keys": [key]})
+        return Statement("null_value", {"target": key}, where=match)
     if act == "hash":
-        return Statement("hash", {"target": key, "src": key})
+        return Statement("hash", {"target": key, "src": key}, where=match)
     if act == "extract":
-        return Statement("extract_patterns", {"src": key, "pattern": a["pattern"]})
+        return Statement("extract_patterns", {"src": key, "pattern": a["pattern"]},
+                         where=match)
     if act == "convert":
-        return Statement("cast", {"target": key, "to": a["converted_type"]})
+        return Statement("cast", {"target": key, "to": a["converted_type"]},
+                         where=match)
     raise ValueError(f"unknown attributes action {act!r}")
 
 
 @register("attributes")
 class AttributesProcessor(TransformStage):
-    def __init__(self, actions: list[dict[str, Any]], error_mode: str = "ignore"):
-        super().__init__([_action_to_statement(a) for a in actions], error_mode=error_mode)
+    def __init__(self, actions: list[dict[str, Any]], error_mode: str = "ignore",
+                 match_condition: Any | None = None):
+        super().__init__([_action_to_statement(a, match_condition)
+                          for a in actions], error_mode=error_mode)
 
 
 @register("redaction")

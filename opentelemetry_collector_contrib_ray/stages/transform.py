@@ -107,6 +107,22 @@ class Statement:
     def _op_delete_keys(self, tbl, mask, keys: list[str]):
         return tbl.drop_columns([k for k in keys if k in tbl.column_names])
 
+    def _op_null_value(self, tbl, mask, target: str):
+        # per-RECORD attribute delete (attributesprocessor delete under
+        # an include/exclude MatchConfig gate): null the value on
+        # masked rows only — the column must survive for the rest,
+        # unlike delete_keys' whole-column drop
+        if target not in tbl.column_names:
+            return tbl
+        c = tbl[target]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if mask is None:
+            vals = pa.nulls(tbl.num_rows, c.type)
+        else:
+            vals = pc.if_else(mask, pa.nulls(tbl.num_rows, c.type), c)
+        return tbl.set_column(tbl.column_names.index(target), target, vals)
+
     def _op_keep_keys(self, tbl, mask, keys: list[str]):
         return tbl.select([k for k in keys if k in tbl.column_names])
 

@@ -1474,3 +1474,49 @@ service:
     # timeout all stay
     assert sorted(df["body"]) == ["disk full", "timeout fallback",
                                   "timeout upstream"]
+
+
+def test_attributes_include_exclude_gate(ray_session, tmp_path):
+    """attributesprocessor config.go:23 embeds the same MatchConfig:
+    actions apply only to records matching include and not exclude;
+    a gated delete nulls the matching rows' value but keeps the
+    column for everyone else."""
+    log = tmp_path / "attrs.log"
+    log.write_text("a svcA secret1\nb svcA secret2\nc svcB secret3\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<msg>\\S+) (?P<svc>\\S+) (?P<token>\\S+)'
+processors:
+  attributes:
+    include:
+      match_type: strict
+      record_attributes:
+        - key: svc
+          value: svcA
+    exclude:
+      match_type: strict
+      record_attributes:
+        - key: msg
+          value: b
+    actions:
+      - action: delete
+        key: token
+      - action: upsert
+        key: env
+        value: prod
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: [attributes]
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas().sort_values("msg")
+    # only row a matches (svcA, not excluded): token nulled, env set
+    assert list(df["token"].fillna("-")) == ["-", "secret2", "secret3"]
+    assert list(df["env"].fillna("-")) == ["prod", "-", "-"]
