@@ -223,13 +223,8 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         # processor-level include/exclude gate (attributesprocessor
         # config.go:23 embeds MatchConfig): actions touch only records
         # that match include AND do not match exclude
-        match = None
-        if cfg.get("include"):
-            match = _legacy_log_match(cfg["include"])
-        if cfg.get("exclude"):
-            e = ("not", _legacy_log_match(cfg["exclude"]))
-            match = e if match is None else ("and", match, e)
-        return AttributesProcessor(cfg["actions"], match_condition=match)
+        return AttributesProcessor(cfg["actions"],
+                                   match_condition=_match_config_gate(cfg))
     if t == "redaction":
         from ..stages.attributes import Redaction
 
@@ -452,7 +447,8 @@ def _build_processor(name: str, cfg: dict[str, Any]):
             status_code=st.get("code"),
             status_description=st.get("description", ""),
             status_where=(parse_condition_text(st["where"])
-                          if st.get("where") else None))
+                          if st.get("where") else None),
+            match_condition=_match_config_gate(cfg))
     if t == "drain":
         # processor/drainprocessor README (merge_threshold,
         # masking_rules, body_field, template_attribute). Default =
@@ -559,6 +555,20 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         "memory_limiter (no-op)")
 
 
+def _match_config_gate(cfg: dict[str, Any]):
+    """The embedded MatchConfig gate shared by the attributes and span
+    processors (filterconfig.MatchConfig): None when neither include
+    nor exclude is configured, else the predicate
+    include-match AND NOT exclude-match."""
+    match = None
+    if cfg.get("include"):
+        match = _legacy_log_match(cfg["include"])
+    if cfg.get("exclude"):
+        e = ("not", _legacy_log_match(cfg["exclude"]))
+        match = e if match is None else ("and", match, e)
+    return match
+
+
 def _legacy_log_match(props: dict[str, Any]):
     """Legacy filterprocessor match_properties -> predicate spec.
 
@@ -590,6 +600,13 @@ def _legacy_log_match(props: dict[str, Any]):
         return p
 
     groups = []
+    # span-side properties (filterconfig: Services match
+    # resource.attributes["service.name"], SpanNames the span name) —
+    # flat-model column defaults
+    if props.get("span_names"):
+        groups.append(any_of("name", props["span_names"]))
+    if props.get("services"):
+        groups.append(any_of("service.name", props["services"]))
     if props.get("log_bodies"):
         groups.append(any_of("body", props["log_bodies"]))
     if props.get("log_severity_texts"):

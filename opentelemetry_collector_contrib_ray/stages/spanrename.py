@@ -122,7 +122,8 @@ class SpanProcessor:
                  break_after_match: bool = False,
                  status_code: str | None = None,
                  status_description: str = "",
-                 status_where=None):
+                 status_where=None,
+                 match_condition=None):
         self.name_col = name_col
         self.from_attributes = from_attributes or []
         self.separator = separator
@@ -137,9 +138,15 @@ class SpanProcessor:
 
         self.status_pred = compile_predicate(status_where) \
             if status_where is not None else None
+        # processor-level include/exclude gate (spanprocessor
+        # config.go embeds MatchConfig): every mutation below applies
+        # only where this predicate holds
+        self.match_pred = compile_predicate(match_condition) \
+            if match_condition is not None else None
 
     def fn(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        gate = self.match_pred(batch) if self.match_pred is not None else None
         if self.from_attributes:
             parts, ok = [], pa.array([True] * n)
             for a in self.from_attributes:
@@ -151,6 +158,8 @@ class SpanProcessor:
                 ok = pc.and_(ok, pc.is_valid(v))
                 parts.append(pc.cast(v, pa.string()))
             if parts:
+                if gate is not None:
+                    ok = pc.and_(ok, gate)
                 joined = pc.binary_join_element_wise(*parts, self.separator) \
                     if len(parts) > 1 else parts[0]
                 old = resolve_col(batch, self.name_col) \
@@ -170,6 +179,8 @@ class SpanProcessor:
         for (numbered, rewrite, group_names), _pat in self.rules:
             ex = pc.extract_regex(name, pattern=numbered)
             hit = pc.is_valid(ex)
+            if gate is not None:
+                hit = pc.and_(hit, gate)
             if self.break_after_match:
                 hit = pc.and_(hit, pc.invert(matched_any))
             # extract_regex returns numbered+named groups; named ones
@@ -198,6 +209,8 @@ class SpanProcessor:
         if self.status_code is not None:
             mask = self.status_pred(batch) if self.status_pred is not None \
                 else pa.array([True] * n)
+            if gate is not None:
+                mask = pc.and_(mask, gate)
             code = pa.array([self.status_code] * n)
             msg_val = (self.status_description
                        if self.status_code == "Error" else "")

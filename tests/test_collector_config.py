@@ -1520,3 +1520,51 @@ service:
     # only row a matches (svcA, not excluded): token nulled, env set
     assert list(df["token"].fillna("-")) == ["-", "secret2", "secret3"]
     assert list(df["env"].fillna("-")) == ["prod", "-", "-"]
+
+
+def test_span_include_exclude_gate(ray_session, tmp_path):
+    """spanprocessor include/exclude (testdata/config.yaml
+    span/includeexclude, verbatim): regexp services+span_names include,
+    strict span_names exclude; only gated spans get the to_attributes
+    extraction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = str(tmp_path / "spans.parquet")
+    pq_.write_table(pa.table({
+        "service.name": ["banks-east", "banks-east", "retail", "banks-east"],
+        "name": ["auth/login", "donot/change", "auth/login", "flatname"],
+    }), src)
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: "{src}"
+processors:
+  span:
+    include:
+      match_type: regexp
+      services: ["banks"]
+      span_names: ["^(.*?)/(.*?)$"]
+    exclude:
+      match_type: strict
+      span_names: ["donot/change"]
+    name:
+      to_attributes:
+        rules:
+          - '^(?P<operation_website>.*?)/.*$'
+service:
+  pipelines:
+    traces:
+      receivers: [parquet]
+      processors: [span]
+      exporters: []
+""")
+    df = pipes["traces"].dataset().to_pandas()
+    by = dict(zip(zip(df["service.name"], df.get("name", df["name"])),
+                  df["operation_website"].fillna("-")))
+    # only (banks-east, auth/login) passes the gate; its name is
+    # rewritten by the rule and the group extracted
+    assert by[("retail", "auth/login")] == "-"
+    assert by[("banks-east", "donot/change")] == "-"
+    assert by[("banks-east", "flatname")] == "-"
+    assert "auth" in set(df["operation_website"].fillna("-"))
