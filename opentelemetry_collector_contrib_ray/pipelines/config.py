@@ -193,7 +193,7 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..ottl import parse_condition_text
         from ..stages.transform import FilterStage
 
-        lcfg = cfg.get("logs") or {}
+        lcfg = cfg.get("logs") or cfg.get("metrics") or cfg.get("traces") or {}
         if "include" in lcfg or "exclude" in lcfg:
             # legacy match_properties shape (internal/filter/
             # filterlog/filterlog.go NewSkipExpr): skip = NOT(include
@@ -607,6 +607,8 @@ def _legacy_log_match(props: dict[str, Any]):
         groups.append(any_of("name", props["span_names"]))
     if props.get("services"):
         groups.append(any_of("service.name", props["services"]))
+    if props.get("metric_names"):  # filterconfig.go:102-105
+        groups.append(any_of("metric", props["metric_names"]))
     if props.get("log_bodies"):
         groups.append(any_of("body", props["log_bodies"]))
     if props.get("log_severity_texts"):

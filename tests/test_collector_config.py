@@ -1568,3 +1568,36 @@ service:
     assert by[("banks-east", "donot/change")] == "-"
     assert by[("banks-east", "flatname")] == "-"
     assert "auth" in set(df["operation_website"].fillna("-"))
+
+
+def test_filter_legacy_metric_names(ray_session, tmp_path):
+    """Legacy metrics filter (filterconfig.go:102-105 metric_names,
+    strict): exclude drops the named metrics from the stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    src = str(tmp_path / "metrics.parquet")
+    pq_.write_table(pa.table({
+        "metric": ["cpu.util", "mem.used", "cpu.util", "disk.io"],
+        "value": [0.5, 100.0, 0.7, 3.0],
+    }), src)
+    pipes = collector_from_yaml(f"""
+receivers:
+  parquet:
+    path: "{src}"
+processors:
+  filter:
+    metrics:
+      exclude:
+        match_type: strict
+        metric_names:
+          - cpu.util
+service:
+  pipelines:
+    metrics:
+      receivers: [parquet]
+      processors: [filter]
+      exporters: []
+""")
+    df = pipes["metrics"].dataset().to_pandas()
+    assert sorted(df["metric"]) == ["disk.io", "mem.used"]
