@@ -134,6 +134,13 @@ def _build_receiver(name: str, cfg: dict[str, Any]):
 
     for pat in include:
         paths.extend(sorted(_glob.glob(pat)))
+    # fileconsumer matcher exclude globs (filelogreceiver README):
+    # files matched by include are dropped when any exclude matches
+    excluded: set[str] = set()
+    for pat in cfg.get("exclude") or []:
+        excluded.update(_glob.glob(pat))
+    if excluded:
+        paths = [p for p in paths if p not in excluded]
     if not paths:
         raise ValueError(f"filelog include matched no files: {include}")
     encoding = cfg.get("encoding", "utf-8")

@@ -1601,3 +1601,25 @@ service:
 """)
     df = pipes["metrics"].dataset().to_pandas()
     assert sorted(df["metric"]) == ["disk.io", "mem.used"]
+
+
+def test_filelog_exclude_globs(ray_session, tmp_path):
+    """filelog exclude globs (fileconsumer matcher): include-matched
+    files dropped when any exclude pattern matches them."""
+    (tmp_path / "app-1.log").write_text("keep1\n")
+    (tmp_path / "app-2.log").write_text("keep2\n")
+    (tmp_path / "app-1.bak.log").write_text("dropme\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{tmp_path}/*.log"]
+    exclude: ["{tmp_path}/*.bak.log"]
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: []
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas()
+    assert sorted(df["line"]) == ["keep1", "keep2"]
