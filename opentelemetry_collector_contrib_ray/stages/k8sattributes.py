@@ -113,12 +113,19 @@ class K8sAttributes:
                 frm = r.get("from", "pod")
                 if frm == "pod":
                     col = f"{kind}.{r['key']}"
-                elif frm == "namespace":
-                    col = f"namespace.{kind}.{r['key']}"
+                elif frm in ("namespace", "node", "deployment",
+                             "statefulset", "daemonset", "job"):
+                    # config.go:86 From choices; owner/node metadata is
+                    # denormalized onto the pod snapshot row as
+                    # <from>.<kind>.<key> columns (the watcher joins
+                    # owners at sync time; a static snapshot bakes the
+                    # join in)
+                    col = f"{frm}.{kind}.{r['key']}"
                 else:
                     raise ValueError(
-                        f"extract from: {frm!r} unsupported (pod/namespace; "
-                        "node/deployment snapshots are out of scope)")
+                        f"{frm} is not a valid choice for From. Must be "
+                        "one of: pod, namespace, deployment, statefulset, "
+                        "daemonset, job, node")  # config.go:86
                 self.tag_cols.append((r["tag_name"], col))
 
         # validate + pre-build per-association snapshot key arrays and

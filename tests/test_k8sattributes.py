@@ -150,3 +150,37 @@ service:
     df = pipes["logs"].dataset().to_pandas().sort_values("msg")
     assert list(df["k8s.pod.name"].fillna("-")) == ["pod-a", "pod-c", "-"]
     assert list(df["app"].fillna("-")) == ["web", "web", "-"]
+
+
+def test_extract_node_and_owner_metadata():
+    # config.go:86 From choices beyond pod/namespace: node/deployment
+    # (owner metadata denormalized onto the pod snapshot row)
+    snap = pa.table({
+        "k8s.pod.ip": ["1.2.3.4"],
+        "k8s.pod.name": ["pod-a"],
+        "k8s.namespace.name": ["ns1"],
+        "k8s.pod.uid": ["u-a"],
+        "k8s.node.name": ["n1"],
+        "label.app": ["web"],
+        "annotation.team": ["core"],
+        "namespace.label.env": ["prod"],
+        "node.label.zone": ["us-east-1a"],
+        "deployment.label.release": ["v42"],
+    })
+    ds = ray.data.from_arrow(pa.table({"k8s.pod.ip": ["1.2.3.4"]}))
+    out = K8sAttributes(
+        snap,
+        metadata=["k8s.pod.name"],
+        labels=[{"tag_name": "zone", "key": "zone", "from": "node"},
+                {"tag_name": "release", "key": "release", "from": "deployment"}],
+    ).apply(ds).to_pandas()
+    assert list(out["zone"]) == ["us-east-1a"]
+    assert list(out["release"]) == ["v42"]
+
+
+def test_extract_invalid_from_fails_loud():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not a valid choice for From"):
+        K8sAttributes(SNAPSHOT,
+                      labels=[{"tag_name": "x", "key": "k", "from": "cluster"}])
