@@ -77,8 +77,14 @@ def _py_match(props, body, sev_text, sev_num, flag):
 @settings(max_examples=200, deadline=None)
 @given(rows=rows_st, props=props_st)
 def test_legacy_match_agrees_with_rowwise_reference(rows, props):
-    if not props:
-        return  # config.go:131 requires at least one group — skip empty
+    if not (set(props) - {"match_type"}):
+        # config.go:131: a config with no match group (match_type
+        # alone doesn't count) is a VALIDATION ERROR, not a matcher
+        import pytest
+
+        with pytest.raises(ValueError, match="at least one of"):
+            _legacy_log_match(dict(props))
+        return
     tbl = pa.table({
         "body": pa.array([r[0] for r in rows], pa.string()),
         "severity_text": pa.array([r[1] for r in rows], pa.string()),
