@@ -318,10 +318,16 @@ def _q_collector_yaml2(sf_dir: str):
     )
 
     tdir = ensure_transcripts(sf_dir)
+    # the pipeline is written the way a collector user optimizing for
+    # scale would write it: prune to the five needed columns at the
+    # read, and keep_keys after drain so the groupbytrace range sort
+    # does not carry the raw text payload (the sort is the one
+    # all-to-all here; text is its largest column by far)
     pipes = collector_from_yaml(f"""
 receivers:
   parquet:
     path: {tdir}
+    columns: [conv_id, turn_idx, role, tool, text]
 processors:
   lookup:
     source:
@@ -345,13 +351,17 @@ processors:
     masking_rules:
       - pattern: '\\d+'
         replacement: '<NUM>'
+  transform:
+    log_statements:
+      - statements:
+          - 'keep_keys(attributes, ["conv_id", "turn_idx", "team", "name", "template"])'
   groupbytrace:
     trace_key: conv_id
 service:
   pipelines:
     logs:
       receivers: [parquet]
-      processors: [lookup, span, drain, groupbytrace]
+      processors: [lookup, span, drain, transform, groupbytrace]
 """)
     return pipes["logs"].dataset().select_columns(
         ["conv_id", "turn_idx", "team", "name", "template"])
