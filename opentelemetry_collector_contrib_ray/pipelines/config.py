@@ -1153,18 +1153,40 @@ def collector_from_yaml(text_or_path: str) -> dict[str, CollectorPipeline]:
                 routing_sources[conn] = make_mal_source()
                 continue
             if _base_type(conn) == "otlpjson":
-                # connector/otlpjsonconnector: parse a JSON-lines body
-                # column into typed columns (stages/parse.JsonParser)
-                from ..stages.parse import JsonParser
+                # connector/otlpjsonconnector. Two shapes:
+                #   * with `fields`: parse a JSON-lines body column into
+                #     typed columns (stages/parse.JsonParser) — the
+                #     props-blob convenience mode;
+                #   * without `fields`: the REAL connector semantics —
+                #     each body is a complete OTLP/JSON export payload,
+                #     exploded into its embedded records
+                #     (stages/otlpjson.OtlpJsonExplode; malformed
+                #     payloads emit nothing, per the reference's strict
+                #     unmarshal).
+                if "fields" in ccfg:
+                    from ..stages.parse import JsonParser
 
-                def make_oj_source(p=p, ccfg=ccfg):
-                    def src() -> ray.data.Dataset:
-                        return JsonParser(
-                            parse_from=ccfg.get("parse_from", "body"),
-                            fields=ccfg["fields"],
-                            on_error=ccfg.get("on_error", "send"),
-                        ).apply(_compose(p))
-                    return src
+                    def make_oj_source(p=p, ccfg=ccfg):
+                        def src() -> ray.data.Dataset:
+                            return JsonParser(
+                                parse_from=ccfg.get("parse_from", "body"),
+                                fields=ccfg["fields"],
+                                on_error=ccfg.get("on_error", "send"),
+                            ).apply(_compose(p))
+                        return src
+                else:
+                    from ..stages.otlpjson import OtlpJsonExplode
+
+                    def make_oj_source(p=p, ccfg=ccfg):
+                        def src() -> ray.data.Dataset:
+                            return OtlpJsonExplode(
+                                body_col=ccfg.get("parse_from", "body"),
+                                resource_attributes=ccfg.get(
+                                    "resource_attributes"),
+                                record_attributes=ccfg.get(
+                                    "record_attributes"),
+                            ).apply(_compose(p))
+                        return src
                 routing_sources[conn] = make_oj_source()
                 continue
             if _base_type(conn) != "routing":
