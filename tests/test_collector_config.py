@@ -1623,3 +1623,44 @@ service:
 """)
     df = pipes["logs"].dataset().to_pandas()
     assert sorted(df["line"]) == ["keep1", "keep2"]
+
+
+def test_otlpjson_explode_mode_yaml(ray_session, tmp_path):
+    """otlpjson connector WITHOUT `fields` = the real OTLP/JSON
+    payload explosion (stages/otlpjson.OtlpJsonExplode) through the
+    YAML loader."""
+    payload = ('{"resourceLogs":[{"resource":{"attributes":[{"key":"svc",'
+               '"value":{"stringValue":"checkout"}}]},"scopeLogs":[{"scope":{},'
+               '"logRecords":[{"severityNumber":17,"severityText":"Error",'
+               '"body":{"stringValue":"boom"},"attributes":[{"key":"code",'
+               '"value":{"intValue":"500"}}]}]}]}]}')
+    log = _write_log(tmp_path, "otlp.jsonl", payload + "\n" + "not json" + "\n")
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: transform
+        statements:
+          - 'set(body, line)'
+connectors:
+  otlpjson:
+    resource_attributes:
+      svc: string
+    record_attributes:
+      code: int64
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: []
+      exporters: [otlpjson]
+    logs/out:
+      receivers: [otlpjson]
+      exporters: []
+""")
+    df = pipes["logs/out"].dataset().to_pandas()
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r["svc"] == "checkout" and r["code"] == 500
+    assert r["body"] == "boom" and r["severity_number"] == 17
