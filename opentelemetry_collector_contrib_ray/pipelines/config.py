@@ -23,8 +23,61 @@ import ray.data
 from ..stages import build_stage, registered_types
 
 
+_STANZA_FIELD_PREFIXES = ("attributes.", "resource.", "body.")
+
+
+def _stanza_field(name: str) -> str:
+    """entry.Field -> flat column: the flat model stores attributes,
+    resource fields and parsed body keys as top-level columns, so the
+    stanza domain prefix drops (SURVEY §1.1 flattening note)."""
+    for p in _STANZA_FIELD_PREFIXES:
+        if name.startswith(p):
+            return name[len(p):]
+    return name
+
+
+# stanza transformer operator -> one transform-statement editor
+# (pkg/stanza/operator/transformer/{add,copy,move,remove,retain,
+# flatten,unquote,sanitizeutf8,assignkeys}/config.go shapes), so a
+# reference operator chain pastes unchanged
+def _stanza_transformer_statement(cfg: dict[str, Any]) -> dict[str, Any] | None:
+    t = cfg.get("type")
+    f = _stanza_field
+    if t == "add":
+        v = cfg.get("value")
+        if isinstance(v, str) and v.startswith("EXPR("):
+            raise ValueError(
+                "add with an EXPR() value: use a transform statement "
+                "(set with an expression) — the flat loader keeps add "
+                "literal-only")
+        return {"editor": "set", "args": {"target": f(cfg["field"]), "value": v}}
+    if t == "copy":
+        return {"editor": "copy", "args": {"src": f(cfg["from"]), "dst": f(cfg["to"])}}
+    if t == "move":
+        return {"editor": "rename", "args": {"src": f(cfg["from"]), "dst": f(cfg["to"])}}
+    if t == "remove":
+        return {"editor": "delete_keys", "args": {"keys": [f(cfg["field"])]}}
+    if t == "retain":
+        return {"editor": "keep_keys",
+                "args": {"keys": [f(x) for x in cfg["fields"]]}}
+    if t == "flatten":
+        return {"editor": "flatten", "args": {"src": f(cfg["field"])}}
+    if t == "unquote":
+        return {"editor": "unquote", "args": {"target": f(cfg["field"])}}
+    if t == "sanitize_utf8":
+        return {"editor": "sanitize_utf8", "args": {"target": f(cfg["field"])}}
+    if t == "assign_keys":
+        fld = f(cfg["field"])
+        return {"editor": "assign_keys",
+                "args": {"target": fld, "src": fld, "keys": cfg["keys"]}}
+    return None
+
+
 def _normalize(cfg: dict[str, Any]) -> Any:
     cfg = dict(cfg)
+    stanza_stmt = _stanza_transformer_statement(cfg)
+    if stanza_stmt is not None:
+        return {"type": "transform", "statements": [stanza_stmt]}
     if cfg.get("type") == "transform":
         stmts = cfg.get("statements") or []
         if stmts and all(isinstance(s, str) for s in stmts):

@@ -1664,3 +1664,47 @@ service:
     r = df.iloc[0]
     assert r["svc"] == "checkout" and r["code"] == 500
     assert r["body"] == "boom" and r["severity_number"] == 17
+
+
+def test_stanza_transformer_operators_paste_unchanged(ray_session, tmp_path):
+    """A reference stanza operator chain using the transformer type
+    NAMES (add/copy/move/remove/retain — pkg/stanza/operator/
+    transformer/*/config.go shapes) pastes into the filelog operators
+    list unchanged; each becomes one transform-statement editor."""
+    log = _write_log(tmp_path, "st.log", 'a "q1" x\nb "q2" y\n')
+    pipes = collector_from_yaml(f"""
+receivers:
+  filelog:
+    include: ["{log}"]
+    operators:
+      - type: regex_parser
+        parse_from: line
+        regex: '^(?P<msg>\\S+) (?P<quoted>\\S+) (?P<junk>\\S+)'
+      - type: add
+        field: attributes.env
+        value: prod
+      - type: copy
+        from: attributes.msg
+        to: msg_copy
+      - type: move
+        from: attributes.quoted
+        to: q
+      - type: unquote
+        field: q
+      - type: remove
+        field: attributes.junk
+      - type: retain
+        fields: [msg, msg_copy, q, env]
+service:
+  pipelines:
+    logs:
+      receivers: [filelog]
+      processors: []
+      exporters: []
+""")
+    df = pipes["logs"].dataset().to_pandas().sort_values("msg")
+    assert sorted(df.columns) == ["env", "msg", "msg_copy", "q"]
+    assert list(df["msg"]) == ["a", "b"]
+    assert list(df["msg_copy"]) == ["a", "b"]
+    assert list(df["q"]) == ["q1", "q2"]      # unquoted
+    assert set(df["env"]) == {"prod"}
