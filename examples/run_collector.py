@@ -15,8 +15,9 @@ from opentelemetry_collector_contrib_ray.pipelines.config import collector_from_
 
 def main() -> None:
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # no explicit address: honors RAY_ADDRESS (ray job submit /
+        # sandbox) and falls back to a local session otherwise
+        ray.init(include_dashboard=False, logging_level="ERROR")
     pipes = collector_from_yaml(sys.argv[1])
     for name, pipe in pipes.items():
         if pipe._writers:
