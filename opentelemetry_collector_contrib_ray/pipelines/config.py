@@ -366,10 +366,12 @@ def _build_processor(name: str, cfg: dict[str, Any]):
         from ..stages.schema import SchemaTranslation, schema_convert
 
         tr = SchemaTranslation(family=cfg.get("family", "default"),
-                               versions=cfg["versions"])
+                               versions=cfg["versions"],
+                               metric_versions=cfg.get("metric_versions") or {})
         return _Chain(lambda ds: schema_convert(
             ds, tr, source=cfg["source"], target=cfg["target"],
-            migrate_from=cfg.get("migrate_from")))
+            migrate_from=cfg.get("migrate_from"),
+            metric_name_col=cfg.get("metric_name_column", "metric")))
     if t == "metricstarttime":
         from ..stages.starttime import metric_start_time
 

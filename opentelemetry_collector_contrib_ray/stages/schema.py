@@ -41,13 +41,20 @@ def _ver(v: str) -> tuple[int, ...]:
 class SchemaTranslation:
     """One schema family: version -> {old_name: new_name} renames
     (the subset of the OTel schema-file changeset this engine's flat
-    column model can express)."""
+    column model can express). ``metric_versions`` carries each
+    version's ``rename_metrics`` map (schemaprocessor
+    processor_metrics_test.go transformations): metric NAMES are
+    VALUES of the metric-name column, so those renames remap values,
+    not columns."""
 
     family: str
     versions: dict[str, dict[str, str]] = field(default_factory=dict)
+    metric_versions: dict[str, dict[str, str]] = field(default_factory=dict)
 
-    def ordered(self) -> list[tuple[tuple[int, ...], str, dict[str, str]]]:
-        return sorted((( _ver(v), v, r) for v, r in self.versions.items()))
+    def ordered(self) -> list[tuple[tuple[int, ...], str, dict[str, str], dict[str, str]]]:
+        vers = set(self.versions) | set(self.metric_versions)
+        return sorted((_ver(v), v, self.versions.get(v, {}),
+                       self.metric_versions.get(v, {})) for v in vers)
 
 
 def _apply_renames(batch: pa.Table, renames: dict[str, str], soft: bool) -> pa.Table:
@@ -87,33 +94,49 @@ def schema_convert(
     source: str,
     target: str,
     migrate_from: str | None = None,
+    metric_name_col: str = "metric",
 ) -> ray.data.Dataset:
     """Convert from schema version ``source`` to ``target``.
 
     ``migrate_from`` turns renames in the (from, target] window (or
     [target, from) for downgrades) into soft renames that keep both
-    names (README.md "Scoping with from").
+    names (README.md "Scoping with from"). ``rename_metrics`` entries
+    remap VALUES of ``metric_name_col`` (always hard — a row carries
+    one name) in the same version order, reversed on downgrade.
     """
     s, t = _ver(source), _ver(target)
     f = _ver(migrate_from) if migrate_from is not None else None
-    steps: list[tuple[dict[str, str], bool]] = []
+    steps: list[tuple[dict[str, str], dict[str, str], bool]] = []
     if s < t:  # upgrade: apply versions v with s < v <= t ascending
-        for ver, _, renames in translation.ordered():
+        for ver, _, renames, mrenames in translation.ordered():
             if s < ver <= t:
                 soft = f is not None and f < ver <= t
-                steps.append((renames, soft))
+                steps.append((renames, mrenames, soft))
     elif s > t:  # downgrade: reverse renames, t < v <= s descending
-        for ver, _, renames in reversed(translation.ordered()):
+        for ver, _, renames, mrenames in reversed(translation.ordered()):
             if t < ver <= s:
                 rev = {new: old for old, new in renames.items()}
+                mrev = {new: old for old, new in mrenames.items()}
                 soft = f is not None and t < ver <= f
-                steps.append((rev, soft))
+                steps.append((rev, mrev, soft))
     if not steps:
         return ds
 
     def apply(batch: pa.Table) -> pa.Table:
-        for renames, soft in steps:
+        for renames, mrenames, soft in steps:
             batch = _apply_renames(batch, renames, soft)
+            if mrenames and metric_name_col in batch.column_names:
+                col = batch[metric_name_col]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                for old, new in mrenames.items():
+                    # fill_null: a null metric name must stay null,
+                    # not be nulled out by a null comparison
+                    col = pc.if_else(pc.fill_null(pc.equal(col, old), False),
+                                     pa.scalar(new, col.type), col)
+                batch = batch.set_column(
+                    batch.column_names.index(metric_name_col),
+                    metric_name_col, col)
         return batch
 
     return ds.map_batches(apply, batch_format="pyarrow",

@@ -482,3 +482,48 @@ def test_useragent_reference_vectors():
         assert out["user_agent.version"][i].as_py() == version, i
         if os_name is not None:
             assert out["user_agent.os"][i].as_py() == os_name, i
+
+
+def test_schema_metric_renames_golden(ray_session):
+    """schemaprocessor metric-name renames ported from
+    processor_metrics_test.go one_version_upgrade/_downgrade
+    (testdata/{old,new}-metric.yaml): the 1.9.0 changeset renames the
+    resource attr, the datapoint attr, AND the metric NAMES; upgrade
+    applies it, downgrade reverses it. Metric names are VALUES of the
+    metric column in the flat model."""
+    import pandas as pd
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.schema import (
+        SchemaTranslation,
+        schema_convert,
+    )
+
+    trans = SchemaTranslation(
+        family="https://example.com/s",
+        versions={"1.9.0": {"old.resource.name": "new.resource.name",
+                            "old.attr.name": "new.attr.name"}},
+        metric_versions={"1.9.0": {"old.sum.metric": "new.sum.metric",
+                                   "old.gauge.metric": "new.gauge.metric",
+                                   "old.histogram.metric": "new.histogram.metric",
+                                   "old.summary.metric": "new.summary.metric"}},
+    )
+    old = pd.DataFrame({
+        "metric": ["old.sum.metric", "old.gauge.metric",
+                   "old.histogram.metric", "unrelated.metric"],
+        "old.resource.name": ["test-cluster"] * 4,
+        "old.attr.name": ["test-cluster"] * 4,
+        "value": [1.0, 2.0, 3.0, 4.0],
+    })
+    up = schema_convert(ray.data.from_pandas(old), trans,
+                        source="1.8.0", target="1.9.0").to_pandas()
+    assert sorted(up["metric"]) == ["new.gauge.metric", "new.histogram.metric",
+                                    "new.sum.metric", "unrelated.metric"]
+    assert "new.resource.name" in up.columns and "old.resource.name" not in up.columns
+    assert "new.attr.name" in up.columns
+
+    down = schema_convert(ray.data.from_pandas(
+        up.rename(columns={})), trans,
+        source="1.9.0", target="1.8.0").to_pandas()
+    assert sorted(down["metric"]) == sorted(old["metric"])
+    assert "old.resource.name" in down.columns and "new.resource.name" not in down.columns
